@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.Stable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins + TPC-H-flavored end-to-end queries.
+  *
+  * The reference has no joins (SURVEY §2.2) — these exist to make the
+  * star-schema testdata meaningful and to exercise Spark's join
+  * machinery the way a 100 TB deployment would:
+  *  - dimension tables (region/nation/customer/supplier/part) are tiny
+  *    relative to the fact table at any scale factor → `broadcast()`
+  *    them so the fact table never shuffles for the join;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  *    handles skew at runtime;
+  *  - semi/anti joins instead of join+distinct.
+  */
+object JoinOps {
+
+  // ---- broadcast star join: revenue per (region, nation) ----
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val joinBroadcastSql =
+    s"""SELECT r_name, n_name,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       | COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---- left semi: orders having a high-quantity line (EXISTS) ----
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    o.join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val joinSemiSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       | ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+       |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- left anti: customers with no high-value order (NOT EXISTS) ----
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val joinAntiSql =
+    """SELECT c_mktsegment, COUNT(*) AS n
+      |FROM customer WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |     AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- left outer join + null handling ----
+  def joinOuter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("segment")
+  }
+
+  private val joinOuterSql =
+    s"""SELECT COALESCE(c_mktsegment, '<none>') AS segment,
+       | COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       |GROUP BY COALESCE(c_mktsegment, '<none>') ORDER BY segment""".stripMargin
+
+  // ---- TPC-H Q1: pricing summary report ----
+  def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        dmean(col("l_quantity")).as("avg_qty"),
+        dmean(col("l_extendedprice")).as("avg_price"),
+        dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val tpchQ1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | ${dsumSql("l_extendedprice")} AS sum_base_price,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       | ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       | ${dmeanSql("l_quantity")} AS avg_qty,
+       | ${dmeanSql("l_extendedprice")} AS avg_price,
+       | ${dmeanSql("l_discount")} AS avg_disc,
+       | COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- TPC-H Q3 shape: top-10 revenue orders for a segment ----
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"),
+               date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate_s"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val tpchQ3Sql =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE EXISTS (SELECT 1 FROM customer
+       |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+       |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---- window functions: per-order rank + running sum ----
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("run_qty", sum(col("l_quantity")).over(wsum))
+      .filter(col("rnk") <= 2)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "rnk", "run_qty")
+      .orderBy("l_orderkey", "rnk")
+  }
+
+  private val windowRankSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, rnk, run_qty
+      |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk,
+      |  SUM(l_quantity) OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_extendedprice DESC, l_linenumber ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+      |  FROM lineitem)
+      |WHERE rnk <= 2 ORDER BY l_orderkey, rnk""".stripMargin
+
+  // ---- rollup: hierarchical totals + GROUPING id ----
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+           grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+               col("l_linestatus").asc_nulls_last)
+
+  private val rollupAggSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q18_join_broadcast", joinBroadcast, Some(joinBroadcastSql),
+      "star join, all dims broadcast"),
+    Q("q19_join_semi", joinSemi, Some(joinSemiSql), "left semi (EXISTS)"),
+    Q("q20_join_anti", joinAnti, Some(joinAntiSql), "left anti (NOT EXISTS)"),
+    Q("q21_join_outer", joinOuter, Some(joinOuterSql), "left outer + coalesce"),
+    Q("q22_tpch_q1", tpchQ1, Some(tpchQ1Sql), "TPC-H Q1 pricing summary"),
+    Q("q23_tpch_q3", tpchQ3, Some(tpchQ3Sql), "TPC-H Q3 top-10 revenue"),
+    Q("q24_window_rank", windowRank, Some(windowRankSql), "window rank + running sum"),
+    Q("q25_rollup", rollupAgg, Some(rollupAggSql), "rollup + grouping id"))
+}
