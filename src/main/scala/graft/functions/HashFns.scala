@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing / text primitives.
+  *
+  * Spark's native hash()/xxhash64() and DuckDB's hash() are different
+  * algorithms, so any operator whose *output* depends on hash values
+  * (minhash, simhash, LSH, fingerprints) builds on md5 instead: both
+  * engines produce identical md5 hex for identical UTF-8 bytes, and 15
+  * hex chars (60 bits) parse losslessly into a signed 64-bit int on
+  * both sides. Every Column helper has a `Sql` twin rendering the same
+  * computation as DuckDB SQL so oracle queries share one source of
+  * truth (same constants, same formulas, same fold order).
+  *
+  * All of this is Spark-built-in expression composition — codegen'd,
+  * no UDFs, fully distributed.
+  */
+object HashFns {
+
+  /** 60-bit deterministic hash of a string column via md5 prefix. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  def hash64Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Whitespace tokenization (documents.text is space-separated). */
+  def tokens(c: Column): Column = split(c, " ")
+  def tokensSql(e: String): String = s"string_split($e, ' ')"
+
+  /** Word n-grams (shingles) of a token array, distinct.
+    * Spark note: sequence(1, n) generates a DESCENDING range when n<1,
+    * so short docs are guarded to an empty array explicitly.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+  def shinglesSql(toksE: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"($toksE)[i + $o]").mkString(" || ' ' || ")
+    s"list_distinct(CASE WHEN len($toksE) >= $n THEN " +
+      s"list_transform(range(1, len($toksE) - ${n - 2}), i -> $parts) ELSE [] END)"
+  }
+
+  // ---- MinHash ----------------------------------------------------
+  /** Mersenne prime 2^31-1: keeps a*h+b inside 63 bits. */
+  val MinhashP: Long = 2147483647L
+  val MinhashK: Int = 16
+
+  /** Seeded affine permutation constants, inlined identically into the
+    * Spark plan and the SQL twin.
+    */
+  val minhashA: IndexedSeq[Long] =
+    (0 until MinhashK).map(k => ((2L * k + 1) * 2654435761L) % MinhashP)
+  val minhashB: IndexedSeq[Long] =
+    (0 until MinhashK).map(k => (k * 40503L * 65537L + 17L) % MinhashP)
+
+  /** MinHash signature (array<long> of length K) of a shingle array. */
+  def minhashSig(sh: Column): Column = {
+    val sigs = (0 until MinhashK).map { k =>
+      array_min(transform(sh,
+        x => (lit(minhashA(k)) * (hash64(x) % MinhashP) + minhashB(k)) % MinhashP))
+    }
+    array(sigs: _*)
+  }
+  def minhashSigSql(shE: String): String = {
+    val sigs = (0 until MinhashK).map { k =>
+      s"list_min(list_transform($shE, x -> " +
+        s"(${minhashA(k)} * (${hash64Sql("x")} % $MinhashP) + ${minhashB(k)}) % $MinhashP))"
+    }
+    sigs.mkString("[", ", ", "]")
+  }
+
+  /** LSH band key: polynomial combination of `rowsPerBand` consecutive
+    * signature entries (sig values < 2^31 so 31-bit shifts stay in 63
+    * bits for rowsPerBand=4... we fold with *31+x which is far smaller).
+    */
+  val MinhashBands: Int = 4
+  val MinhashRows: Int = 4 // MinhashBands * MinhashRows == MinhashK
+
+  def bandKey(sig: Column, band: Int): Column =
+    (0 until MinhashRows).map(r => element_at(sig, band * MinhashRows + r + 1))
+      .foldLeft(lit(7L): Column)((acc, x) => acc * 31 + x)
+  def bandKeySql(sigE: String, band: Int): String =
+    (0 until MinhashRows).map(r => s"$sigE[${band * MinhashRows + r + 1}]")
+      .foldLeft("CAST(7 AS BIGINT)")((acc, x) => s"($acc * 31 + $x)")
+
+  // ---- SimHash ----------------------------------------------------
+  /** 32-bit SimHash over token hashes (term-frequency weighted).
+    * `hashes` is array<long> of per-token hash64 values.
+    */
+  val SimhashBits: Int = 32
+
+  def simhash(hashes: Column): Column = {
+    val bits = (0 until SimhashBits).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+  def simhashSql(hashesE: String): String = {
+    val bits = (0 until SimhashBits).map { b =>
+      val contrib = s"list_sum(list_transform($hashesE, h -> ((h >> $b) & 1) * 2 - 1))"
+      s"(CASE WHEN $contrib > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** 8-bit chunk of a 32-bit simhash — 4 chunks; pigeonhole guarantees
+    * any pair with hamming distance <= 3 shares at least one chunk, so
+    * a union of 4 equi-joins on chunks finds exactly the hd<=3 pairs
+    * without a cross join.
+    */
+  def simhashChunk(sh: Column, chunk: Int): Column =
+    shiftright(sh, chunk * 8) % 256
+  def simhashChunkSql(shE: String, chunk: Int): String =
+    s"(($shE >> ${chunk * 8}) & 255)"
+
+  // ---- Rolling polynomial fingerprint -----------------------------
+  val FpMod: Long = 1000000007L
+
+  /** Polynomial rolling hash over the characters of a string:
+    * fold(acc*31 + code(char)) mod 1e9+7, left-to-right — identical
+    * fold order in Spark `aggregate` and DuckDB `list_reduce`.
+    */
+  def polyFingerprint(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % FpMod)
+  def polyFingerprintSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $FpMod)"
+}

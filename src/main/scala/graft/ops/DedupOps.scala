@@ -1,5 +1,209 @@
 package graft.ops
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.HashFns._
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (north-star:
+  * the dedup stages of an LLM training-data pipeline).
+  *
+  * Scale design: none of these do an O(n²) cross join in Spark —
+  * candidate pairs always come from an equi-join on a derived key
+  * (minhash band, simhash chunk, shared shingle posting), which
+  * shuffles on that key and parallelizes like any other join. The
+  * DuckDB twins replicate the *same candidate generation* (not a brute
+  * force) so borderline pairs agree exactly.
+  */
 object DedupOps {
-  val queries: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // ---- exact dedup: hash-groupBy, keep lowest doc_id ----
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  private val dedupExactSql =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---- shared shingle-set base (word 3-grams, distinct) ----
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private val shingledCte =
+    s"""t0 AS (SELECT doc_id, ${shinglesSql(tokensSql("text"), 3)} AS sh
+       |       FROM documents),
+       |s2 AS (SELECT doc_id, sh FROM t0 WHERE len(sh) > 0)""".stripMargin
+
+  // ---- MinHash + LSH banding ----
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d).withColumn("sig", minhashSig(col("sh")))
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    val banded = base.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band", "key")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val joined = pairs
+      .join(base.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b")), "b")
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
+    joined
+      .select(col("a"), col("b"),
+              (matches.cast("double") / lit(MinhashK.toDouble)).as("est_j"),
+              jac.as("jaccard"))
+      .filter(col("est_j") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  private val dedupMinhashSql = {
+    val bands = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH $shingledCte,
+       |sigs AS (SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig FROM s2),
+       |banded AS ($bands),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM banded x JOIN banded y
+       |            ON x.band = y.band AND x.key = y.key
+       |           AND x.doc_id < y.doc_id),
+       |joined AS (SELECT pairs.a, pairs.b, x.sig AS sig_a, y.sig AS sig_b,
+       |                  x.sh AS sh_a, y.sh AS sh_b
+       |           FROM pairs JOIN sigs x ON x.doc_id = pairs.a
+       |                      JOIN sigs y ON y.doc_id = pairs.b),
+       |scored AS (SELECT a, b,
+       |  CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+       |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |    / ${MinhashK.toDouble} AS est_j,
+       |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |    / ((len(sh_a) + len(sh_b))
+       |       - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
+       |  FROM joined)
+       |SELECT a, b, est_j, jaccard FROM scored
+       |WHERE est_j >= 0.5 ORDER BY a, b""".stripMargin
+  }
+
+  // ---- SimHash: 32-bit fingerprint, chunk-join candidates ----
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"),
+              simhash(transform(tokens(col("text")), t => hash64(t))).as("sh32"))
+    val chunkCols = array((0 until 4).map(c => simhashChunk(col("sh32"), c)): _*)
+    val chunked = base.select(col("doc_id"), col("sh32"),
+      posexplode(chunkCols).as(Seq("ci", "cv")))
+    // pigeonhole: hd<=3 over 4 chunks ⇒ at least one chunk equal, so the
+    // union-of-equi-joins finds exactly the brute-force hd<=3 pairs
+    val pairs = chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+              col("x.sh32").as("sha"), col("y.sh32").as("shb"))
+      .distinct()
+    pairs
+      .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hd") <= 3)
+      .select("a", "b", "hd")
+      .orderBy("a", "b")
+  }
+
+  private val dedupSimhashSql = {
+    val toks = tokensSql("text")
+    s"""WITH s AS (SELECT doc_id,
+       |  ${simhashSql(s"list_transform($toks, t -> ${hash64Sql("t")})")} AS sh32
+       |  FROM documents)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.sh32, y.sh32)) AS INTEGER) AS hd
+       |FROM s x JOIN s y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh32, y.sh32)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---- exact n-gram Jaccard via df-capped inverted index ----
+  private val DfCap = 50
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+    val idx = base.select(col("doc_id"), explode(col("sh")).as("g"))
+    val kept = idx.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("g")
+    val idx2 = idx.join(kept, "g")
+    val pairs = idx2.as("x").join(idx2.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val joined = pairs
+      .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+    val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
+    joined.select(col("a"), col("b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("a", "b")
+  }
+
+  private val dedupNgramSql =
+    s"""WITH $shingledCte,
+       |idx AS (SELECT doc_id, unnest(sh) AS g FROM s2),
+       |kept AS (SELECT g FROM idx GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |idx2 AS (SELECT idx.doc_id, idx.g FROM idx JOIN kept USING (g)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM idx2 x JOIN idx2 y
+       |            ON x.g = y.g AND x.doc_id < y.doc_id),
+       |joined AS (SELECT pairs.a, pairs.b, x.sh AS sh_a, y.sh AS sh_b
+       |           FROM pairs JOIN s2 x ON x.doc_id = pairs.a
+       |                      JOIN s2 y ON y.doc_id = pairs.b),
+       |scored AS (SELECT a, b,
+       |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |    / ((len(sh_a) + len(sh_b))
+       |       - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
+       |  FROM joined)
+       |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+
+  // ---- embedding cosine near-dup: top-20 pairs ----
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val x = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"),
+              round(dotFold(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val dedupEmbeddingSql =
+    s"""WITH e AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |  round(${dotFoldSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos_r
+       |FROM n x JOIN n y ON x.vec_id < y.vec_id
+       |ORDER BY cos_r DESC, a, b LIMIT 20""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q33_dedup_exact", dedupExact, Some(dedupExactSql),
+      "exact dedup via hash-groupBy"),
+    Q("q34_dedup_minhash", dedupMinhash, Some(dedupMinhashSql),
+      "MinHash sigs + LSH band join + exact-Jaccard rescore"),
+    Q("q35_dedup_simhash", dedupSimhash, Some(dedupSimhashSql),
+      "32-bit SimHash, chunk-join candidates, hd<=3"),
+    Q("q36_dedup_ngram", dedupNgram, Some(dedupNgramSql),
+      "exact 3-gram Jaccard via df-capped inverted index"),
+    Q("q37_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql),
+      "embedding cosine near-dup top-20 pairs"))
 }

@@ -1,5 +1,145 @@
 package graft.ops
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.HashFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (north-star: the per-doc
+  * scoring/filtering stages of an LLM training-data pipeline). All are
+  * pure per-row expression pipelines — embarrassingly parallel, no
+  * shuffle except the final presentation sort, fully codegen'd.
+  */
 object TextOps {
-  val queries: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** BPE-ish tokenizer regex, valid in both Java regex and RE2. */
+  private val TokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  // ---- token counting: whitespace + regex tokenizations ----
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws"),
+        size(expr(s"regexp_extract_all(text, '$TokRe', 0)")).as("n_re"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    s"""SELECT doc_id, len(${tokensSql("text")}) AS n_ws,
+       | len(regexp_extract_all(text, '$TokRe')) AS n_re,
+       | length(text) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- quality scoring: length / diversity / stopword signals ----
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stop = size(filter(toks, t => t.isin(StopEn: _*))).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        (uniq / nTok).as("uniq_ratio"),
+        (stop / nTok).as("stop_ratio"),
+        (sumLen / nTok).as("avg_tok_len"),
+        (lit(0.4) * least(nTok / 100.0, lit(1.0))
+          + lit(0.3) * (stop / nTok)
+          + lit(0.3) * (uniq / nTok)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql = {
+    val toks = tokensSql("text")
+    val stopList = StopEn.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       | CAST(len($toks) AS DOUBLE) AS n_tok,
+       | CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS uniq_ratio,
+       | CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+       |   / CAST(len($toks) AS DOUBLE) AS stop_ratio,
+       | CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |   / CAST(len($toks) AS DOUBLE) AS avg_tok_len,
+       | (0.4 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
+       |  + 0.3 * (CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+       |           / CAST(len($toks) AS DOUBLE))
+       |  + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE)
+       |           / CAST(len($toks) AS DOUBLE))) AS score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- language ID: stopword-marker n-gram heuristic ----
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores: Seq[(String, Column)] = Markers.map { case (l, ws) =>
+      l -> size(filter(toks, t => t.isin(ws: _*))).cast("long")
+    }
+    val byLang = scores.toMap
+    // first language (in Markers order) with a positive, maximal score
+    val pred = Markers.indices.foldRight(lit("und"): Column) { (i, els) =>
+      val (l, _) = Markers(i)
+      val c = byLang(l)
+      val beatsRest = Markers.drop(i + 1)
+        .map { case (o, _) => c >= byLang(o) }
+        .foldLeft(c > 0)(_ && _)
+      when(beatsRest, lit(l)).otherwise(els)
+    }
+    docs(s, d)
+      .select(col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }
+        :+ pred.as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val toks = tokensSql("text")
+    def score(ws: Seq[String]) =
+      s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val cols = Markers.map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(",\n ")
+    val pred = Markers.indices.foldRight("'und'") { (i, els) =>
+      val (l, ws) = Markers(i)
+      val c = score(ws)
+      val rest = Markers.drop(i + 1)
+        .map { case (_, ows) => s"$c >= ${score(ows)}" }
+      val cond = (s"$c > 0" +: rest).mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $els END"
+    }
+    s"""SELECT doc_id,
+       | $cols,
+       | $pred AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- document fingerprinting: rolling polynomial + md5-based ----
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+              polyFingerprint(col("text")).as("fp_poly"),
+              hash64(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, ${polyFingerprintSql("text")} AS fp_poly,
+       | ${hash64Sql("text")} AS fp_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q29_tokens", tokenCount, Some(tokenCountSql),
+      "whitespace + regex token counting"),
+    Q("q30_quality", quality, Some(qualitySql),
+      "doc quality scoring (length/diversity/stopwords)"),
+    Q("q31_langid", langId, Some(langIdSql),
+      "stopword-marker language ID"),
+    Q("q32_fingerprint", fingerprint, Some(fingerprintSql),
+      "rolling-hash + md5 fingerprints"))
 }
