@@ -23,5 +23,6 @@ object Registry {
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++
       graft.ops.SimilarityOps.queries ++
-      graft.ops.MultimodalOps.queries
+      graft.ops.MultimodalOps.queries ++
+      graft.streaming.StreamingOps.queries
 }

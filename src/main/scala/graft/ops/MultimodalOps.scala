@@ -1,5 +1,77 @@
 package graft.ops
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.HashFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): media payloads travel as
+  * opaque `binary` columns with typed metadata; decode/feature-extract
+  * runs as a *partition-batched* typed pipeline (`Dataset.mapPartitions`
+  * — the Scala analogue of mapInPandas: one decoder instantiation per
+  * partition, streaming batches through it, never collecting to the
+  * driver).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`FakeDecoder`) deriving pseudo
+  * width/height from an md5 of the payload head. Everything around it —
+  * binary schema, partition batching, feature schema, the oracle — is
+  * real: swap `FakeDecoder.decode` for a JNI/codec call and nothing
+  * else changes.
+  */
 object MultimodalOps {
-  val queries: Seq[Q] = Seq()
+
+  /** Opaque media payload + metadata (what an image/audio table row
+    * looks like at 100 TB: content stays binary until the last step).
+    */
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+
+  final case class MediaFeat(doc_id: Long, n_bytes: Int, head_hash: Long,
+                             fake_width: Long, fake_height: Long)
+
+  /** STUB decoder — stands in for a real codec (e.g. libjpeg/ffmpeg
+    * behind JNI). Deterministic: features derive from payload bytes.
+    */
+  object FakeDecoder {
+    def decode(r: MediaRow): MediaFeat = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val head = r.content.take(16)
+      val hex = md.digest(head).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      MediaFeat(
+        doc_id = r.doc_id,
+        n_bytes = r.content.length,
+        head_hash = h,
+        fake_width = 16L + (h & 1023L),
+        fake_height = 16L + ((h >> 10) & 1023L))
+    }
+  }
+
+  /** Binary-column pipeline: text bytes stand in for media payloads. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    media
+      .mapPartitions(rows => rows.map(FakeDecoder.decode)) // partition-batched decode
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // The oracle recomputes the stub's arithmetic in SQL: the md5-derived
+  // head hash is HashFns.hash64 of the first 16 bytes (ASCII text, so
+  // substr == byte prefix).
+  private val multimodalFeaturesSql = {
+    val h = hash64Sql("substr(text, 1, 16)")
+    s"""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       | $h AS head_hash,
+       | 16 + ($h & 1023) AS fake_width,
+       | 16 + (($h >> 10) & 1023) AS fake_height
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
+      "binary media column -> partition-batched (stub) decode -> features"))
 }

@@ -1,5 +1,133 @@
 package graft.ops
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north-star: ANN retrieval for
+  * training-data curation).
+  *
+  * Two lanes:
+  *  - q38 brute-force top-k: the exact baseline. The query set is tiny
+  *    and broadcast; the corpus streams past it — no shuffle of the big
+  *    side, scales linearly with corpus size and number of executors.
+  *  - q39 LSH-bucketed ANN: the 100 TB path. Random-hyperplane signs
+  *    bucket every vector once (a map-side expression), candidates come
+  *    from an equi-join on the bucket id, and only candidates pay the
+  *    full dot product. Recall < 1 by design; the oracle twin replicates
+  *    the same bucketing so results agree exactly.
+  *
+  * Hyperplane weights are seeded Scala-side (md5 of "hp_<plane>_<dim>")
+  * and inlined as integer/1000.0 literals into BOTH the Spark plan and
+  * the SQL twin — the two engines never have to agree on an RNG.
+  */
 object SimilarityOps {
-  val queries: Seq[Q] = Seq()
+
+  private val Dim = 64
+  private val NPlanes = 6
+  private val NQueries = 5
+  private val TopK = 10
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
+    * integer part of a seeded md5, divided by 1000 at plan build time.
+    */
+  private[graft] val planeInt: IndexedSeq[IndexedSeq[Long]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h15(sck: String): Long = {
+      val hex = mdig.digest(sck.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until NPlanes).map(p => (0 until Dim).map(j => h15(s"hp_${p}_$j") % 2001L - 1000L))
+  }
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private val baseCte =
+    s"""e AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e)""".stripMargin
+
+  // ---- exact brute-force top-k for a broadcast query set ----
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(dotFold(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .orderBy("qid", "rn")
+  }
+
+  private val simTopKSql =
+    s"""WITH $baseCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE vec_id < $NQueries),
+       |scored AS (SELECT q.qid, n.vec_id,
+       |  round(${dotFoldSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cos_r
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cos_r, row_number() OVER
+       |  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, cos_r, rn FROM ranked
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+
+  // ---- LSH-bucketed ANN (sign of hyperplane projections) ----
+  private def planeDot(v: Column, p: Int): Column =
+    (0 until Dim).map(j => element_at(v, j + 1) * lit(planeInt(p)(j) / 1000.0))
+      .reduce(_ + _)
+  private def planeDotSql(vE: String, p: Int): String =
+    (0 until Dim).map(j => s"($vE)[${j + 1}] * (${planeInt(p)(j)} / 1000.0)")
+      .mkString(" + ")
+
+  private def bucket(v: Column): Column =
+    (0 until NPlanes).map(p => when(planeDot(v, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  private def bucketSql(vE: String): String =
+    (0 until NPlanes)
+      .map(p => s"(CASE WHEN ${planeDotSql(vE, p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).withColumn("bkt", bucket(col("v")))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn"), col("bkt").as("qbkt"))
+    val cand = all.join(broadcast(q),
+        col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(dotFold(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .orderBy("qid", "rn")
+  }
+
+  private val simAnnLshSql =
+    s"""WITH $baseCte,
+       |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bkt FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt AS qbkt FROM b
+       |      WHERE vec_id < $NQueries),
+       |cand AS (SELECT q.qid, b.vec_id,
+       |  round(${dotFoldSql("q.qv", "b.v")} / (q.qn * b.nrm), 6) AS cos_r
+       |  FROM b JOIN q ON b.bkt = q.qbkt AND b.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cos_r, row_number() OVER
+       |  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM cand)
+       |SELECT qid, vec_id, cos_r, rn FROM ranked
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q38_sim_topk", simTopK, Some(simTopKSql),
+      "exact brute-force cosine top-k, broadcast query set"),
+    Q("q39_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql),
+      "random-hyperplane LSH ANN (bucket equi-join)"))
 }

@@ -40,9 +40,14 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows-only): {len(got)} rows")
             continue
-        exp_rel = con.execute(oracle[name])
-        exp_cols = [c[0] for c in exp_rel.description]
-        exp = exp_rel.fetchall()
+        try:
+            exp_rel = con.execute(oracle[name])
+            exp_cols = [c[0] for c in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as ex:
+            n_fail += 1
+            print(f"  FAIL {name}: oracle SQL error: {str(ex).splitlines()[0][:150]}")
+            continue
         ok = True; msg = ""
         if sorted(got_cols) != sorted(exp_cols):
             ok = False; msg = f"cols {sorted(got_cols)} vs {sorted(exp_cols)}"
