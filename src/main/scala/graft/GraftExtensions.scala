@@ -1,0 +1,23 @@
+package graft
+
+import graft.expressions.VecDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use (`SELECT vec_dot(a, b)`), so the engine's
+  * custom kernels are first-class functions, not just Scala helpers.
+  *
+  * Activate with .config("spark.sql.extensions", "graft.GraftExtensions")
+  * (Bench/Verify do) or .withExtensions(new GraftExtensions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(children(0), children(1))))
+  }
+}

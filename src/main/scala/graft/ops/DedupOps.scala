@@ -176,13 +176,14 @@ object DedupOps {
   // ---- embedding cosine near-dup: top-20 pairs ----
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(graft.expressions.VecDot.vecDot(col("v"), col("v"))))
     val x = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val y = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     x.join(y, col("a") < col("b"))
       .select(col("a"), col("b"),
-              round(dotFold(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r"))
+              round(graft.expressions.VecDot.vecDot(col("va"), col("vb"))
+                / (col("na") * col("nb")), 6).as("cos_r"))
       .orderBy(col("cos_r").desc, col("a"), col("b"))
       .limit(20)
   }

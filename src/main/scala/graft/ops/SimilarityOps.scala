@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.VectorFns._
+import graft.expressions.VecDot.vecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,10 +44,14 @@ object SimilarityOps {
     (0 until NPlanes).map(p => (0 until Dim).map(j => h15(s"hp_${p}_$j") % 2001L - 1000L))
   }
 
+  /** Raw float vectors feed graft.expressions.VecDot directly (floats
+    * widen exactly, so results match the double-list SQL twin bit for
+    * bit) — no per-element cast pass in the hot path.
+    */
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
 
   private val baseCte =
     s"""e AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v FROM embeddings),
@@ -60,7 +65,7 @@ object SimilarityOps {
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-              round(dotFold(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
@@ -104,7 +109,7 @@ object SimilarityOps {
     val cand = all.join(broadcast(q),
         col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-              round(dotFold(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)

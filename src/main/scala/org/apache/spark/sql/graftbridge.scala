@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column<->Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils, Spark 4.x). Lives in
+  * the org.apache.spark.sql package solely to satisfy the private[sql]
+  * scope — the standard pattern for libraries shipping native Catalyst
+  * expressions against the decoupled Column API.
+  */
+object graftbridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
