@@ -34,9 +34,11 @@ object EventOps {
        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
   /** Session windows: 10-minute inactivity gap per user. Spark's
-    * session_window merges events whose [ts, ts+gap) intervals overlap,
-    * i.e. a new session starts when the gap is >= 10 minutes — the SQL
-    * twin reproduces that with lag + running sum (gaps-and-islands).
+    * session_window merges an event into the current session when the
+    * gap is <= the gap duration (boundary-inclusive — verified in
+    * StreamingSpec), so a new session starts only when the gap is
+    * STRICTLY greater — the SQL twin reproduces that with lag +
+    * running sum (gaps-and-islands).
     */
   def eventsSession(s: SparkSession, d: String): DataFrame =
     ev(s, d)
@@ -52,7 +54,7 @@ object EventOps {
     s"""WITH marked AS (
        |  SELECT user_id, ts, value,
        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-       |           >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+       |           > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
        |  FROM events),
        |sessions AS (
        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -58,6 +58,58 @@ object StreamingOps {
     s.table(qname).orderBy("wstart", "event_type")
   }
 
+  // ---- custom stateful operator: sessionization with explicit state ----
+
+  final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Int, sum_value: Double)
+
+  /** flatMapGroupsWithState sessionizer: the custom-state analogue of
+    * session_window, for when session logic outgrows the built-in
+    * (e.g. value-dependent gaps, emit-on-close side effects). State is
+    * per-key and bounded by the event-time timeout — the scalable shape
+    * for streaming state at 100 TB/day ingest.
+    *
+    * Used with Update/ProcessingTime in StreamingSpec; also callable on
+    * a batch Dataset (Spark runs flatMapGroupsWithState in batch mode
+    * with GroupStateTimeout.NoTimeout).
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Evt],
+                 gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          // batch mode: rows is the whole group; sort by event time and
+          // cut sessions only when the gap STRICTLY exceeds gapMs
+          // (boundary-inclusive merge, same rule as session_window)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val out = scala.collection.mutable.ListBuffer[SessionOut]()
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapMs =>
+                cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
+              case Some(st) =>
+                out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, st.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { st =>
+            out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, st.sum)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+
   private val streamWindowedSql =
     s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
        | event_type, COUNT(*) AS n,

