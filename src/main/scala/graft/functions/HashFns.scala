@@ -58,21 +58,40 @@ object HashFns {
   val minhashB: IndexedSeq[Long] =
     (0 until MinhashK).map(k => (k * 40503L * 65537L + 17L) % MinhashP)
 
-  /** MinHash signature (array<long> of length K) of a shingle array. */
-  def minhashSig(sh: Column): Column = {
+  /** MinHash signature (array<long> of length K) of a shingle array.
+    * Hashes every shingle K times — prefer minhashSigFromHashes over a
+    * pre-hashed set in hot paths (md5 once, not K times, per shingle).
+    */
+  def minhashSig(sh: Column): Column =
+    minhashSigFromHashes(transform(sh, x => hash64(x)))
+
+  /** Signature from pre-hashed shingles (array<long>): pure arithmetic
+    * per permutation, no re-hashing.
+    */
+  def minhashSigFromHashes(shH: Column): Column = {
     val sigs = (0 until MinhashK).map { k =>
-      array_min(transform(sh,
-        x => (lit(minhashA(k)) * (hash64(x) % MinhashP) + minhashB(k)) % MinhashP))
+      array_min(transform(shH,
+        h => (lit(minhashA(k)) * (h % MinhashP) + minhashB(k)) % MinhashP))
     }
     array(sigs: _*)
   }
-  def minhashSigSql(shE: String): String = {
+  def minhashSigFromHashesSql(shHE: String): String = {
     val sigs = (0 until MinhashK).map { k =>
-      s"list_min(list_transform($shE, x -> " +
-        s"(${minhashA(k)} * (${hash64Sql("x")} % $MinhashP) + ${minhashB(k)}) % $MinhashP))"
+      s"list_min(list_transform($shHE, h -> " +
+        s"(${minhashA(k)} * (h % $MinhashP) + ${minhashB(k)}) % $MinhashP))"
     }
     sigs.mkString("[", ", ", "]")
   }
+
+  /** Distinct hashed shingle set (the dedup ops' working currency:
+    * longs shuffle and intersect far cheaper than n-gram strings, and
+    * both engines hash identically so set arithmetic agrees even in
+    * the collision case).
+    */
+  def hashedShingles(sh: Column): Column =
+    array_distinct(transform(sh, x => hash64(x)))
+  def hashedShinglesSql(shE: String): String =
+    s"list_distinct(list_transform($shE, x -> ${hash64Sql("x")}))"
 
   /** LSH band key: polynomial combination of `rowsPerBand` consecutive
     * signature entries (sig values < 2^31 so 31-bit shifts stay in 63

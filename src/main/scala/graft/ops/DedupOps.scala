@@ -32,20 +32,44 @@ object DedupOps {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
-  // ---- shared shingle-set base (word 3-grams, distinct) ----
+  // ---- shared shingle-set base (word 3-grams, distinct, md5-hashed
+  //      to longs ONCE — md5 is the expensive step, and long sets
+  //      shuffle/intersect far cheaper than n-gram strings) ----
+  //
+  // repartition: the documents table arrives as ONE small parquet file
+  // = one input partition; without an explicit shuffle every md5 below
+  // would run single-threaded (at cluster scale the input arrives in
+  // many splits, but per-row-expensive stages after a collapsed scan
+  // still want compute parallelism, not scan parallelism).
+  // persist: the base feeds candidate generation AND both sides of the
+  // rescore join — without it the whole shingle+hash pipeline re-runs
+  // three times.
+  // tokens are bound to a real column BEFORE shingling: the gram lambda
+  // indexes the token array per position, and an unbound split(text)
+  // would re-tokenize the whole document for every gram (quadratic).
+  // The non-empty filter runs on size(toks) BEFORE shingling (the two
+  // are equivalent: a doc has 3-grams iff it has >= 3 tokens). Filtering
+  // on size(sh) after the projection looks natural but Catalyst pushes
+  // the predicate below the project, duplicating the whole
+  // shingle+hash pipeline into the filter — 2× the md5 work.
   private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), hashedShingles(shingles(col("toks"), 3)).as("sh"))
+      .persist()
 
   private val shingledCte =
-    s"""t0 AS (SELECT doc_id, ${shinglesSql(tokensSql("text"), 3)} AS sh
-       |       FROM documents),
-       |s2 AS (SELECT doc_id, sh FROM t0 WHERE len(sh) > 0)""".stripMargin
+    s"""t0 AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |t1 AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 3),
+       |s2 AS (SELECT doc_id,
+       |  ${hashedShinglesSql(shinglesSql("toks", 3))} AS sh
+       |       FROM t1)""".stripMargin
 
   // ---- MinHash + LSH banding ----
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val base = shingled(s, d).withColumn("sig", minhashSig(col("sh")))
+    val base = shingled(s, d).withColumn("sig", minhashSigFromHashes(col("sh")))
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
@@ -75,7 +99,7 @@ object DedupOps {
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
       .mkString("\n UNION ALL ")
     s"""WITH $shingledCte,
-       |sigs AS (SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig FROM s2),
+       |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |          FROM banded x JOIN banded y
@@ -99,9 +123,15 @@ object DedupOps {
 
   // ---- SimHash: 32-bit fingerprint, chunk-join candidates ----
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // bind token hashes to a real column first: referencing the md5
+    // transform expression from all 32 bit-aggregates would re-hash
+    // every token 32 times (no CSE across lambda trees)
     val base = docs(s, d)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-              simhash(transform(tokens(col("text")), t => hash64(t))).as("sh32"))
+              transform(tokens(col("text")), t => hash64(t)).as("hashes"))
+      .select(col("doc_id"), simhash(col("hashes")).as("sh32"))
+      .persist()
     val chunkCols = array((0 until 4).map(c => simhashChunk(col("sh32"), c)): _*)
     val chunked = base.select(col("doc_id"), col("sh32"),
       posexplode(chunkCols).as(Seq("ci", "cv")))
@@ -122,9 +152,10 @@ object DedupOps {
 
   private val dedupSimhashSql = {
     val toks = tokensSql("text")
-    s"""WITH s AS (SELECT doc_id,
-       |  ${simhashSql(s"list_transform($toks, t -> ${hash64Sql("t")})")} AS sh32
-       |  FROM documents)
+    s"""WITH h AS (SELECT doc_id,
+       |  list_transform($toks, t -> ${hash64Sql("t")}) AS hashes
+       |  FROM documents),
+       |s AS (SELECT doc_id, ${simhashSql("hashes")} AS sh32 FROM h)
        |SELECT x.doc_id AS a, y.doc_id AS b,
        |       CAST(bit_count(xor(x.sh32, y.sh32)) AS INTEGER) AS hd
        |FROM s x JOIN s y ON x.doc_id < y.doc_id
@@ -176,8 +207,10 @@ object DedupOps {
   // ---- embedding cosine near-dup: top-20 pairs ----
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(graft.expressions.VecDot.vecDot(col("v"), col("v"))))
+      .persist()
     val x = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val y = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     x.join(y, col("a") < col("b"))

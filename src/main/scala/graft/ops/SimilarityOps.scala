@@ -50,6 +50,7 @@ object SimilarityOps {
     */
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .repartition(col("vec_id")) // single-file input → force compute parallelism
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
 
