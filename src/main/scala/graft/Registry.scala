@@ -19,6 +19,7 @@ object Registry {
   def all: Seq[Q] =
     graft.ops.CoreOps.queries ++
       graft.ops.JoinOps.queries ++
+      graft.ops.AdvancedOps.queries ++
       graft.ops.EventOps.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++

@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.Stable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational + scale-infrastructure operators, beyond the
+  * reference surface (SURVEY §2.2 marks these families absent there):
+  * pivot, cube, sketches, bucketed co-located joins, partition-pruned
+  * sinks, as-of joins. These are the pieces a 100 TB deployment leans
+  * on hardest: bucketing kills the fact-fact join shuffle, partition
+  * pruning turns full scans into single-partition reads, sketches
+  * replace exact distincts at a fraction of the memory.
+  */
+object AdvancedOps {
+
+  // ---- pivot: per-returnflag means spread over linestatus columns ----
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dmean(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy("l_returnflag")
+
+  private val pivotAggSql = {
+    def cond(v: String) =
+      s"CAST(SUM(CAST(CASE WHEN l_linestatus = '$v' THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE)" +
+        s" / COUNT(CASE WHEN l_linestatus = '$v' THEN l_quantity END)"
+    s"""SELECT l_returnflag, ${cond("F")} AS qty_f, ${cond("O")} AS qty_o
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---- cube: all grouping-set combinations + grouping id ----
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+           grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+               col("l_linestatus").asc_nulls_last)
+
+  private val cubeAggSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  // ---- sketches: HLL distinct-count + approx quantiles. Sketch
+  //      internals are engine-specific, so no SQL twin (driver records
+  //      the weaker rows-only check); SketchSpec asserts the error
+  //      envelope against exact values instead. ----
+  def sketches(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("orderkeys_hll"),
+      countDistinct(col("l_orderkey")).as("orderkeys_exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50_approx"),
+      count(lit(1)).as("n"))
+  }
+
+  // ---- bucketed co-located join: both fact tables pre-bucketed on the
+  //      join key → SortMergeJoin with NO shuffle exchange on either
+  //      side (the decisive optimization for repeated fact-fact joins
+  //      at scale; BucketedJoinSpec asserts the exchange-free plan) ----
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    val liT = s"graft_li_b_$suffix"
+    val oT = s"graft_o_b_$suffix"
+    if (!s.catalog.tableExists(liT)) {
+      // the in-memory catalog dies with the JVM but the warehouse dir
+      // survives — clear any stale location or saveAsTable refuses
+      val wh = java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(liT, oT).foreach { t =>
+        val p = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(oT)
+    }
+    s.table(liT)
+      .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val bucketedJoinSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- partitioned sink + partition pruning: write events by date,
+  //      read one day back (plan shows PartitionFilters, scans 1/30 of
+  //      the data) ----
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_events_bydate_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-15"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val partitionPruneSql =
+    s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- as-of join: latest order at-or-before each event, per user.
+  //      Spark has no asof operator; the scalable composition is a
+  //      tagged union + one window pass (single shuffle on user_id),
+  //      not a range cross-join. Order rows sort before event rows at
+  //      equal timestamps (asof is <=), and same-timestamp orders
+  //      resolve to the max orderkey — both engines share the rule. ----
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"),
+              lit(null).cast("double").as("o_totalprice"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+              lit(null).cast("long").as("event_id"),
+              lit(0).as("kind"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("kind").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+              col("last_orderkey"), col("last_totalprice"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, 1 AS kind,
+      |         CAST(NULL AS BIGINT) AS o_orderkey,
+      |         CAST(NULL AS DOUBLE) AS o_totalprice
+      |  FROM events
+      |  UNION ALL
+      |  SELECT o_custkey AS user_id, o_orderdate AS ts,
+      |         CAST(NULL AS BIGINT) AS event_id, 0 AS kind,
+      |         o_orderkey, o_totalprice
+      |  FROM orders),
+      |m AS (
+      |  SELECT *,
+      |    last_value(o_orderkey IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, kind, o_orderkey
+      |       ROWS UNBOUNDED PRECEDING) AS last_orderkey,
+      |    last_value(o_totalprice IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, kind, o_orderkey
+      |       ROWS UNBOUNDED PRECEDING) AS last_totalprice
+      |  FROM u)
+      |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |       last_orderkey, last_totalprice
+      |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q42_pivot", pivotAgg, Some(pivotAggSql), "pivot wide aggregation"),
+    Q("q43_cube", cubeAgg, Some(cubeAggSql), "cube grouping sets"),
+    Q("q44_sketch", sketches, None,
+      "HLL distinct + approx quantiles (rows-only; error bound in SketchSpec)"),
+    Q("q45_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
+      "bucketed co-located fact-fact join (no shuffle)"),
+    Q("q46_partition_prune", partitionPrune, Some(partitionPruneSql),
+      "partitioned sink + partition-pruned scan"),
+    Q("q47_asof_join", asofJoin, Some(asofJoinSql),
+      "as-of join via tagged union + window (single shuffle)"))
+}

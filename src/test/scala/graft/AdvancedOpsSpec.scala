@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
+  import ops.AdvancedOps
+
+  test("sketches: HLL within its 2% rsd envelope, p50 near exact median") {
+    val r = AdvancedOps.sketches(spark, sf).head()
+    val hll = r.getLong(0); val exact = r.getLong(1)
+    assert(math.abs(hll - exact).toDouble / exact < 0.05,
+      s"hll=$hll exact=$exact")
+    val p50 = r.getDouble(2)
+    val exactP50 = Tables.lineitem(spark, sf).stat
+      .approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    assert(math.abs(p50 - exactP50) / exactP50 < 0.01)
+  }
+
+  test("bucketed join plan has no shuffle exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = AdvancedOps.bucketedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // everything BELOW the join must be exchange-free (the
+      // aggregation above it still shuffles on its own key, fine);
+      // AQE wraps the tree, so assert on the rendered plan text
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, s"no SortMergeJoin in:\n$plan")
+      val below = plan.substring(joinAt)
+      assert(!below.contains("Exchange"),
+        s"bucketing failed to kill the join shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partition-pruned scan touches only the selected date") {
+    val df = AdvancedOps.partitionPrune(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"no partition filter in:\n$scan")
+    // and agrees with the unpartitioned computation
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit("2024-01-15"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct)
+  }
+
+  test("asof join picks the latest at-or-before order (literal case)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // miniature replica of the operator on controlled data
+    val ev = Seq((1L, "2024-01-05 10:00:00", 100L), (1L, "2024-01-01 00:00:00", 101L))
+      .toDF("user_id", "ts_s", "event_id")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("event_id"),
+              lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"))
+    val ord = Seq((1L, "2024-01-02 00:00:00", 7L), (1L, "2024-01-04 00:00:00", 9L),
+                  (1L, "2024-01-06 00:00:00", 11L))
+      .toDF("user_id", "ts_s", "o_orderkey")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+              lit(null).cast("long").as("event_id"), lit(0).as("kind"), col("o_orderkey"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("kind").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = ev.unionByName(ord)
+      .withColumn("lo", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select("event_id", "lo").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(100L -> 9L, 101L -> -1L))
+  }
+
+  test("pivot equals manual conditional aggregation") {
+    val p = AdvancedOps.pivotAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val manual = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(avg(when(col("l_linestatus") === "F", col("l_quantity"))).as("f"),
+           avg(when(col("l_linestatus") === "O", col("l_quantity"))).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    p.foreach { case (k, (f, o)) =>
+      val (mf, mo) = manual(k)
+      assert(math.abs(f - mf) < 1e-9 && math.abs(o - mo) < 1e-9)
+    }
+  }
+}
