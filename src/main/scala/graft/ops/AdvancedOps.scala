@@ -180,7 +180,33 @@ object AdvancedOps {
       |       last_orderkey, last_totalprice
       |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
 
+  // ---- custom-operator top-k per key: graft.plans.TopKPerKey keeps a
+  //      bounded heap per key instead of window-sorting every row —
+  //      same result set as q24's rank<=2 formulation, radically
+  //      different physical plan (see TopKPerKeySpec for the
+  //      differential + plan assertions) ----
+  def topkPerKeyCustom(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      keys = Seq(col("l_orderkey")),
+      order = Seq(col("l_extendedprice").desc, col("l_linenumber").asc),
+      k = 2)
+      .orderBy(col("l_orderkey"), col("l_extendedprice").desc,
+               col("l_linenumber").asc)
+
+  private val topkPerKeyCustomSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 2
+      |ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber ASC""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q48_topk_per_key", topkPerKeyCustom, Some(topkPerKeyCustomSql),
+      "custom LogicalPlan+Strategy+SparkPlan bounded-heap per-key top-k"),
     Q("q42_pivot", pivotAgg, Some(pivotAggSql), "pivot wide aggregation"),
     Q("q43_cube", cubeAgg, Some(cubeAggSql), "cube grouping sets"),
     Q("q44_sketch", sketches, None,

@@ -102,17 +102,22 @@ object CoreOps {
        |FROM lineitem GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  // ---- O10: deterministic per-group first (row_number over explicit
-  //      order; Spark's bare first() is shuffle-order-dependent) ----
+  // ---- O10: deterministic per-group first (min_by over the explicit
+  //      order key; Spark's bare first() is shuffle-order-dependent).
+  //      min_by aggregates map-side (partial+final), unlike the
+  //      window-row_number formulation which shuffles every row into
+  //      as many partitions as there are groups — with 3 group values
+  //      that is 3 tasks doing all the work at any scale. ----
   def groupFirst(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    val payload = struct(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate_s"))
     li(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-              col("l_quantity"), col("l_extendedprice"),
-              date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate_s"))
+      .groupBy("l_returnflag")
+      .agg(min_by(payload, struct(col("l_orderkey"), col("l_linenumber"))).as("r"))
+      .select(col("l_returnflag"), col("r.l_orderkey"), col("r.l_linenumber"),
+              col("r.l_quantity"), col("r.l_extendedprice"), col("r.shipdate_s"))
       .orderBy("l_returnflag")
   }
 
