@@ -87,9 +87,13 @@ object SimilarityOps {
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
   // ---- LSH-bucketed ANN (sign of hyperplane projections) ----
+  // Spark side: VecDot against the literal weight array — a 64-term
+  // explicit sum chain per plane codegens into a huge method (slow to
+  // compile, JIT-hostile); the native loop is equivalent because
+  // 0.0 + x == x bit-for-bit and both fold left-to-right. The SQL twin
+  // keeps the explicit chain.
   private def planeDot(v: Column, p: Int): Column =
-    (0 until Dim).map(j => element_at(v, j + 1) * lit(planeInt(p)(j) / 1000.0))
-      .reduce(_ + _)
+    vecDot(v, typedLit(planeInt(p).map(_ / 1000.0)))
   private def planeDotSql(vE: String, p: Int): String =
     (0 until Dim).map(j => s"($vE)[${j + 1}] * (${planeInt(p)(j)} / 1000.0)")
       .mkString(" + ")
