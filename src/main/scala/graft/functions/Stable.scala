@@ -25,6 +25,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stable {
   private val Dec = DecimalType(18, 6)
+  // Caveat (found via q49): the double->DECIMAL cast itself can round
+  // differently across engines when a value sits at a .xxxxxx5
+  // boundary. Harmless for inputs with <= 2 real decimal places (all
+  // TPC-H measures), but for ARBITRARY doubles (computed scores),
+  // quantize with floor(x*1e6) into integer arithmetic instead —
+  // see TextOps.cleanCorpus.
 
   /** Exact sum: decimal-stabilized, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.HashFns._
+import graft.functions.Stable._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +36,25 @@ object TextOps {
 
   // ---- quality scoring: length / diversity / stopword signals ----
   private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Composite quality score over a (bound) token array column —
+    * shared by q30 and the q49 corpus-cleaning pipeline.
+    */
+  private[ops] def scoreCol(toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stop = size(filter(toks, t => t.isin(StopEn: _*))).cast("double")
+    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (stop / nTok) + lit(0.3) * (uniq / nTok)
+  }
+  private[ops] def scoreSql(toks: String): String = {
+    val stopList = StopEn.map(w => s"'$w'").mkString(", ")
+    s"(0.4 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)" +
+      s" + 0.3 * (CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)" +
+      s" / CAST(len($toks) AS DOUBLE))" +
+      s" + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE)" +
+      s" / CAST(len($toks) AS DOUBLE)))"
+  }
 
   def quality(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
@@ -80,14 +100,15 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
     "es" -> Seq("el", "los", "las", "y", "es", "una"))
 
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scores: Seq[(String, Column)] = Markers.map { case (l, ws) =>
+  private[ops] def langScores(toks: Column): Seq[(String, Column)] =
+    Markers.map { case (l, ws) =>
       l -> size(filter(toks, t => t.isin(ws: _*))).cast("long")
     }
-    val byLang = scores.toMap
-    // first language (in Markers order) with a positive, maximal score
-    val pred = Markers.indices.foldRight(lit("und"): Column) { (i, els) =>
+
+  /** First language (in Markers order) with a positive, maximal score. */
+  private[ops] def predCol(toks: Column): Column = {
+    val byLang = langScores(toks).toMap
+    Markers.indices.foldRight(lit("und"): Column) { (i, els) =>
       val (l, _) = Markers(i)
       val c = byLang(l)
       val beatsRest = Markers.drop(i + 1)
@@ -95,6 +116,25 @@ object TextOps {
         .foldLeft(c > 0)(_ && _)
       when(beatsRest, lit(l)).otherwise(els)
     }
+  }
+
+  private[ops] def predSql(toks: String): String = {
+    def score(ws: Seq[String]) =
+      s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    Markers.indices.foldRight("'und'") { (i, els) =>
+      val (l, ws) = Markers(i)
+      val c = score(ws)
+      val rest = Markers.drop(i + 1)
+        .map { case (_, ows) => s"$c >= ${score(ows)}" }
+      val cond = (s"$c > 0" +: rest).mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $els END"
+    }
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores: Seq[(String, Column)] = langScores(toks)
+    val pred = predCol(toks)
     docs(s, d)
       .select(col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }
         :+ pred.as("lang_pred"): _*)
@@ -106,18 +146,48 @@ object TextOps {
     def score(ws: Seq[String]) =
       s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
     val cols = Markers.map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(",\n ")
-    val pred = Markers.indices.foldRight("'und'") { (i, els) =>
-      val (l, ws) = Markers(i)
-      val c = score(ws)
-      val rest = Markers.drop(i + 1)
-        .map { case (_, ows) => s"$c >= ${score(ows)}" }
-      val cond = (s"$c > 0" +: rest).mkString(" AND ")
-      s"CASE WHEN $cond THEN '$l' ELSE $els END"
-    }
     s"""SELECT doc_id,
        | $cols,
-       | $pred AS lang_pred
+       | ${predSql(toks)} AS lang_pred
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- composed corpus-cleaning pipeline (the north-star end-to-end:
+  //      quality-filter → language-ID → exact-dedup → corpus stats) ----
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+              scoreCol(col("toks")).as("score"), predCol(col("toks")).as("lang_pred"))
+      .filter(col("score") >= 0.35)
+    base
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min_by(struct(col("score"), col("lang_pred")), col("doc_id")).as("r"))
+      .groupBy(col("r.lang_pred").as("lang_pred"))
+      // floor-quantized mean: scores are bit-identical across engines
+      // but double->DECIMAL rounding at a .xxxxxx5 boundary is not;
+      // floor(x*1e6) into exact integer arithmetic sidesteps it
+      .agg(count(lit(1)).as("n_docs"),
+           ((sum(floor(col("r.score") * 1000000.0).cast("long")).cast("double")
+             / 1000000.0) / count(lit(1))).as("avg_score"))
+      .orderBy("lang_pred")
+  }
+
+  private val cleanCorpusSql = {
+    val toks = "toks"
+    s"""WITH t AS (SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents),
+       |q AS (SELECT doc_id, text, ${scoreSql(toks)} AS score,
+       |             ${predSql(toks)} AS lang_pred
+       |      FROM t),
+       |f AS (SELECT * FROM q WHERE score >= 0.35),
+       |dd AS (SELECT min_by(score, doc_id) AS score,
+       |              min_by(lang_pred, doc_id) AS lang_pred
+       |       FROM f GROUP BY md5(text))
+       |SELECT lang_pred, COUNT(*) AS n_docs,
+       | ((CAST(SUM(CAST(floor(score * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |   / 1000000.0) / COUNT(*)) AS avg_score
+       |FROM dd GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
 
   // ---- document fingerprinting: rolling polynomial + md5-based ----
@@ -141,5 +211,7 @@ object TextOps {
     Q("q31_langid", langId, Some(langIdSql),
       "stopword-marker language ID"),
     Q("q32_fingerprint", fingerprint, Some(fingerprintSql),
-      "rolling-hash + md5 fingerprints"))
+      "rolling-hash + md5 fingerprints"),
+    Q("q49_clean_corpus", cleanCorpus, Some(cleanCorpusSql),
+      "composed pipeline: quality filter -> langid -> dedup -> stats"))
 }

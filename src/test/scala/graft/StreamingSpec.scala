@@ -48,6 +48,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.get("2024-01-01 00:00:00.0").contains(2L), s"got $rows")
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark suppresses dups in-window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      mem.addData((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:02:00"), 2L))
+      q.processAllAvailable()
+      // duplicate id inside the watermark window → suppressed
+      mem.addData((ts("2024-01-01 00:03:00"), 1L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:04:00"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").collect().map(_.getLong(1)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode) == session_window") {
     import spark.implicits._
     val events = Seq(
