@@ -27,23 +27,38 @@ object MultimodalOps {
   final case class MediaRow(doc_id: Long, content: Array[Byte])
 
   final case class MediaFeat(doc_id: Long, n_bytes: Int, head_hash: Long,
-                             fake_width: Long, fake_height: Long)
+                             fake_width: Long, fake_height: Long,
+                             n_frames: Int, first_frame_hash: Long)
 
   /** STUB decoder — stands in for a real codec (e.g. libjpeg/ffmpeg
     * behind JNI). Deterministic: features derive from payload bytes.
+    * decode = metadata + "image" dims; frame-sampling treats the
+    * payload as a stream of 32-byte frames and samples every 4th
+    * (the video path: same batching, different stride).
     */
   object FakeDecoder {
-    def decode(r: MediaRow): MediaFeat = {
+    val FrameBytes = 32
+    val FrameStride = 4
+
+    private def h15(bytes: Array[Byte]): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val head = r.content.take(16)
-      val hex = md.digest(head).map(b => f"$b%02x").mkString
-      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+
+    def decode(r: MediaRow): MediaFeat = {
+      val h = h15(r.content.take(16))
+      val totalFrames = (r.content.length + FrameBytes - 1) / FrameBytes
+      val sampled = (totalFrames + FrameStride - 1) / FrameStride
+      val firstFrame = r.content.slice(0, math.min(FrameBytes, r.content.length))
       MediaFeat(
         doc_id = r.doc_id,
         n_bytes = r.content.length,
         head_hash = h,
         fake_width = 16L + (h & 1023L),
-        fake_height = 16L + ((h >> 10) & 1023L))
+        fake_height = 16L + ((h >> 10) & 1023L),
+        n_frames = sampled,
+        first_frame_hash = h15(firstFrame))
     }
   }
 
@@ -64,10 +79,13 @@ object MultimodalOps {
   // substr == byte prefix).
   private val multimodalFeaturesSql = {
     val h = hash64Sql("substr(text, 1, 16)")
-    s"""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+    val len = "octet_length(CAST(text AS BLOB))"
+    s"""SELECT doc_id, CAST($len AS INTEGER) AS n_bytes,
        | $h AS head_hash,
        | 16 + ($h & 1023) AS fake_width,
-       | 16 + (($h >> 10) & 1023) AS fake_height
+       | 16 + (($h >> 10) & 1023) AS fake_height,
+       | CAST((($len + 31) // 32 + 3) // 4 AS INTEGER) AS n_frames,
+       | ${hash64Sql("substr(text, 1, 32)")} AS first_frame_hash
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
