@@ -135,9 +135,59 @@ object SimilarityOps {
        |SELECT qid, vec_id, cos_r, rn FROM ranked
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  // ---- IVF ANN: coarse-quantize into inverted lists, probe the
+  //      nearest lists only. Centroids here are seed vectors chosen
+  //      deterministically (a production build would k-means them —
+  //      the plan shape is identical: assignment is a map-side argmin
+  //      over broadcast centroids, candidates come from an equi-join
+  //      on the cell id). Rows-only check (the argmin machinery has no
+  //      compact SQL twin; LSH is the oracled scale path) + recall
+  //      spec in SimilaritySpec. ----
+  private val IvfCells = 16
+  private val IvfProbes = 2
+
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    // deterministic "centroids": the first IvfCells vectors by id,
+    // collected to the driver (metadata-scale: cells × dim floats) and
+    // inlined as literal arrays — assignment is then a pure map-side
+    // argmin, no shuffle, no second pass over the corpus
+    val cents: Array[(Long, Array[Double], Double)] =
+      all.filter(col("vec_id") < IvfCells).collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2))
+      }
+    // (negated cosine, cid) structs sort lexicographically → index 0 is
+    // the nearest cell, prefix IvfProbes are the probe cells
+    val candStructs = cents.map { case (cid, cv, cn) =>
+      struct((-vecDot(col("v"), typedLit(cv.toSeq)) / (col("nrm") * lit(cn))).as("negSim"),
+             lit(cid).as("cid"))
+    }
+    val assigned = all
+      .withColumn("cells", sort_array(array(candStructs.toIndexedSeq: _*)))
+      .withColumn("cell", col("cells").getItem(0).getField("cid"))
+      .drop("cells")
+      .persist()
+    val probes = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+              explode(slice(
+                sort_array(array(candStructs.toIndexedSeq: _*)), 1, IvfProbes))
+                .as("pc"))
+      .select(col("qid"), col("qv"), col("qn"), col("pc.cid").as("cell"))
+    val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= TopK)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
     Q("q39_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql),
-      "random-hyperplane LSH ANN (bucket equi-join)"))
+      "random-hyperplane LSH ANN (bucket equi-join)"),
+    Q("q50_sim_ann_ivf", simAnnIvf, None,
+      "IVF ANN: inverted lists + nearest-cell probing (rows-only; recall spec)"))
 }
