@@ -210,7 +210,35 @@ object AdvancedOps {
       |WHERE rn <= 2
       |ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber ASC""".stripMargin
 
+  // ---- JSON-lines sink + schema'd JSON scan roundtrip ----
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_events_json_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_s", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+           min(col("ts_s")).as("min_ts"), max(col("ts_s")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  private val jsonRoundtripSql =
+    s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+       | MIN(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS min_ts,
+       | MAX(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS max_ts
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q51_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql),
+      "JSON-lines write + schema'd read roundtrip"),
     Q("q48_topk_per_key", topkPerKeyCustom, Some(topkPerKeyCustomSql),
       "custom LogicalPlan+Strategy+SparkPlan bounded-heap per-key top-k"),
     Q("q42_pivot", pivotAgg, Some(pivotAggSql), "pivot wide aggregation"),
