@@ -139,6 +139,7 @@ object Bench {
       try {
         val times = (1 to qreps).map { _ =>
           spark.catalog.clearCache()
+          System.gc() // keep stray major GCs out of the measured window
           time(force(q.build(spark, sfDir)))
         }
         results(q.name) = times.min
