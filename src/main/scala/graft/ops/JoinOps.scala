@@ -197,7 +197,60 @@ object JoinOps {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
 
+  // ---- salted join: the manual skew-mitigation pattern. The hot key's
+  //      rows split across SALT partitions because the fact side keys by
+  //      (key, id % SALT) and the dim side replicates each row SALT
+  //      times — identical results, no single straggler task. (AQE's
+  //      skewedJoin does this adaptively; the explicit form is for
+  //      deterministic skew you know at plan time.) ----
+  private val Salt = 4
+
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % Salt).cast("int"))
+    val cust = Tables.customer(s, d)
+      .crossJoin(s.range(Salt).select(col("id").cast("int").as("salt")))
+    ev.join(broadcast(cust),
+        ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val saltedJoinSql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+       | ${dsumSql("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- pure-SQL surface: the same engine drives spark.sql over temp
+  //      views (the reference is API-only; SQL comes free with Spark) ----
+  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      FROM orders_v
+      WHERE EXISTS (SELECT 1 FROM lineitem_v
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  private val sqlSurfaceSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       | ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+       |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q52_salted_join", saltedJoin, Some(saltedJoinSql),
+      "manual skew-salted equi-join (same result, no straggler task)"),
+    Q("q53_sql_surface", sqlSurface, Some(sqlSurfaceSql),
+      "pure spark.sql over temp views"),
     Q("q18_join_broadcast", joinBroadcast, Some(joinBroadcastSql),
       "star join, all dims broadcast"),
     Q("q19_join_semi", joinSemi, Some(joinSemiSql), "left semi (EXISTS)"),
