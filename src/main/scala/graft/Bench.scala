@@ -154,9 +154,13 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT: the f interpolator honours the JVM default locale,
+    // and a comma-decimal locale would emit unparseable JSON
+    def num(v: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
-    val mems = memMb.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+    val mems = memMb.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mem_mb":$mems,"sf":"$sfDir"}""")

@@ -17,8 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDot(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) {
+          throw new IllegalArgumentException(
+            s"vec_dot(array<float|double>, array<float|double>) takes 2 " +
+              s"arguments, got ${children.length}")
+        }
+        VecDot(children(0), children(1))
+      }))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

@@ -21,12 +21,15 @@ import org.apache.spark.sql.types._
   * left-to-right in double (floats widened exactly), so swapping it in
   * cannot change oracle-checked results (VecDotSpec asserts this).
   *
-  * Nulls: null array → null result; array *elements* are assumed
-  * non-null (embedding vectors), as with dotFold.
+  * Nulls: null array → null result, and mismatched lengths → null
+  * (dotFold's zip_with pads with null and propagates — a corrupt
+  * ragged embedding surfaces as NULL, never as a silent partial dot).
+  * Array *elements* are assumed non-null (embedding vectors).
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged inputs yield null
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -45,8 +48,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -66,12 +70,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val getL = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getL * $getR;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $getL * $getR;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -145,11 +145,16 @@ object HashFns {
   /** Polynomial rolling hash over the characters of a string:
     * fold(acc*31 + code(char)) mod 1e9+7, left-to-right — identical
     * fold order in Spark `aggregate` and DuckDB `list_reduce`.
+    * Empty strings are pinned to 0 on both sides: the engines disagree
+    * on the code of an empty split cell (Spark ascii('')=0, DuckDB
+    * unicode('')=-1), so the fold must never see one.
     */
   def polyFingerprint(c: Column): Column =
-    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % FpMod)
+    when(length(c) === 0, lit(0L)).otherwise(
+      aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % FpMod))
   def polyFingerprintSql(e: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
-      s"(acc, c) -> (acc * 31 + c) % $FpMod)"
+      s"(acc, c) -> (acc * 31 + c) % $FpMod) END"
 }

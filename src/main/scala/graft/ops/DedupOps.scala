@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators over `documents` / `embeddings` (north-star:
   * the dedup stages of an LLM training-data pipeline).
   *
-  * Scale design: none of these do an O(n²) cross join in Spark —
-  * candidate pairs always come from an equi-join on a derived key
-  * (minhash band, simhash chunk, shared shingle posting), which
-  * shuffles on that key and parallelizes like any other join. The
-  * DuckDB twins replicate the *same candidate generation* (not a brute
-  * force) so borderline pairs agree exactly.
+  * Scale design: the text-dedup operators never do an O(n²) cross join
+  * in Spark — candidate pairs always come from an equi-join on a
+  * derived key (minhash band, simhash chunk, shared shingle posting),
+  * which shuffles on that key and parallelizes like any other join.
+  * The DuckDB twins replicate the *same candidate generation* (not a
+  * brute force) so borderline pairs agree exactly. The one deliberate
+  * exception is dedupEmbedding (q37): the EXACT top-k-pairs baseline
+  * is all-pairs by definition and bounded to the embeddings table's
+  * size — the scale paths for embeddings are the LSH/IVF candidate
+  * generators (q39/q50 in SimilarityOps).
   */
 object DedupOps {
 

@@ -40,13 +40,21 @@ object MultimodalOps {
     val FrameBytes = 32
     val FrameStride = 4
 
-    private def h15(bytes: Array[Byte]): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(bytes).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
+    /** Per-partition decoder handle — the expensive setup a real codec
+      * pays once per partition (here a MessageDigest; in production a
+      * JNI context / model session).
+      */
+    final class Handle {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      def h15(bytes: Array[Byte]): Long = {
+        md.reset()
+        val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
     }
 
-    def decode(r: MediaRow): MediaFeat = {
+    def decode(h0: Handle, r: MediaRow): MediaFeat = {
+      import h0.h15
       val h = h15(r.content.take(16))
       val totalFrames = (r.content.length + FrameBytes - 1) / FrameBytes
       val sampled = (totalFrames + FrameStride - 1) / FrameStride
@@ -69,7 +77,10 @@ object MultimodalOps {
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[MediaRow]
     media
-      .mapPartitions(rows => rows.map(FakeDecoder.decode)) // partition-batched decode
+      .mapPartitions { rows => // one decoder Handle per partition
+        val handle = new FakeDecoder.Handle
+        rows.map(r => FakeDecoder.decode(handle, r))
+      }
       .toDF()
       .orderBy("doc_id")
   }

@@ -43,6 +43,17 @@ class VecDotSpec extends AnyFunSuite with SparkTestBase {
     r.foreach(x => assert(x.getDouble(0) == x.getDouble(1)))
   }
 
+  test("ragged arrays yield null (matches dotFold's null propagation)") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d))").head()
+    assert(r.isNullAt(0))
+    // and through codegen on a real scan
+    val df = Tables.embeddings(spark, sf)
+      .select(VecDot.vecDot(col("embedding"),
+        slice(col("embedding"), 1, 10)).as("d"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
   test("null array yields null") {
     val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
       .head()

@@ -31,6 +31,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that crashed in Verify leaves no dump dir — that's a FAIL,
+    # not a skip, or the gate passes vacuously
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - dumped):
+        n_fail += 1
+        print(f"  FAIL {name}: no dump (query crashed or was not run)")
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d): continue
