@@ -236,7 +236,25 @@ object AdvancedOps {
        | MAX(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS max_ts
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- typed Aggregator (UDAF surface): weighted mean via udaf() ----
+  def weightedMean(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(new graft.functions.WeightedMean())
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(wmean(col("l_discount"), col("l_quantity")).as("wavg_discount"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedMeanSql =
+    s"""SELECT l_returnflag,
+       | ${graft.functions.WeightedMean.sql("l_discount", "l_quantity")} AS wavg_discount,
+       | COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q54_weighted_mean", weightedMean, Some(weightedMeanSql),
+      "typed Aggregator (udaf): integer-exact weighted mean"),
     Q("q51_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql),
       "JSON-lines write + schema'd read roundtrip"),
     Q("q48_topk_per_key", topkPerKeyCustom, Some(topkPerKeyCustomSql),
