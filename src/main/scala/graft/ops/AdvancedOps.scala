@@ -252,7 +252,75 @@ object AdvancedOps {
        | COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- TPC-H Q6: the classic predicate-pushdown revenue probe ----
+  def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+
+  private val tpchQ6Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+       | COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---- histogram: fixed-width binning via floor arithmetic (DuckDB
+  //      1.0 has no width_bucket; explicit floor is portable and
+  //      deterministic on identical doubles) ----
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val lo = 900.0; val hi = 104950.0; val nb = 20
+    val step = (hi - lo) / nb
+    val bucket = least(floor((col("l_extendedprice") - lo) / step), lit(nb - 1.0))
+      .cast("int")
+    Tables.lineitem(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  private val histogramSql = {
+    val lo = 900.0; val hi = 104950.0; val nb = 20
+    val step = (hi - lo) / nb
+    val bucket = s"CAST(least(floor((l_extendedprice - $lo) / $step), ${nb - 1}.0) AS INTEGER)"
+    s"""SELECT $bucket AS bucket, COUNT(*) AS n,
+       | ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY $bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ---- Pearson correlation from exact decimal sums (engine corr()
+  //      implementations stream differently; the closed form over
+  //      exact sums is bit-identical everywhere) ----
+  def correlation(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val n = count(lit(1)).cast("double")
+    val agg = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"), dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+    agg.select(col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+  }
+
+  private val correlationSql = {
+    val sx = dsumSql("l_quantity"); val sy = dsumSql("l_extendedprice")
+    val sxx = dsumSql("l_quantity * l_quantity")
+    val syy = dsumSql("l_extendedprice * l_extendedprice")
+    val sxy = dsumSql("l_quantity * l_extendedprice")
+    s"""SELECT n, ((n * sxy - sx * sy)
+       |  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr_qty_price
+       |FROM (SELECT COUNT(*) AS n, $sx AS sx, $sy AS sy, $sxx AS sxx,
+       |             $syy AS syy, $sxy AS sxy
+       |      FROM lineitem)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q55_tpch_q6", tpchQ6, Some(tpchQ6Sql), "TPC-H Q6 revenue probe"),
+    Q("q56_histogram", histogram, Some(histogramSql),
+      "fixed-width histogram binning"),
+    Q("q57_correlation", correlation, Some(correlationSql),
+      "Pearson correlation from exact sums"),
     Q("q54_weighted_mean", weightedMean, Some(weightedMeanSql),
       "typed Aggregator (udaf): integer-exact weighted mean"),
     Q("q51_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql),
