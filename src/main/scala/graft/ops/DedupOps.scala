@@ -233,7 +233,65 @@ object DedupOps {
        |FROM n x JOIN n y ON x.vec_id < y.vec_id
        |ORDER BY cos_r DESC, a, b LIMIT 20""".stripMargin
 
+  // ---- dedup clustering: near-dup PAIRS → connected components →
+  //      canonical doc per cluster. The step that makes pair output
+  //      actionable: every document maps to the minimum doc_id of its
+  //      transitive near-dup cluster ("keep the canonical, drop the
+  //      rest"). Spark side is Pregel-style min-label propagation — a
+  //      handful of equi-join rounds, each a single shuffle, converging
+  //      in O(cluster diameter) iterations (near-dup clusters are tiny,
+  //      so this terminates fast at any corpus size). The DuckDB twin
+  //      computes the same fixpoint as a recursive-CTE transitive
+  //      closure + MIN over reachable ids. ----
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // same candidate pairs as q34 (minhash LSH, est_j >= 0.5)
+    val pairs = dedupMinhash(s, d).select(col("a"), col("b")).persist()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val propagated = edges
+        .join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("label"))
+      val next = labels.unionByName(propagated)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql = {
+    // reuse q34's SQL up to `pairs`, then close transitively
+    val pairsCte = dedupMinhashSql
+      .replaceFirst("(?s)SELECT a, b, est_j, jaccard FROM scored.*",
+        "SELECT a, b FROM scored WHERE est_j >= 0.5")
+    s"""WITH RECURSIVE base AS ($pairsCte),
+       |edges AS (SELECT a, b FROM base UNION ALL SELECT b, a FROM base),
+       |reach(node, anc) AS (
+       |  SELECT a AS node, a AS anc FROM edges
+       |  UNION
+       |  SELECT e.a AS node, r.anc
+       |  FROM edges e JOIN reach r ON e.b = r.node),
+       |labels AS (SELECT node, MIN(anc) AS label FROM reach GROUP BY node)
+       |SELECT node AS doc_id, label AS canonical_id
+       |FROM labels WHERE node <> label ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      "near-dup pairs -> connected components -> canonical doc per cluster"),
     Q("q33_dedup_exact", dedupExact, Some(dedupExactSql),
       "exact dedup via hash-groupBy"),
     Q("q34_dedup_minhash", dedupMinhash, Some(dedupMinhashSql),
