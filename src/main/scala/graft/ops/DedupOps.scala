@@ -251,6 +251,13 @@ object DedupOps {
       .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    // labels only ever decrease, so the (exact decimal) label sum is
+    // strictly monotone until the fixpoint — an unchanged sum IS
+    // convergence, for one cheap aggregate per round instead of an
+    // anti-join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(30,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -260,8 +267,9 @@ object DedupOps {
       val next = labels.unionByName(propagated)
         .groupBy("node").agg(min(col("label")).as("label"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
