@@ -83,7 +83,52 @@ object EventOps {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- composition: session windows × custom TopKPerKey operator —
+  //      each user's single highest-value session. The custom physical
+  //      operator consumes the session aggregate directly (bounded
+  //      heap per user), where the window formulation would re-sort
+  //      every session row. ----
+  def topSessionPerUser(s: SparkSession, d: String): DataFrame = {
+    val sessions = ev(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+              date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("session_start"),
+              col("n_events"), col("sum_value"))
+    graft.plans.TopKPerKey.topKPerKey(
+      sessions,
+      keys = Seq(col("user_id")),
+      order = Seq(col("sum_value").desc, col("session_start").asc),
+      k = 1)
+      .orderBy("user_id")
+  }
+
+  private val topSessionPerUserSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+       |           > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |sessions AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked),
+       |agged AS (
+       |  SELECT user_id,
+       |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |    COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |  FROM sessions GROUP BY user_id, sid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY sum_value DESC, session_start ASC) AS rn
+       |  FROM agged)
+       |SELECT user_id, session_start, n_events, sum_value
+       |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q59_top_session", topSessionPerUser, Some(topSessionPerUserSql),
+      "session windows composed with the custom TopKPerKey operator"),
     Q("q26_events_window", eventsWindow, Some(eventsWindowSql),
       "tumbling 1h window agg"),
     Q("q27_events_session", eventsSession, Some(eventsSessionSql),
