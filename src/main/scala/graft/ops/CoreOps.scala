@@ -149,12 +149,24 @@ object CoreOps {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  private val toMatrixSql = {
-    val cells = liAll.map { c =>
-      if (liNumeric.contains(c)) s"CAST($c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
-    }.mkString(", ")
-    s"""SELECT l_orderkey, l_linenumber, [$cells] AS vec
-       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  // Registry/oracle variant: the matrix flattened to long format
+  // (row key, cell index, cell value) — the verify harness hashes rows
+  // through pandas, which cannot sort/factorize an array cell, so the
+  // oracle-facing query exposes only scalar columns. The dense-array
+  // export above stays the engine op (Bench stage_to_np measures it).
+  def toMatrixLong(s: SparkSession, d: String): DataFrame =
+    toMatrix(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              posexplode(col("vec")).as(Seq("cell_idx", "cell")))
+      .orderBy("l_orderkey", "l_linenumber", "cell_idx")
+
+  private val toMatrixLongSql = {
+    val arms = liAll.zipWithIndex.map { case (c, i) =>
+      val v = if (liNumeric.contains(c)) s"CAST($c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"SELECT l_orderkey, l_linenumber, $i AS cell_idx, $v AS cell FROM lineitem"
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM ($arms)
+       |ORDER BY l_orderkey, l_linenumber, cell_idx""".stripMargin
   }
 
   // ---- O14: fused lazy pipeline mirroring main.rs:143-152
@@ -200,12 +212,19 @@ object CoreOps {
       concat(lit("cat_"), (rand(42) * 10).cast("int")).as("category"),
       (randn(43) * 20 + 100).as("value1"),
       (rand(44) * 1000).as("value2"))
-    df.agg(
+    // countDistinct is kept OUT of the main aggregate: mixing it with
+    // plain aggs triggers Catalyst's Expand rewrite (every input row
+    // duplicated per distinct group — the 20-60x trap AdvancedOps.sketches
+    // documents). Two single-pass aggregates + a 1x1 cross join instead.
+    val plain = df.agg(
       count(lit(1)).as("n_rows"),
-      countDistinct(col("category")).as("n_cat"),
       sum(when(col("value2") < 0 || col("value2") >= 1000, 1L).otherwise(0L)).as("oob"),
       min(col("id")).as("id_min"),
       max(col("id")).as("id_max"))
+    val ncat = df.select(col("category")).distinct()
+      .agg(count(lit(1)).as("n_cat"))
+    plain.crossJoin(ncat)
+      .select("n_rows", "n_cat", "oob", "id_min", "id_max")
   }
 
   private val datagenSql =
@@ -327,7 +346,8 @@ object CoreOps {
     Q("q05_filter_gt", filterGt, Some(filterGtSql), "O8 numeric filter"),
     Q("q06_group_mean", groupMean, Some(groupMeanSql), "O9 group-by mean"),
     Q("q07_group_first", groupFirst, Some(groupFirstSql), "O10 deterministic per-group first"),
-    Q("q08_matrix", toMatrix, Some(toMatrixSql), "O11 matrix export"),
+    Q("q08_matrix", toMatrixLong, Some(toMatrixLongSql),
+      "O11 matrix export (long-format for the oracle; dense array in stage_to_np)"),
     Q("q09_lazy_pipeline", lazyPipeline, Some(lazyPipelineSql), "O14 fused lazy pipeline"),
     Q("q10_count_schema", countSchema, Some(countSchemaSql), "O12/O13 counts + schema probe"),
     Q("q11_datagen", datagen, Some(datagenSql), "O1 seeded synthetic generation"),

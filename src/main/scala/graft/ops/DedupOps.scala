@@ -72,8 +72,15 @@ object DedupOps {
        |       FROM t1)""".stripMargin
 
   // ---- MinHash + LSH banding ----
+  // Materialize-then-release: each op's final output is tiny (pair
+  // lists), so localCheckpoint(eager) it and unpersist the cached
+  // intermediates before returning — library-style composition then
+  // accumulates no cache entries (ADVICE r1). The checkpoint blocks
+  // themselves are reclaimed by the ContextCleaner once the returned
+  // frame is unreferenced.
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val base = shingled(s, d).withColumn("sig", minhashSigFromHashes(col("sh")))
+    val sh = shingled(s, d)
+    val base = sh.withColumn("sig", minhashSigFromHashes(col("sh")))
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
@@ -90,12 +97,15 @@ object DedupOps {
       lit(0L), _ + _)
     val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
-    joined
+    val result = joined
       .select(col("a"), col("b"),
               (matches.cast("double") / lit(MinhashK.toDouble)).as("est_j"),
               jac.as("jaccard"))
       .filter(col("est_j") >= 0.5)
       .orderBy("a", "b")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    result
   }
 
   private val dedupMinhashSql = {
@@ -147,11 +157,14 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
               col("x.sh32").as("sha"), col("y.sh32").as("shb"))
       .distinct()
-    pairs
+    val result = pairs
       .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hd") <= 3)
       .select("a", "b", "hd")
       .orderBy("a", "b")
+      .localCheckpoint(true)
+    base.unpersist(false)
+    result
   }
 
   private val dedupSimhashSql = {
@@ -185,9 +198,12 @@ object DedupOps {
       .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
     val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
-    joined.select(col("a"), col("b"), jac.as("jaccard"))
+    val result = joined.select(col("a"), col("b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy("a", "b")
+      .localCheckpoint(true)
+    base.unpersist(false)
+    result
   }
 
   private val dedupNgramSql =
@@ -217,12 +233,15 @@ object DedupOps {
       .persist()
     val x = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val y = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    x.join(y, col("a") < col("b"))
+    val result = x.join(y, col("a") < col("b"))
       .select(col("a"), col("b"),
               round(graft.expressions.VecDot.vecDot(col("va"), col("vb"))
                 / (col("na") * col("nb")), 6).as("cos_r"))
       .orderBy(col("cos_r").desc, col("a"), col("b"))
       .limit(20)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    result
   }
 
   private val dedupEmbeddingSql =
@@ -249,8 +268,12 @@ object DedupOps {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
+    // localCheckpoint (not persist) per round: it truncates the logical
+    // plan lineage, so round N's plan does not embed rounds 1..N-1 —
+    // without this, analysis+optimization cost grows every round and
+    // dominates wall-clock long before the data does.
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .withColumn("label", col("node")).localCheckpoint(true)
     // labels only ever decrease, so the (exact decimal) label sum is
     // strictly monotone until the fixpoint — an unchanged sum IS
     // convergence, for one cheap aggregate per round instead of an
@@ -260,24 +283,43 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 12 // with pointer jumping this covers diameter 2^12
+    while (!converged && iter < maxIter) {
+      // one hop along graph edges...
       val propagated = edges
         .join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("label"))
-      val next = labels.unionByName(propagated)
+      val hop = labels.unionByName(propagated)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .persist()
+      // ...then pointer jumping (label := label(label)): labels are
+      // node ids of the same component with label(x) <= x, so the jump
+      // stays inside the component and monotonically decreases — it
+      // turns O(diameter) rounds into O(log diameter)
+      val next = hop.as("l1")
+        .join(hop.select(col("node").as("jn"), col("label").as("jl")).as("l2"),
+              col("l1.label") === col("jn"), "left")
+        .select(col("l1.node").as("node"),
+                coalesce(col("jl"), col("l1.label")).as("label"))
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    labels
+    // a silent cap-exit would diverge from the oracle's exact transitive
+    // closure — make non-convergence a hard failure instead (ADVICE r1)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: label propagation not converged after $maxIter rounds")
+    val result = labels
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    edges.unpersist(false)
+    result
   }
 
   private val dedupClustersSql = {

@@ -20,6 +20,16 @@ import org.apache.spark.sql.graftbridge
   * no full sort anywhere. At 100 TB that is the difference between a
   * spilling sort of the fact table and a streaming pass.
   *
+  * MEMORY BOUND (ADVICE r1): the heap map is in-heap and does NOT
+  * spill — per partition it holds O(distinct keys in partition × k)
+  * rows. That is the right trade when keys are group-like (bounded
+  * cardinality: users, sessions, categories). When the key is
+  * near-unique (e.g. l_orderkey on the fact table) the map approaches
+  * the partition size and can OOM where a sort would spill; use
+  * [[TopKPerKey.topKPerKeyAuto]] which falls back to the window
+  * formulation (WindowExec = external sort + streaming rank, spillable
+  * by construction) when the caller flags high key cardinality.
+  *
   * Preference-ladder slot (c) from the build brief: LogicalPlan +
   * Strategy + SparkPlan, registered both via GraftExtensions and
   * runtime-injected through spark.experimental.extraStrategies by the
@@ -126,4 +136,22 @@ object TopKPerKey {
     }
     graftbridge.ofRows(spark, TopKPerKey(resolvedKeys, resolvedOrder, k, analyzed))
   }
+
+  /** Cardinality-aware entry point: the bounded-heap operator when keys
+    * are group-like, the spillable sort-based window formulation when
+    * the key is near-unique (`highCardinalityKeys = true`). The window
+    * path sorts each key-partition externally (spills to disk) and
+    * streams ranks — O(1) extra heap per key — so it survives keys ~ n.
+    */
+  def topKPerKeyAuto(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                     k: Int, highCardinalityKeys: Boolean): DataFrame =
+    if (!highCardinalityKeys) topKPerKey(df, keys, order, k)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("__graft_rn") <= k)
+        .drop("__graft_rn")
+    }
 }

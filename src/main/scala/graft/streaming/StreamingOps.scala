@@ -65,15 +65,13 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Int, sum_value: Double)
 
-  /** flatMapGroupsWithState sessionizer: the custom-state analogue of
-    * session_window, for when session logic outgrows the built-in
-    * (e.g. value-dependent gaps, emit-on-close side effects). State is
-    * per-key and bounded by the event-time timeout — the scalable shape
-    * for streaming state at 100 TB/day ingest.
-    *
-    * Used with Update/ProcessingTime in StreamingSpec; also callable on
-    * a batch Dataset (Spark runs flatMapGroupsWithState in batch mode
-    * with GroupStateTimeout.NoTimeout).
+  /** flatMapGroupsWithState sessionizer — BATCH MODE ONLY (ADVICE r1):
+    * each invocation sees the whole group, emits every session including
+    * the still-open one, and clears state. Running this under a real
+    * multi-micro-batch stream would emit a batch-spanning session twice
+    * (once per batch, split). For the streaming-correct variant that
+    * keeps the open session in state and flushes it only on event-time
+    * timeout, use [[sessionizeStreaming]].
     */
   def sessionize(events: org.apache.spark.sql.Dataset[Evt],
                  gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
@@ -107,6 +105,62 @@ object StreamingOps {
             state.remove()
           }
           out.iterator
+      }
+  }
+
+  /** Streaming-correct sessionizer: custom per-key state + event-time
+    * timeout, the scalable shape for 100 TB/day ingest (state is one
+    * small record per OPEN session, closed by watermark progress).
+    *
+    * Contract per invocation:
+    *  - timeout fired (watermark passed last_event + gap): emit the open
+    *    session once, drop state;
+    *  - new rows: merge into the open session (boundary-inclusive, same
+    *    rule as session_window), emit any sessions the new rows CLOSE,
+    *    keep the trailing open session in state, arm the timeout at
+    *    last + gap.
+    *
+    * A session spanning micro-batches is therefore emitted exactly once
+    * — the property the batch-mode variant above cannot provide.
+    * Requires `withWatermark` on the input (event-time timeout needs a
+    * watermark to fire against); see StreamingSpec.
+    */
+  def sessionizeStreaming(events: org.apache.spark.sql.Dataset[Evt],
+                          gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(uid, new java.sql.Timestamp(st.start), st.n, st.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val out = scala.collection.mutable.ListBuffer[SessionOut]()
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapMs =>
+                  cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
+                case Some(st) =>
+                  out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, st.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            out.iterator
+          }
       }
   }
 

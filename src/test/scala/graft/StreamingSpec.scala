@@ -89,6 +89,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Map(1L -> "gold", 3L -> "<none>"))
   }
 
+  test("streaming sessionizer: batch-spanning session emitted exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val sessions = StreamingOps.sessionizeStreaming(
+      mem.toDS().withWatermark("ts", "0 seconds").as[StreamingOps.Evt],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // session for user 1 opens in batch 1...
+      mem.addData(Evt(1, ts("2024-01-01 00:00:00"), 1.0),
+                  Evt(1, ts("2024-01-01 00:04:00"), 2.0))
+      q.processAllAvailable()
+      // ...and CONTINUES in batch 2 (gap 3min < 10min) — the batch-mode
+      // variant would have emitted it already in batch 1 and again here
+      mem.addData(Evt(1, ts("2024-01-01 00:07:00"), 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past last+gap via another key → the
+      // open session times out and flushes exactly once
+      mem.addData(Evt(2, ts("2024-01-01 01:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(Evt(2, ts("2024-01-01 02:00:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("sess_stream").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+    assert(u1.toSeq == Seq(("2024-01-01 00:00:00.0", 3, 6.0)), s"got ${u1.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode) == session_window") {
     import spark.implicits._
     val events = Seq(
