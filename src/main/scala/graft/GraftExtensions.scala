@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(children(0), children(1))
       }))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    e.injectOptimizerRule(_ => graft.plans.TopKRankPushdown)
   }
 }

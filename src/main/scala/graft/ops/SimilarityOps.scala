@@ -140,9 +140,12 @@ object SimilarityOps {
   //      deterministically (a production build would k-means them —
   //      the plan shape is identical: assignment is a map-side argmin
   //      over broadcast centroids, candidates come from an equi-join
-  //      on the cell id). Rows-only check (the argmin machinery has no
-  //      compact SQL twin; LSH is the oracled scale path) + recall
-  //      spec in SimilaritySpec. ----
+  //      on the cell id). The SQL twin replicates the argmin as a
+  //      row_number over per-centroid negated cosine: both engines
+  //      compute bit-identical doubles (same left-to-right fold, same
+  //      float→double-widened centroid values), so cell assignment,
+  //      probing and the final ranking agree exactly; recall-vs-exact
+  //      envelope additionally asserted in SimilaritySpec. ----
   private val IvfCells = 16
   private val IvfProbes = 2
 
@@ -183,11 +186,34 @@ object SimilarityOps {
       .orderBy("qid", "rn")
   }
 
+  private val simAnnIvfSql =
+    s"""WITH $baseCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  -(${dotFoldSql("n.v", "c.cv")}) / (n.nrm * c.cn) AS negsim
+       |  FROM n CROSS JOIN c),
+       |r AS (SELECT vec_id, v, nrm, cid, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY negsim ASC, cid ASC) AS crn
+       |  FROM a),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM r WHERE crn = 1),
+       |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
+       |           FROM r WHERE crn <= $IvfProbes AND vec_id < $NQueries),
+       |cand AS (SELECT p.qid, s.vec_id,
+       |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
+       |  FROM assigned s JOIN probes p ON s.cell = p.cell
+       |  WHERE s.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, cos_r, row_number() OVER
+       |  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM cand)
+       |SELECT qid, vec_id, cos_r, rn FROM ranked
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
     Q("q39_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql),
       "random-hyperplane LSH ANN (bucket equi-join)"),
-    Q("q50_sim_ann_ivf", simAnnIvf, None,
-      "IVF ANN: inverted lists + nearest-cell probing (rows-only; recall spec)"))
+    Q("q50_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql),
+      "IVF ANN: inverted lists + nearest-cell probing (argmin SQL twin)"))
 }

@@ -59,6 +59,15 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** Row pruning keeps the child's partitioning intact — without this
+    * override the default UnknownPartitioning makes EnsureRequirements
+    * insert a SECOND redundant exchange above (e.g. for a downstream
+    * Window over the same keys).
+    */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
