@@ -272,6 +272,30 @@ object CoreOps {
        | ${dsumSql("l_extendedprice")} AS sum_price
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- O3/O5 variant: ORC source/sink roundtrip (columnar alternative
+  //      to parquet; same push-down/pruning story, verified by
+  //      aggregating the roundtripped data against the parquet oracle) ----
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
+    li(s, d).select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_linestatus")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("l_quantity") > 30) // pushed into the ORC scan
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_linestatus")
+  }
+
+  private val orcRoundtripSql =
+    s"""SELECT l_linestatus, COUNT(*) AS n,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE l_quantity > 30
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ---- top-k: orderBy+limit → TakeOrderedAndProject (no full sort) ----
   def topK(s: SparkSession, d: String): DataFrame =
     li(s, d)
@@ -353,6 +377,8 @@ object CoreOps {
     Q("q11_datagen", datagen, Some(datagenSql), "O1 seeded synthetic generation"),
     Q("q12_amplify", amplify, Some(amplifySql), "O2 row amplification"),
     Q("q13_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), "O3/O5 CSV write+read"),
+    Q("q60_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql),
+      "ORC sink+source roundtrip with scan-pushed filter"),
     Q("q14_topk", topK, Some(topKSql), "orderBy+limit → TakeOrderedAndProject"),
     Q("q15_distinct", distinctPairs, Some(distinctPairsSql), "distinct"),
     Q("q16_set_ops", setOps, Some(setOpsSql), "union/intersect/except"),

@@ -190,6 +190,100 @@ object TextOps {
        |FROM dd GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
 
+  // ---- PII / entity redaction: regex rewrite + match accounting.
+  //      The pattern set is configurable; here an email pattern (the
+  //      classic PII shape) plus a domain-entity pattern that actually
+  //      fires on this corpus. Patterns stay inside the Java-regex ∩
+  //      RE2 common subset so Spark and DuckDB rewrite identically; the
+  //      oracle hash-matches md5 of the REWRITTEN text, which verifies
+  //      every replacement position, not just the counts. ----
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val EntityRe = "\\b(customer|supplier|order)\\b"
+
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        (regexp_count(col("text"), lit(EmailRe))
+          + regexp_count(col("text"), lit(EntityRe))).as("n_redacted"),
+        md5(regexp_replace(
+              regexp_replace(col("text"), EntityRe, "[ENTITY]"),
+              EmailRe, "[EMAIL]").cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  private val piiRedactSql =
+    s"""SELECT doc_id,
+       | (len(regexp_extract_all(text, '$EmailRe'))
+       |  + len(regexp_extract_all(text, '$EntityRe'))) AS n_redacted,
+       | md5(regexp_replace(regexp_replace(text, '$EntityRe', '[ENTITY]', 'g'),
+       |     '$EmailRe', '[EMAIL]', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- repetition signals (Gopher-style quality filters): duplicate
+  //      2-/3-gram fractions per doc (expression-only, no shuffle) +
+  //      top-token fraction (explode → two-level hash agg). High values
+  //      flag boilerplate/spam for corpus filtering. ----
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array())
+  private def ngramsSql(toksE: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"($toksE)[i + $o]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toksE) >= $n THEN " +
+      s"list_transform(range(1, len($toksE) - ${n - 2}), i -> $parts) ELSE [] END"
+  }
+
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sig = base.select(
+      col("doc_id"),
+      size(col("toks")).as("n_tok"),
+      col("toks"),
+      ngrams(col("toks"), 2).as("g2"),
+      ngrams(col("toks"), 3).as("g3"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        when(size(col("g2")) > 0,
+          lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")).cast("double")).otherwise(0.0).as("dup2_frac"),
+        when(size(col("g3")) > 0,
+          lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / size(col("g3")).cast("double")).otherwise(0.0).as("dup3_frac"))
+    val top = base.select(col("doc_id"), explode(col("toks")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+    sig.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("dup2_frac"), col("dup3_frac"),
+              (col("top_cnt").cast("double") / col("n_tok").cast("double"))
+                .as("top_tok_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql = {
+    val toks = "toks"
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, len(toks) AS n_tok,
+       |        ${ngramsSql(toks, 2)} AS g2, ${ngramsSql(toks, 3)} AS g3
+       |      FROM t),
+       |sig AS (SELECT doc_id, n_tok,
+       |  CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+       |       / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup2_frac,
+       |  CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+       |       / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup3_frac
+       |  FROM g),
+       |cnt AS (SELECT doc_id, tk, COUNT(*) AS cnt
+       |        FROM (SELECT doc_id, unnest(toks) AS tk FROM t) u
+       |        GROUP BY doc_id, tk),
+       |top AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM cnt GROUP BY doc_id)
+       |SELECT sig.doc_id, sig.n_tok, sig.dup2_frac, sig.dup3_frac,
+       |       CAST(top.top_cnt AS DOUBLE) / CAST(sig.n_tok AS DOUBLE) AS top_tok_frac
+       |FROM sig JOIN top ON sig.doc_id = top.doc_id
+       |ORDER BY sig.doc_id""".stripMargin
+  }
+
   // ---- document fingerprinting: rolling polynomial + md5-based ----
   def fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -213,5 +307,9 @@ object TextOps {
     Q("q32_fingerprint", fingerprint, Some(fingerprintSql),
       "rolling-hash + md5 fingerprints"),
     Q("q49_clean_corpus", cleanCorpus, Some(cleanCorpusSql),
-      "composed pipeline: quality filter -> langid -> dedup -> stats"))
+      "composed pipeline: quality filter -> langid -> dedup -> stats"),
+    Q("q61_pii_redact", piiRedact, Some(piiRedactSql),
+      "regex PII/entity redaction, rewritten-text md5-verified"),
+    Q("q62_repetition", repetition, Some(repetitionSql),
+      "Gopher-style repetition signals: dup n-gram + top-token fractions"))
 }

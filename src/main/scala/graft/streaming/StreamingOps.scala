@@ -164,6 +164,34 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact-dedup: dropDuplicatesWithinWatermark on the event
+    * stream — the streaming twin of batch DISTINCT, with state bounded
+    * by the watermark instead of growing forever (the only shape that
+    * survives an unbounded stream). Emitted rows are first-seen
+    * (user_id, event_type) pairs; the batch oracle is COUNT(DISTINCT).
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val qname = "graft_sdedup_" + java.lang.Integer.toHexString(d.hashCode)
+    val q = streamingEvents(s, d)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(qname)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy("event_type")
+  }
+
+  private val streamDedupSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val streamWindowedSql =
     s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
        | event_type, COUNT(*) AS n,
@@ -172,5 +200,7 @@ object StreamingOps {
 
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
-      "Structured Streaming windowed agg == batch q26"))
+      "Structured Streaming windowed agg == batch q26"),
+    Q("q63_stream_dedup", streamDedup, Some(streamDedupSql),
+      "streaming dropDuplicatesWithinWatermark == batch COUNT(DISTINCT)"))
 }
