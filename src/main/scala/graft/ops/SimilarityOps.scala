@@ -149,22 +149,29 @@ object SimilarityOps {
   private val IvfCells = 16
   private val IvfProbes = 2
 
-  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val all = base(s, d)
-    // deterministic "centroids": the first IvfCells vectors by id,
-    // collected to the driver (metadata-scale: cells × dim floats) and
-    // inlined as literal arrays — assignment is then a pure map-side
-    // argmin, no shuffle, no second pass over the corpus
-    val cents: Array[(Long, Array[Double], Double)] =
-      all.filter(col("vec_id") < IvfCells).collect().map { r =>
-        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2))
-      }
-    // (negated cosine, cid) structs sort lexicographically → index 0 is
-    // the nearest cell, prefix IvfProbes are the probe cells
-    val candStructs = cents.map { case (cid, cv, cn) =>
+  /** Deterministic "centroids": the first IvfCells vectors by id,
+    * collected to the driver (metadata-scale: cells × dim floats) and
+    * inlined as literal arrays — assignment is then a pure map-side
+    * argmin, no shuffle, no second pass over the corpus. Shared by the
+    * IVF index build (q50) and the k-means iteration (q64).
+    */
+  private def literalCentroids(all: DataFrame): Array[(Long, Array[Double], Double)] =
+    all.filter(col("vec_id") < IvfCells).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2))
+    }
+
+  /** (negated cosine, cid) structs sort lexicographically → index 0 is
+    * the nearest cell, prefix IvfProbes are the probe cells.
+    */
+  private def cellStructs(cents: Array[(Long, Array[Double], Double)]): Array[Column] =
+    cents.map { case (cid, cv, cn) =>
       struct((-vecDot(col("v"), typedLit(cv.toSeq)) / (col("nrm") * lit(cn))).as("negSim"),
              lit(cid).as("cid"))
     }
+
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val candStructs = cellStructs(literalCentroids(all))
     val assigned = all
       .withColumn("cells", sort_array(array(candStructs.toIndexedSeq: _*)))
       .withColumn("cell", col("cells").getItem(0).getField("cid"))
@@ -177,13 +184,16 @@ object SimilarityOps {
                 .as("pc"))
       .select(col("qid"), col("qv"), col("qn"), col("pc.cid").as("cell"))
     val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("cell"))
+    val result = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
               round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= TopK)
       .orderBy("qid", "rn")
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    result
   }
 
   private val simAnnIvfSql =
@@ -209,9 +219,51 @@ object SimilarityOps {
        |SELECT qid, vec_id, cos_r, rn FROM ranked
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  // ---- one full k-means (Lloyd) iteration: the iterative-ML primitive
+  //      underlying IVF index training. Assignment is the same map-side
+  //      literal-centroid argmin as q50 (no shuffle); the centroid
+  //      update is ONE partial+final hash aggregate over (cell, dim)
+  //      pairs — at 100 TB that is a single shuffle of 16×64 partial
+  //      sums per map task, not of the data. Element sums are
+  //      floor(x·1e6) integer-quantized so the cross-engine mean is
+  //      exact (double summation order would otherwise differ). ----
+  def kmeansIter(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val candStructs = cellStructs(literalCentroids(all))
+    all
+      .withColumn("cell",
+        sort_array(array(candStructs.toIndexedSeq: _*)).getItem(0).getField("cid"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_members"),
+           ((sum(floor(col("x").cast("double") * 1000000.0).cast("long")).cast("double")
+             / 1000000.0) / count(lit(1))).as("new_c"))
+      .orderBy("cell", "dim")
+  }
+
+  private val kmeansIterSql =
+    s"""WITH $baseCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a AS (SELECT n.vec_id, n.v, c.cid,
+       |  -(${dotFoldSql("n.v", "c.cv")}) / (n.nrm * c.cn) AS negsim
+       |  FROM n CROSS JOIN c),
+       |r AS (SELECT vec_id, v, cid, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY negsim ASC, cid ASC) AS crn
+       |  FROM a),
+       |assigned AS (SELECT vec_id, v, cid AS cell FROM r WHERE crn = 1),
+       |x AS (SELECT cell, t.i - 1 AS dim,
+       |        CAST(floor(v[t.i] * 1000000.0) AS BIGINT) AS q
+       |      FROM assigned, range(1, ${Dim + 1}) t(i))
+       |SELECT cell, dim, COUNT(*) AS n_members,
+       | ((CAST(SUM(q) AS DOUBLE) / 1000000.0) / COUNT(*)) AS new_c
+       |FROM x GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
+    Q("q64_kmeans_iter", kmeansIter, Some(kmeansIterSql),
+      "one Lloyd iteration: argmin assignment + quantized centroid update"),
     Q("q39_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql),
       "random-hyperplane LSH ANN (bucket equi-join)"),
     Q("q50_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql),
