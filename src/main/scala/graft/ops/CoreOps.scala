@@ -361,7 +361,43 @@ object CoreOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---- exact percentiles per group: value at rank ceil(q·n) under a
+  //      total order — the deterministic, engine-agnostic definition
+  //      (percentile_disc upper variant). One range-partitioned sort +
+  //      two window passes; at 100 TB the approximate path is the
+  //      sketch query (q44), this is the exact-semantics lane. ----
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy("l_returnflag")
+    li(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+              col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+           max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("p50"),
+           max(when(col("rn") === ceil(col("n") * 0.9), col("l_quantity"))).as("p90"),
+           max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity"))).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  private val percentilesSql =
+    """SELECT l_returnflag, MAX(n) AS n,
+      | MAX(CASE WHEN rn = ceil(n * 0.5) THEN l_quantity END) AS p50,
+      | MAX(CASE WHEN rn = ceil(n * 0.9) THEN l_quantity END) AS p90,
+      | MAX(CASE WHEN rn = ceil(n * 0.99) THEN l_quantity END) AS p99
+      |FROM (SELECT l_returnflag, l_quantity,
+      |        row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q67_percentiles", percentiles, Some(percentilesSql),
+      "exact per-group percentiles (rank selection under total order)"),
     Q("q01_scan_agg", scanAgg, Some(scanAggSql),
       "flagship scan→filter→group→mean→sort (main.rs:143-152 shape)"),
     Q("q02_limit_prefix", limitPrefix, Some(limitPrefixSql), "O4 prefix limit"),

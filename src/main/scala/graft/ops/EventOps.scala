@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import graft.functions.Stable._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators over the `events` table (batch now; the same
@@ -126,7 +127,85 @@ object EventOps {
        |SELECT user_id, session_start, n_events, sum_value
        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- window frames: lag deltas + sliding ROWS-frame aggregates.
+  //      Gap is computed in exact epoch micros (unix_micros / epoch_us
+  //      — second-level truncation would diverge on sub-second
+  //      timestamps). The sliding sum is floor(x·1e6)-quantized: Spark
+  //      re-aggregates each frame left-to-right while DuckDB uses
+  //      segment trees, so raw double sums would differ in order;
+  //      integer sums are order-free. ----
+  def movingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-2, 0)
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("delta_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("mv3_sum",
+        sum(floor(col("value") * 1000000.0).cast("long")).over(frame)
+          .cast("double") / 1000000.0)
+      .withColumn("mv3_max", max(col("value")).over(frame))
+      .select(col("user_id"), col("event_id"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+              col("delta_us"), col("mv3_sum"), col("mv3_max"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val movingWindowSql =
+    """SELECT user_id, event_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS delta_us,
+      | CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER f AS DOUBLE)
+      |   / 1000000.0 AS mv3_sum,
+      | MAX(value) OVER f AS mv3_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       f AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---- range (interval) join, binned: count events inside overlapping
+  //      [h-30min, h+90min) windows. The naive formulation is a
+  //      BroadcastNestedLoopJoin (every row × every window — quadratic
+  //      at scale); binning each window to the hour buckets it covers
+  //      turns it into a broadcast EQUI-join on the bucket plus an
+  //      exact residual filter — the standard scale rewrite for
+  //      interval joins. The oracle uses the naive BETWEEN join:
+  //      identical semantics, so results must match exactly. ----
+  def rangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val wins = ev(s, d)
+      .select(date_trunc("hour", col("ts")).as("h")).distinct()
+      .select(col("h"),
+              (col("h") - expr("INTERVAL 30 MINUTES")).as("ws"),
+              (col("h") + expr("INTERVAL 90 MINUTES")).as("we"))
+    val winBuckets = wins.select(col("h"), col("ws"), col("we"),
+      explode(array(col("h") - expr("INTERVAL 1 HOUR"), col("h"),
+                    col("h") + expr("INTERVAL 1 HOUR"))).as("bkt"))
+    ev(s, d)
+      .withColumn("bkt", date_trunc("hour", col("ts")))
+      .join(broadcast(winBuckets), Seq("bkt"))
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+              col("n"), col("sum_value"))
+      .orderBy("wstart")
+  }
+
+  private val rangeJoinBinnedSql =
+    s"""WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+       |wins AS (SELECT h, h - INTERVAL 30 MINUTE AS ws,
+       |                h + INTERVAL 90 MINUTE AS we FROM hrs)
+       |SELECT strftime(w.h, '%Y-%m-%d %H:%M:%S') AS wstart,
+       | COUNT(*) AS n, ${dsumSql("e.value")} AS sum_value
+       |FROM wins w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+       |GROUP BY w.h ORDER BY wstart""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q65_moving_window", movingWindow, Some(movingWindowSql),
+      "lag deltas + sliding ROWS-frame aggregates (quantized exact)"),
+    Q("q66_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql),
+      "interval join binned to a broadcast equi-join + residual filter"),
     Q("q59_top_session", topSessionPerUser, Some(topSessionPerUserSql),
       "session windows composed with the custom TopKPerKey operator"),
     Q("q26_events_window", eventsWindow, Some(eventsWindowSql),
