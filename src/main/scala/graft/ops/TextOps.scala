@@ -284,6 +284,34 @@ object TextOps {
        |ORDER BY sig.doc_id""".stripMargin
   }
 
+  // ---- deterministic train/val/test split: hash-bucket assignment.
+  //      The reproducible-at-any-scale split primitive: membership is a
+  //      pure function of the stable doc key (never rand() — resuming,
+  //      re-running, or adding executors must not move documents
+  //      between splits). 90/5/5 via md5-hash bucket; per-split
+  //      stratification stats by language for skew inspection. ----
+  def datasetSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(hash64(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    docs(s, d)
+      .withColumn("split", split)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy("split", "lang")
+  }
+
+  private val datasetSplitSql = {
+    val bucket = s"((${hash64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100) + 100) % 100"
+    s"""SELECT CASE WHEN $bucket < 90 THEN 'train'
+       |            WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       | lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   // ---- document fingerprinting: rolling polynomial + md5-based ----
   def fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -311,5 +339,7 @@ object TextOps {
     Q("q61_pii_redact", piiRedact, Some(piiRedactSql),
       "regex PII/entity redaction, rewritten-text md5-verified"),
     Q("q62_repetition", repetition, Some(repetitionSql),
-      "Gopher-style repetition signals: dup n-gram + top-token fractions"))
+      "Gopher-style repetition signals: dup n-gram + top-token fractions"),
+    Q("q68_dataset_split", datasetSplit, Some(datasetSplitSql),
+      "deterministic hash-bucket train/val/test split, stratified stats"))
 }

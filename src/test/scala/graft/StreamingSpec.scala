@@ -89,6 +89,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Map(1L -> "gold", 3L -> "<none>"))
   }
 
+  test("stream-stream join: watermarked interval join of two event streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // impressions joined to clicks that happen within 10 minutes after —
+    // both sides watermarked so join state is evictable (the only
+    // stream-stream join shape that is bounded on an unbounded stream)
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val i = imps.toDF().toDF("its", "ad_id").withWatermark("its", "20 minutes")
+    val c = clicks.toDF().toDF("cts", "cad_id").withWatermark("cts", "20 minutes")
+    val joined = i.join(c,
+      expr("ad_id = cad_id AND cts >= its AND cts <= its + INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try {
+      imps.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      // click on ad 1 within the window; click on ad 2 far outside it
+      clicks.addData((ts("2024-01-01 00:05:00"), 1L),
+                     (ts("2024-01-01 01:00:00"), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_test").collect().map(_.getLong(1))
+    assert(rows.toSeq == Seq(1L), s"got ${rows.toSeq}")
+  }
+
   test("streaming sessionizer: batch-spanning session emitted exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
