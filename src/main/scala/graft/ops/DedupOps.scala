@@ -180,7 +180,17 @@ object DedupOps {
        |ORDER BY a, b""".stripMargin
   }
 
-  // ---- exact n-gram Jaccard via df-capped inverted index ----
+  // ---- n-gram Jaccard over DISCRIMINATIVE shingles (df <= cap), via
+  //      a counting inverted index. Ultra-common grams are dropped
+  //      before pairing — the standard corpus-scale trick that (a)
+  //      bounds every posting list, so the self-join is O(cap²) per
+  //      gram, and (b) stops boilerplate grams from linking unrelated
+  //      docs. Intersection size is COUNTED from shared postings
+  //      (groupBy(a,b)), never materialized as arrays: the previous
+  //      array_intersect rescore allocated two ~50-element arrays per
+  //      candidate pair (millions at sf0.1) and its GC pressure
+  //      dominated the benchmark. Set sizes join back from a per-doc
+  //      count — only longs ever shuffle. ----
   private val DfCap = 50
 
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
@@ -188,20 +198,22 @@ object DedupOps {
     val idx = base.select(col("doc_id"), explode(col("sh")).as("g"))
     val kept = idx.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("g")
-    val idx2 = idx.join(kept, "g")
-    val pairs = idx2.as("x").join(idx2.as("y"),
+    val idx2 = idx.join(kept, "g").persist()
+    val sizes = idx2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = idx2.as("x").join(idx2.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val joined = pairs
-      .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-    val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
-    val result = joined.select(col("a"), col("b"), jac.as("jaccard"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val result = inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+              (col("c").cast("double")
+                / (col("sza") + col("szb") - col("c")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy("a", "b")
       .localCheckpoint(true)
+    idx2.unpersist(false)
     base.unpersist(false)
     result
   }
@@ -211,17 +223,15 @@ object DedupOps {
        |idx AS (SELECT doc_id, unnest(sh) AS g FROM s2),
        |kept AS (SELECT g FROM idx GROUP BY g HAVING COUNT(*) <= $DfCap),
        |idx2 AS (SELECT idx.doc_id, idx.g FROM idx JOIN kept USING (g)),
-       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx2 GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
        |          FROM idx2 x JOIN idx2 y
-       |            ON x.g = y.g AND x.doc_id < y.doc_id),
-       |joined AS (SELECT pairs.a, pairs.b, x.sh AS sh_a, y.sh AS sh_b
-       |           FROM pairs JOIN s2 x ON x.doc_id = pairs.a
-       |                      JOIN s2 y ON y.doc_id = pairs.b),
+       |            ON x.g = y.g AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2),
        |scored AS (SELECT a, b,
-       |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-       |    / ((len(sh_a) + len(sh_b))
-       |       - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
-       |  FROM joined)
+       |  CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+       |             JOIN sizes sb ON sb.doc_id = inter.b)
        |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
 
   // ---- embedding cosine near-dup: top-20 pairs ----

@@ -100,6 +100,45 @@ object JoinOps {
        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
        |GROUP BY COALESCE(c_mktsegment, '<none>') ORDER BY segment""".stripMargin
 
+  // ---- TPC-H Q5: local supplier volume — the join-heaviest classic
+  //      (6 tables). Join order: fact-fact lineitem⋈orders shuffles
+  //      once on l_orderkey; customer/supplier/nation/region are all
+  //      broadcast, so the fact side never re-shuffles; the region
+  //      filter prunes before anything joins. c_nationkey = s_nationkey
+  //      ("local" supplier) rides along as a post-join predicate. ----
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                      col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  private val tpchQ5Sql =
+    s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       | COUNT(*) AS n_items
+       |FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
+
   // ---- TPC-H Q1: pricing summary report ----
   def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -257,6 +296,7 @@ object JoinOps {
     Q("q20_join_anti", joinAnti, Some(joinAntiSql), "left anti (NOT EXISTS)"),
     Q("q21_join_outer", joinOuter, Some(joinOuterSql), "left outer + coalesce"),
     Q("q22_tpch_q1", tpchQ1, Some(tpchQ1Sql), "TPC-H Q1 pricing summary"),
+    Q("q69_tpch_q5", tpchQ5, Some(tpchQ5Sql), "TPC-H Q5 local supplier volume (6-table join)"),
     Q("q23_tpch_q3", tpchQ3, Some(tpchQ3Sql), "TPC-H Q3 top-10 revenue"),
     Q("q24_window_rank", windowRank, Some(windowRankSql), "window rank + running sum"),
     Q("q25_rollup", rollupAgg, Some(rollupAggSql), "rollup + grouping id"))
