@@ -100,7 +100,51 @@ object MultimodalOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Frame-level generator: one media payload → N sampled-frame rows
+    * (the video path's 1→N expansion — sample frames, then run
+    * per-frame features downstream). Same partition-batched decoder
+    * handle; the expansion happens executor-side as a typed flatMap,
+    * so a 100 TB video corpus becomes a frame table without any
+    * driver involvement or shuffle (the generator is map-side).
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import FakeDecoder.{FrameBytes, FrameStride}
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    media
+      .mapPartitions { rows =>
+        val handle = new FakeDecoder.Handle
+        rows.flatMap { r =>
+          val totalFrames = (r.content.length + FrameBytes - 1) / FrameBytes
+          (0 until totalFrames by FrameStride).iterator.map { f =>
+            val frame = r.content.slice(f * FrameBytes,
+              math.min((f + 1) * FrameBytes, r.content.length))
+            FrameRow(r.doc_id, f, handle.h15(frame))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameSampleSql = {
+    import FakeDecoder.{FrameBytes => FB, FrameStride => FS}
+    val len = "octet_length(CAST(text AS BLOB))"
+    s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       | ${hash64Sql(s"substr(text, 1 + i * $FB, $FB)")} AS frame_hash
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, CAST(($len + ${FB - 1}) // $FB AS BIGINT), $FS)) AS i
+       |      FROM documents)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
-      "binary media column -> partition-batched (stub) decode -> features"))
+      "binary media column -> partition-batched (stub) decode -> features"),
+    Q("q70_frame_sample", frameSample, Some(frameSampleSql),
+      "media payload -> sampled per-frame rows (map-side 1->N generator)"))
 }

@@ -89,6 +89,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Map(1L -> "gold", 3L -> "<none>"))
   }
 
+  test("foreachBatch sink: batchId-keyed writes are idempotent under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val seen = scala.collection.mutable.ListBuffer[Long]()
+    val q = mem.toDF().toDF("ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        seen += batchId
+        // the exactly-once recipe: deterministic per-batch target +
+        // overwrite — replaying a batch after a crash rewrites the same
+        // files instead of duplicating rows
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        // simulate the replay: writing the same batch again must be a no-op
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:01:00"), 2L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:02:00"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(outDir).select("v").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L), s"replayed writes must not duplicate: ${rows.toSeq}")
+    assert(seen.nonEmpty)
+  }
+
   test("stream-stream join: watermarked interval join of two event streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
