@@ -296,6 +296,38 @@ object CoreOps {
        |FROM lineitem WHERE l_quantity > 30
        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- corrupt-tolerant ingest: PERMISSIVE JSON read with a corrupt-
+  //      record column. Raw landing zones at 100 TB always contain
+  //      malformed lines; the pipeline must quarantine them as data
+  //      (count, inspect, reprocess) rather than fail the job or drop
+  //      them silently. Corruption here is injected deterministically
+  //      (every 100th doc id) so the oracle can reproduce the exact
+  //      good/bad partition from the clean table. ----
+  def corruptTolerantRead(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_badjson_${math.abs(d.hashCode)}"
+    Tables.documents(s, d)
+      .select(when(col("doc_id") % 100 === 0, concat(lit("{corrupt!! "), col("doc_id")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang")))).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("_bad", StringType)))
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema)
+      .json(tmp)
+      .groupBy(coalesce(col("lang"), lit("<corrupt>")).as("category"))
+      .agg(count(lit(1)).as("n"), count(col("_bad")).as("n_bad"))
+      .orderBy("category")
+  }
+
+  private val corruptTolerantReadSql =
+    """SELECT CASE WHEN doc_id % 100 = 0 THEN '<corrupt>' ELSE lang END AS category,
+      | COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |FROM documents GROUP BY 1 ORDER BY category""".stripMargin
+
   // ---- top-k: orderBy+limit → TakeOrderedAndProject (no full sort) ----
   def topK(s: SparkSession, d: String): DataFrame =
     li(s, d)
@@ -415,6 +447,8 @@ object CoreOps {
     Q("q13_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), "O3/O5 CSV write+read"),
     Q("q60_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql),
       "ORC sink+source roundtrip with scan-pushed filter"),
+    Q("q71_corrupt_read", corruptTolerantRead, Some(corruptTolerantReadSql),
+      "PERMISSIVE JSON ingest: malformed lines quarantined as data"),
     Q("q14_topk", topK, Some(topKSql), "orderBy+limit → TakeOrderedAndProject"),
     Q("q15_distinct", distinctPairs, Some(distinctPairsSql), "distinct"),
     Q("q16_set_ops", setOps, Some(setOpsSql), "union/intersect/except"),
