@@ -312,6 +312,41 @@ object TextOps {
        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   }
 
+  // ---- sequence packing: bin documents into fixed token budgets
+  //      (sequential greedy fill, per source). The LLM data-prep step
+  //      that turns a doc table into training sequences: a doc's bin is
+  //      floor(tokens-before-it / budget) under a stable per-source
+  //      order — deterministic under any partitioning, and parallel per
+  //      source (each source packs independently; the only sort is
+  //      within a source partition). ----
+  private val PackBudget = 4096L
+
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("running", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(running - n_tok) div $PackBudget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .orderBy("source", "bin")
+  }
+
+  private val seqPackSql =
+    s"""WITH t AS (SELECT source, doc_id,
+       |             CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |r AS (SELECT source, doc_id, n_tok,
+       |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS running
+       |      FROM t)
+       |SELECT source, (running - n_tok) // $PackBudget AS bin,
+       | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+       |FROM r GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   // ---- document fingerprinting: rolling polynomial + md5-based ----
   def fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -341,5 +376,7 @@ object TextOps {
     Q("q62_repetition", repetition, Some(repetitionSql),
       "Gopher-style repetition signals: dup n-gram + top-token fractions"),
     Q("q68_dataset_split", datasetSplit, Some(datasetSplitSql),
-      "deterministic hash-bucket train/val/test split, stratified stats"))
+      "deterministic hash-bucket train/val/test split, stratified stats"),
+    Q("q72_seq_pack", seqPack, Some(seqPackSql),
+      "sequence packing: per-source token-budget binning (running sum)"))
 }
