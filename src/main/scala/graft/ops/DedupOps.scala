@@ -349,9 +349,71 @@ object DedupOps {
        |FROM labels WHERE node <> label ORDER BY doc_id""".stripMargin
   }
 
+  // ---- PageRank (3 fixed iterations) over the near-dup graph: ranks
+  //      centrality inside duplicate clusters (which doc is the "hub"
+  //      of a template family). All arithmetic is integer micro-units —
+  //      rank/deg and the 0.85 damping use integer division — so
+  //      per-node sums are order-independent and the unrolled-CTE
+  //      oracle matches bit-for-bit; float PageRank would drift with
+  //      summation order. Per-iteration plan shape is one equi-join +
+  //      one hash aggregate (the Pregel step), same as q58. ----
+  private val PrIters = 3
+
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhash(s, d).select(col("a"), col("b")).persist()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint(true)
+    var ranks = deg.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(ranks.select(col("node").as("src"), expr("r div deg").as("c")), "src")
+        .select(col("dst").as("node"), col("c"))
+      val summed = contrib.groupBy("node").agg(sum(col("c")).as("sc"))
+      ranks = deg
+        .join(summed, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+                (lit(150000L) + expr("(coalesce(sc, 0L) * 85) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    val result = ranks
+      .select(col("node").as("doc_id"), col("r").as("rank_micro"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    edges.unpersist(false)
+    result
+  }
+
+  private val pagerankSql = {
+    val pairsCte = dedupMinhashSql
+      .replaceFirst("(?s)SELECT a, b, est_j, jaccard FROM scored.*",
+        "SELECT a, b FROM scored WHERE est_j >= 0.5")
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, CAST(SUM(r${k - 1}.r // r${k - 1}.deg) AS BIGINT) AS sc
+         |        FROM edges e JOIN r${k - 1} ON e.src = r${k - 1}.node GROUP BY e.dst),
+         |r$k AS (SELECT d.node, d.deg,
+         |          CAST(150000 + (COALESCE(c$k.sc, 0) * 85) // 100 AS BIGINT) AS r
+         |        FROM deg d LEFT JOIN c$k ON c$k.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($pairsCte),
+       |edges AS (SELECT a AS src, b AS dst FROM base
+       |          UNION ALL SELECT b AS src, a AS dst FROM base),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT node AS doc_id, r AS rank_micro FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
+    Q("q74_pagerank", pagerank, Some(pagerankSql),
+      "integer-quantized PageRank (3 iters) over the near-dup graph"),
     Q("q33_dedup_exact", dedupExact, Some(dedupExactSql),
       "exact dedup via hash-groupBy"),
     Q("q34_dedup_minhash", dedupMinhash, Some(dedupMinhashSql),

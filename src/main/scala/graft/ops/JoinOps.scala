@@ -139,6 +139,39 @@ object JoinOps {
        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  // ---- TPC-H Q10: returned-item customer ranking — join + top-k
+  //      composite: fact-fact shuffle, broadcast dims, then
+  //      TakeOrderedAndProject for the top-20 (no full sort). ----
+  def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                      col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  private val tpchQ10Sql =
+    s"""SELECT c_custkey, c_name, n_name,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       | COUNT(*) AS n_items
+       |FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   // ---- TPC-H Q1: pricing summary report ----
   def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -297,6 +330,7 @@ object JoinOps {
     Q("q21_join_outer", joinOuter, Some(joinOuterSql), "left outer + coalesce"),
     Q("q22_tpch_q1", tpchQ1, Some(tpchQ1Sql), "TPC-H Q1 pricing summary"),
     Q("q69_tpch_q5", tpchQ5, Some(tpchQ5Sql), "TPC-H Q5 local supplier volume (6-table join)"),
+    Q("q73_tpch_q10", tpchQ10, Some(tpchQ10Sql), "TPC-H Q10 returned-item top-20 (join + TakeOrdered)"),
     Q("q23_tpch_q3", tpchQ3, Some(tpchQ3Sql), "TPC-H Q3 top-10 revenue"),
     Q("q24_window_rank", windowRank, Some(windowRankSql), "window rank + running sum"),
     Q("q25_rollup", rollupAgg, Some(rollupAggSql), "rollup + grouping id"))
