@@ -328,6 +328,38 @@ object CoreOps {
       | CAST(SUM(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
       |FROM documents GROUP BY 1 ORDER BY category""".stripMargin
 
+  // ---- schema evolution: mergeSchema over partitioned parquet written
+  //      by two writer generations (v2 added a column). The production
+  //      reality of long-lived 100 TB datasets: readers must span
+  //      writer versions; partition discovery turns the directory
+  //      layout into a `v` column and missing columns read as NULL. ----
+  def schemaMerge(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_schevo_${math.abs(d.hashCode)}"
+    val base = li(s, d)
+    base.filter(col("l_linenumber") === 1)
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/v=1")
+    base.filter(col("l_linenumber") === 2)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/v=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           count(col("l_extendedprice")).as("n_price"))
+      .orderBy("v")
+  }
+
+  private val schemaMergeSql =
+    s"""SELECT v, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty,
+       | COUNT(l_extendedprice) AS n_price
+       |FROM (SELECT 1 AS v, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
+       |      FROM lineitem WHERE l_linenumber = 1
+       |      UNION ALL
+       |      SELECT 2 AS v, l_quantity, l_extendedprice
+       |      FROM lineitem WHERE l_linenumber = 2)
+       |GROUP BY v ORDER BY v""".stripMargin
+
   // ---- top-k: orderBy+limit → TakeOrderedAndProject (no full sort) ----
   def topK(s: SparkSession, d: String): DataFrame =
     li(s, d)
@@ -449,6 +481,8 @@ object CoreOps {
       "ORC sink+source roundtrip with scan-pushed filter"),
     Q("q71_corrupt_read", corruptTolerantRead, Some(corruptTolerantReadSql),
       "PERMISSIVE JSON ingest: malformed lines quarantined as data"),
+    Q("q76_schema_merge", schemaMerge, Some(schemaMergeSql),
+      "mergeSchema across writer generations + partition discovery"),
     Q("q14_topk", topK, Some(topKSql), "orderBy+limit → TakeOrderedAndProject"),
     Q("q15_distinct", distinctPairs, Some(distinctPairsSql), "distinct"),
     Q("q16_set_ops", setOps, Some(setOpsSql), "union/intersect/except"),

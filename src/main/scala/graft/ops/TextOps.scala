@@ -347,6 +347,45 @@ object TextOps {
        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
        |FROM r GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  // ---- data mixing: per-source quotas under a deterministic shuffle.
+  //      Mixture weights are the other half of dataset curation (dedup
+  //      removes, mixing re-balances): each source contributes at most
+  //      its quota, chosen by rank under a hash-derived pseudo-random
+  //      order — so the SELECTED SET is a pure function of the data,
+  //      stable across runs/partitionings. The sum(doc_id) checksum in
+  //      the output proves both engines picked the identical set, not
+  //      just the same counts. ----
+  def dataMix(s: SparkSession, d: String): DataFrame = {
+    val cap = when(expr("CAST(substr(source, 4, 10) AS INT)") < 5, 20)
+      .when(expr("CAST(substr(source, 4, 10) AS INT)") < 10, 10)
+      .otherwise(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(hash64(concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs(s, d)
+      .withColumn("cap", cap)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("cap"))
+      .groupBy("source")
+      .agg(max(col("cap")).as("cap"), count(lit(1)).as("n_sel"),
+           sum(col("doc_id")).as("id_checksum"))
+      .orderBy("source")
+  }
+
+  private val dataMixSql = {
+    val h = hash64Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH capped AS (SELECT source, doc_id,
+       |  CASE WHEN CAST(substr(source, 4, 10) AS INT) < 5 THEN 20
+       |       WHEN CAST(substr(source, 4, 10) AS INT) < 10 THEN 10
+       |       ELSE 5 END AS cap,
+       |  row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, MAX(cap) AS cap, COUNT(*) AS n_sel,
+       | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM capped WHERE rn <= cap
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- document fingerprinting: rolling polynomial + md5-based ----
   def fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -378,5 +417,7 @@ object TextOps {
     Q("q68_dataset_split", datasetSplit, Some(datasetSplitSql),
       "deterministic hash-bucket train/val/test split, stratified stats"),
     Q("q72_seq_pack", seqPack, Some(seqPackSql),
-      "sequence packing: per-source token-budget binning (running sum)"))
+      "sequence packing: per-source token-budget binning (running sum)"),
+    Q("q75_data_mix", dataMix, Some(dataMixSql),
+      "source mixing quotas under deterministic hash-shuffle selection"))
 }
