@@ -65,6 +65,86 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TopKPerKey == window row_number formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 5) {
+      val df = randomDf(seed)
+      val k = 1 + seed % 4
+      val viaOp = plans.TopKPerKey.topKPerKey(df,
+          Seq(col("category")), Seq(col("value").desc, col("id").asc), k)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val w = Window.partitionBy("category").orderBy(col("value").desc, col("id").asc)
+      val viaWin = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaOp.sameElements(viaWin), s"seed=$seed k=$k")
+    }
+  }
+
+  test("TopKRankPushdown rule is result-preserving (rule on == rule off)") {
+    import org.apache.spark.sql.expressions.Window
+    def query(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("category").orderBy(col("value").asc, col("id").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    }
+    val df = randomDf(11)
+    val withRule = query(df)
+    assert(withRule.queryExecution.optimizedPlan
+      .collect { case t: plans.TopKPerKey => t }.nonEmpty, "rule should fire")
+    val on = withRule.collect().map(_.toSeq).sortBy(_.toString)
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.optimizer.excludedRules")
+    conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKRankPushdown")
+    try {
+      val withoutRule = query(df)
+      assert(withoutRule.queryExecution.optimizedPlan
+        .collect { case t: plans.TopKPerKey => t }.isEmpty, "rule should be excluded")
+      val off = withoutRule.collect().map(_.toSeq).sortBy(_.toString)
+      assert(on.sameElements(off))
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.optimizer.excludedRules", v)
+      case None => conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  test("dedupClusters == union-find ground truth on the same pairs") {
+    val pairs = ops.DedupOps.dedupMinhash(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent union-find over the identical edge set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = parent.keys.map(n => n -> find(n)).filter { case (n, r) => n != r }
+      .toSeq.sorted
+    val got = ops.DedupOps.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == expected)
+  }
+
+  test("seqPack: bins contiguous in doc order, totals preserved, budget law") {
+    val bins = ops.TextOps.seqPack(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per source: bins start at 0; every bin except possibly the last
+    // holds >= budget boundary logic: a doc STARTS in bin floor(prefix/B),
+    // so consecutive bins cover a contiguous doc range and bin ids rise
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids.head == 0, s"$src first bin != 0")
+      assert(ids.distinct.length == ids.length, s"$src duplicate bins")
+      // total docs across bins == docs of that source with >= 0 tokens
+      val totalDocs = bs.map(_._3).sum
+      val srcDocs = Tables.documents(spark, sf)
+        .filter(col("source") === src).count()
+      assert(totalDocs == srcDocs, s"$src doc count drift")
+    }
+  }
+
   test("broadcast join == shuffle join (strategy-independence)") {
     val big = randomDf(7)
     val dim = {
