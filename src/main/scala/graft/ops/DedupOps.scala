@@ -368,6 +368,10 @@ object DedupOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .localCheckpoint(true)
+    // fixed 3 iterations: the composed plan stays bounded (3 join
+    // levels over the cached edges/deg), so unlike the open-ended q58
+    // loop there is nothing to gain from per-round checkpoints — they
+    // would cost three eager materialization jobs
     var ranks = deg.withColumn("r", lit(1000000L))
     for (_ <- 1 to PrIters) {
       val contrib = edges
@@ -378,7 +382,6 @@ object DedupOps {
         .join(summed, Seq("node"), "left")
         .select(col("node"), col("deg"),
                 (lit(150000L) + expr("(coalesce(sc, 0L) * 85) div 100")).as("r"))
-        .localCheckpoint(true)
     }
     val result = ranks
       .select(col("node").as("doc_id"), col("r").as("rank_micro"))
