@@ -13,18 +13,7 @@ object DevTime {
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-devtime")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.files.openCostInBytes", "128k")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.benchSession("graft-devtime")
     spark.sparkContext.setLogLevel("WARN")
     Registry.all.filter(q => names.contains(q.name)).foreach { q =>
       val times = (1 to reps).map { _ =>

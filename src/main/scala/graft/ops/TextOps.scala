@@ -235,9 +235,14 @@ object TextOps {
   }
 
   def repetition(s: SparkSession, d: String): DataFrame = {
+    // persist: base feeds BOTH the per-doc signal branch and the
+    // explode→agg top-token branch — without it the scan + repartition
+    // + regex tokenization run twice (r2 review finding; same rule as
+    // DedupOps.shingled)
     val base = docs(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist()
     val sig = base.select(
       col("doc_id"),
       size(col("toks")).as("n_tok"),
@@ -255,11 +260,14 @@ object TextOps {
     val top = base.select(col("doc_id"), explode(col("toks")).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
-    sig.join(top, "doc_id")
+    val result = sig.join(top, "doc_id")
       .select(col("doc_id"), col("n_tok"), col("dup2_frac"), col("dup3_frac"),
               (col("top_cnt").cast("double") / col("n_tok").cast("double"))
                 .as("top_tok_frac"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    base.unpersist(false)
+    result
   }
 
   private val repetitionSql = {

@@ -146,11 +146,24 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(st) if t - st.last <= gapMs =>
-                  cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
-                case Some(st) =>
+                // merge window is [start-gap, last+gap]: a late event from
+                // an earlier micro-batch (still above the watermark) must
+                // extend the session BACKWARD without rewinding `last` —
+                // st.copy(last = t) here would re-arm the timeout in the
+                // past and split a session that session_window semantics
+                // keep whole (r2 review finding)
+                case Some(st) if t - st.last <= gapMs && st.start - t <= gapMs =>
+                  cur = Some(st.copy(
+                    start = math.min(st.start, t), last = math.max(st.last, t),
+                    n = st.n + 1, sum = st.sum + e.value))
+                case Some(st) if t > st.last =>
                   out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, st.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(st) =>
+                  // older than start-gap: a distinct earlier session; it is
+                  // final (any sibling event would also be late and the
+                  // current session already bounds it from above)
+                  out += SessionOut(uid, new java.sql.Timestamp(t), 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
@@ -172,8 +185,13 @@ object StreamingOps {
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val qname = "graft_sdedup_" + java.lang.Integer.toHexString(d.hashCode)
+    // ORACLE LANE CONSTRAINT: equality with batch COUNT(DISTINCT) needs
+    // the dedup state to outlive the whole event-time span (~30 days of
+    // testdata) — a shorter watermark would evict state mid-stream and
+    // re-emit pairs under multi-batch delivery. Production streams pick
+    // the watermark for state size, accepting window-scoped dedup.
     val q = streamingEvents(s, d)
-      .withWatermark("ts", "24 hours")
+      .withWatermark("ts", "45 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .writeStream
       .outputMode("append")

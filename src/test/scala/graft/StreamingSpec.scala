@@ -175,6 +175,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(u1.toSeq == Seq(("2024-01-01 00:00:00.0", 3, 6.0)), s"got ${u1.toSeq}")
   }
 
+  test("streaming sessionizer: late in-gap event does not rewind or split the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    // generous watermark delay so the late event is NOT dropped
+    val sessions = StreamingOps.sessionizeStreaming(
+      mem.toDS().withWatermark("ts", "30 minutes").as[StreamingOps.Evt],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    try {
+      mem.addData(Evt(1, ts("2024-01-01 00:00:00"), 1.0),
+                  Evt(1, ts("2024-01-01 00:09:00"), 2.0))
+      q.processAllAvailable()
+      // LATE event (00:02, older than state.last=00:09) — merging it
+      // must not rewind `last`, or the next on-time event would split
+      mem.addData(Evt(1, ts("2024-01-01 00:02:00"), 3.0))
+      q.processAllAvailable()
+      mem.addData(Evt(1, ts("2024-01-01 00:15:00"), 4.0))
+      q.processAllAvailable()
+      // push the watermark far past last+gap to flush
+      mem.addData(Evt(2, ts("2024-01-01 03:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(Evt(2, ts("2024-01-01 06:00:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("sess_ooo").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+    // ONE session 00:00..00:15 with all 4 events — session_window
+    // semantics (00:09→00:15 gap is 6min <= 10min)
+    assert(u1.toSeq == Seq(("2024-01-01 00:00:00.0", 4, 10.0)), s"got ${u1.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode) == session_window") {
     import spark.implicits._
     val events = Seq(
