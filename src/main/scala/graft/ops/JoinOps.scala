@@ -172,6 +172,67 @@ object JoinOps {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  // ---- SQL-lane per-key top-k: the same row_number()<=k idiom a SQL
+  //      user writes, submitted as TEXT through spark.sql — planned
+  //      through the custom TopKPerKey operator by the TopKRankPushdown
+  //      rule with zero API involvement (the point of shipping the
+  //      rewrite as an optimizer rule rather than a helper function).
+  //      PlanShapeSpec asserts the operator appears in this plan. ----
+  def sqlTopKPerKey(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+      FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+              row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem_v)
+      WHERE rn <= 5
+      ORDER BY l_returnflag, rn""")
+  }
+
+  private val sqlTopKPerKeySql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+      |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |        row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |      FROM lineitem)
+      |WHERE rn <= 5
+      |ORDER BY l_returnflag, rn""".stripMargin
+
+  // ---- multi-format federation: one aggregate over three slices of
+  //      the same logical table living in three formats (parquet
+  //      testdata + CSV and ORC copies written by their roundtrip
+  //      queries' sink paths). The lakehouse reality: long-lived data
+  //      spans formats; the engine unions them into one plan with
+  //      per-source pushdown intact. ----
+  def federatedUnion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmpBase = System.getProperty("java.io.tmpdir")
+    val li = Tables.lineitem(s, d)
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    // stage the CSV and ORC copies (a real lake already has these)
+    val csvDir = s"$tmpBase/graft_fed_csv_${math.abs(d.hashCode)}"
+    val orcDir = s"$tmpBase/graft_fed_orc_${math.abs(d.hashCode)}"
+    li.filter(col("l_linenumber") === 1).select(cols.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    li.filter(col("l_linenumber") === 2).select(cols.map(col): _*)
+      .write.mode("overwrite").orc(orcDir)
+    val csvSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val fromCsv = s.read.option("header", "true").schema(csvSchema).csv(csvDir)
+    val fromOrc = s.read.orc(orcDir)
+    val fromParquet = li.filter(col("l_linenumber") >= 3).select(cols.map(col): _*)
+    fromCsv.unionByName(fromOrc).unionByName(fromParquet)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val federatedUnionSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- TPC-H Q1: pricing summary report ----
   def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -331,6 +392,10 @@ object JoinOps {
     Q("q22_tpch_q1", tpchQ1, Some(tpchQ1Sql), "TPC-H Q1 pricing summary"),
     Q("q69_tpch_q5", tpchQ5, Some(tpchQ5Sql), "TPC-H Q5 local supplier volume (6-table join)"),
     Q("q73_tpch_q10", tpchQ10, Some(tpchQ10Sql), "TPC-H Q10 returned-item top-20 (join + TakeOrdered)"),
+    Q("q77_sql_topk", sqlTopKPerKey, Some(sqlTopKPerKeySql),
+      "SQL-text row_number()<=k planned through TopKPerKey by the rule"),
+    Q("q78_federated_union", federatedUnion, Some(federatedUnionSql),
+      "one aggregate over CSV + ORC + parquet slices of one table"),
     Q("q23_tpch_q3", tpchQ3, Some(tpchQ3Sql), "TPC-H Q3 top-10 revenue"),
     Q("q24_window_rank", windowRank, Some(windowRankSql), "window rank + running sum"),
     Q("q25_rollup", rollupAgg, Some(rollupAggSql), "rollup + grouping id"))
