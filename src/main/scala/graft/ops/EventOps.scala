@@ -201,7 +201,31 @@ object EventOps {
        |FROM wins w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
        |GROUP BY w.h ORDER BY wstart""".stripMargin
 
+  // ---- VARIANT lane (Spark 4 semi-structured type): parse the JSON
+  //      props column ONCE into a variant, extract typed fields from
+  //      the binary-encoded value — the modern replacement for
+  //      re-parsing JSON text per extraction (q28's shape). Oracle via
+  //      DuckDB's JSON extraction: same fields, same types. ----
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("pv", parse_json(col("props")))
+      .withColumn("k", try_variant_get(col("pv"), "$.k", "long"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("bucket")
+
+  private val variantExtractSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q79_variant", variantExtract, Some(variantExtractSql),
+      "Spark 4 VARIANT: parse props once, typed extraction from binary"),
     Q("q65_moving_window", movingWindow, Some(movingWindowSql),
       "lag deltas + sliding ROWS-frame aggregates (quantized exact)"),
     Q("q66_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql),

@@ -233,6 +233,26 @@ object JoinOps {
     s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- scalar subquery: filter against a computed global aggregate
+  //      ("items priced above the corpus mean"). One SQL template
+  //      serves BOTH engines — the threshold is the decimal-stabilized
+  //      mean, so the subquery's value is bit-identical and the filter
+  //      cuts the same rows. Spark plans the subquery as a broadcast
+  //      scalar (one extra job), not a per-row recomputation. ----
+  private def scalarSubqueryText(table: String): String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       | ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM $table
+       |WHERE l_extendedprice >
+       |  (SELECT ${dsumSql("l_extendedprice")} / COUNT(l_extendedprice)
+       |   FROM $table)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+    s.sql(scalarSubqueryText("lineitem_sq"))
+  }
+
   // ---- TPC-H Q1: pricing summary report ----
   def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -396,6 +416,8 @@ object JoinOps {
       "SQL-text row_number()<=k planned through TopKPerKey by the rule"),
     Q("q78_federated_union", federatedUnion, Some(federatedUnionSql),
       "one aggregate over CSV + ORC + parquet slices of one table"),
+    Q("q80_scalar_subquery", scalarSubquery, Some(scalarSubqueryText("lineitem")),
+      "filter vs computed global aggregate (shared SQL template)"),
     Q("q23_tpch_q3", tpchQ3, Some(tpchQ3Sql), "TPC-H Q3 top-10 revenue"),
     Q("q24_window_rank", windowRank, Some(windowRankSql), "window rank + running sum"),
     Q("q25_rollup", rollupAgg, Some(rollupAggSql), "rollup + grouping id"))
