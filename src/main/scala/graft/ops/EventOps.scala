@@ -216,12 +216,11 @@ object EventOps {
       .orderBy("bucket")
 
   private val variantExtractSql =
-    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
-      | COUNT(*) AS n,
-      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+    """SELECT k % 10 AS bucket, COUNT(*) AS n,
+      | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q79_variant", variantExtract, Some(variantExtractSql),

@@ -210,13 +210,19 @@ object JoinOps {
     val tmpBase = System.getProperty("java.io.tmpdir")
     val li = Tables.lineitem(s, d)
     val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    // stage the CSV and ORC copies (a real lake already has these)
+    // stage the CSV and ORC copies ONCE per dataset — a real lake
+    // already has these; re-writing them per build would make every
+    // bench rep measure staging I/O instead of the federated read
     val csvDir = s"$tmpBase/graft_fed_csv_${math.abs(d.hashCode)}"
     val orcDir = s"$tmpBase/graft_fed_orc_${math.abs(d.hashCode)}"
-    li.filter(col("l_linenumber") === 1).select(cols.map(col): _*)
-      .write.mode("overwrite").option("header", "true").csv(csvDir)
-    li.filter(col("l_linenumber") === 2).select(cols.map(col): _*)
-      .write.mode("overwrite").orc(orcDir)
+    if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
+      li.filter(col("l_linenumber") === 1).select(cols.map(col): _*)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+    }
+    if (!new java.io.File(s"$orcDir/_SUCCESS").exists()) {
+      li.filter(col("l_linenumber") === 2).select(cols.map(col): _*)
+        .write.mode("overwrite").orc(orcDir)
+    }
     val csvSchema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
       StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
@@ -244,8 +250,7 @@ object JoinOps {
        | ${dsumSql("l_extendedprice")} AS sum_price
        |FROM $table
        |WHERE l_extendedprice >
-       |  (SELECT ${dsumSql("l_extendedprice")} / COUNT(l_extendedprice)
-       |   FROM $table)
+       |  (SELECT ${dmeanSql("l_extendedprice")} FROM $table)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def scalarSubquery(s: SparkSession, d: String): DataFrame = {

@@ -40,21 +40,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"TopKRankPushdown did not fire on SQL text:\n$plan")
   }
 
-  test("q60/q78 ORC and CSV scans keep filter pushdown") {
+  test("q60/q78: ORC scan and the federated parquet slice keep filter pushdown") {
     val orc = physical("q60_orc_roundtrip")
     assert(orc.contains("PushedFilters: [") &&
       orc.contains("GreaterThan(l_quantity,30"),
       s"ORC scan lost the pushed filter:\n$orc")
+    // q78: the l_linenumber >= 3 slice filter must reach the parquet
+    // scan (per-source pushdown through the union)
+    val fed = physical("q78_federated_union")
+    assert(fed.contains("GreaterThanOrEqual(l_linenumber,3"),
+      s"federated parquet slice lost its pushed filter:\n$fed")
   }
 
-  test("q64 k-means: no shuffle before the partial aggregate (map-side argmin)") {
+  test("q64 k-means: no planner-forced shuffle below the partial aggregate") {
     val plan = physical("q64_kmeans_iter")
-    // the plan below the first HashAggregate must be shuffle-free:
-    // scan → repartition-by-id exchange is allowed (input staging), but
-    // no join/exchange may sit between the generate and the partial agg
-    val lines = plan.linesIterator.toVector
-    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
-    assert(aggIdx >= 0)
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    // everything below the PARTIAL HashAggregate (the last one printed)
+    // is the argmin assignment + generate: the only exchange allowed
+    // there is the explicit input-staging repartition (REPARTITION_BY_COL)
+    // — an ENSURE_REQUIREMENTS exchange would mean the assignment
+    // stopped being map-side
+    val lines = plan.linesIterator.toVector
+    val partialIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(partialIdx >= 0, s"no HashAggregate in:\n$plan")
+    val below = lines.drop(partialIdx + 1)
+    val forced = below.filter(l =>
+      l.contains("Exchange") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(forced.isEmpty,
+      s"planner-forced shuffle below the partial aggregate:\n${forced.mkString("\n")}\n$plan")
   }
 }
