@@ -349,6 +349,43 @@ object DedupOps {
        |FROM labels WHERE node <> label ORDER BY doc_id""".stripMargin
   }
 
+  // ---- benchmark decontamination: flag corpus documents sharing any
+  //      exact 8-gram with a held-out benchmark set (doc_id < 20 stands
+  //      in for an eval suite). The scale shape: eval suites are tiny,
+  //      so their distinct gram-hash set BROADCASTS and the 100 TB
+  //      corpus streams past it — no shuffle of the corpus, no index
+  //      build. Grams travel as md5-derived longs (both engines hash
+  //      identically), matching the other dedup ops' currency. ----
+  private val DecontamN = 8
+  private val BenchIds = 20
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DecontamN)
+      .select(col("doc_id"),
+              explode(hashedShingles(shingles(col("toks"), DecontamN))).as("g"))
+    val bench = grams.filter(col("doc_id") < BenchIds).select("g").distinct()
+    grams.filter(col("doc_id") >= BenchIds)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql = {
+    val grams = hashedShinglesSql(shinglesSql("toks", DecontamN))
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest($grams) AS g
+       |      FROM t WHERE len(toks) >= $DecontamN),
+       |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < $BenchIds)
+       |SELECT g.doc_id, COUNT(*) AS n_shared
+       |FROM g JOIN bench USING (g)
+       |WHERE g.doc_id >= $BenchIds
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- PageRank (3 fixed iterations) over the near-dup graph: ranks
   //      centrality inside duplicate clusters (which doc is the "hub"
   //      of a template family). All arithmetic is integer micro-units —
@@ -417,6 +454,8 @@ object DedupOps {
       "near-dup pairs -> connected components -> canonical doc per cluster"),
     Q("q74_pagerank", pagerank, Some(pagerankSql),
       "integer-quantized PageRank (3 iters) over the near-dup graph"),
+    Q("q81_decontaminate", decontaminate, Some(decontaminateSql),
+      "benchmark decontamination: broadcast gram set vs streamed corpus"),
     Q("q33_dedup_exact", dedupExact, Some(dedupExactSql),
       "exact dedup via hash-groupBy"),
     Q("q34_dedup_minhash", dedupMinhash, Some(dedupMinhashSql),
