@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.VecDot
+import graft.expressions.{MinHashSig, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"arguments, got ${children.length}")
         }
         VecDot(children(0), children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 1) {
+          throw new IllegalArgumentException(
+            s"minhash_sig(array<bigint>) takes 1 argument, got ${children.length}")
+        }
+        MinHashSig(children.head)
       }))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     e.injectOptimizerRule(_ => graft.plans.TopKRankPushdown)

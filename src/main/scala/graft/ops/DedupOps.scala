@@ -80,7 +80,11 @@ object DedupOps {
   // frame is unreferenced.
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    val base = sh.withColumn("sig", minhashSigFromHashes(col("sh")))
+    // native fused kernel (one pass over the gram set for all 16
+    // permutations) — bit-identical to minhashSigFromHashes, proven by
+    // MinHashSigSpec, so the SQL twin below is unchanged
+    val base = sh.withColumn("sig",
+      graft.expressions.MinHashSig.minhashSig(col("sh")))
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
