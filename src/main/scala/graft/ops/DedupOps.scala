@@ -79,6 +79,19 @@ object DedupOps {
   // themselves are reclaimed by the ContextCleaner once the returned
   // frame is unreferenced.
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val (result, sh) = dedupMinhashLazy(s, d)
+    val out = result.localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
+  /** The un-materialized minhash plan + the persisted base to release —
+    * split out so graft.Plans can dump the REAL plan (the public entry
+    * point eagerly checkpoints, which collapses its plan to an RDD
+    * scan).
+    */
+  private[graft] def dedupMinhashLazy(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sh = shingled(s, d)
     // native fused kernel (one pass over the gram set for all 16
     // permutations) — bit-identical to minhashSigFromHashes, proven by
@@ -107,9 +120,7 @@ object DedupOps {
               jac.as("jaccard"))
       .filter(col("est_j") >= 0.5)
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    sh.unpersist(false)
-    result
+    (result, sh)
   }
 
   private val dedupMinhashSql = {
