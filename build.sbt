@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked process's stdout straight through instead of routing
+// it via sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks line-level JSON parsing of Bench/Verify output by the
+// harness that invokes `sbt runMain`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -143,12 +143,28 @@ object Bench {
     // and a comma-decimal locale would emit unparseable JSON
     def num(v: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
+    val total = results.values.filter(_ >= 0).sum
+
+    // Full-resolution detail (full query names, 4 dp) → file, for humans.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val mems = memMb.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mem_mb":$mems,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"mem_mb":$mems,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // The ONE machine-read stdout line. The harness that captures it
+    // keeps only a bounded tail of the run's output, so this line must
+    // stay short: registry queries are keyed by their "qNN" prefix
+    // (full names in BENCH_DETAIL.json), stage_* keys stay verbatim
+    // because they are what BASELINE.md is compared against.
+    def shortKey(k: String): String =
+      if (k.startsWith("stage_")) k else k.takeWhile(_ != '_')
+    val qsShort = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -181,7 +181,8 @@ object JoinOps {
   def sqlTopKPerKey(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
     s.sql("""
-      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(rn AS BIGINT) AS rn
       FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
               row_number() OVER (PARTITION BY l_returnflag
                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
@@ -324,7 +325,10 @@ object JoinOps {
       .withColumn("rnk", row_number().over(w))
       .withColumn("run_qty", sum(col("l_quantity")).over(wsum))
       .filter(col("rnk") <= 2)
-      .select("l_orderkey", "l_linenumber", "l_extendedprice", "rnk", "run_qty")
+      // BIGINT to mirror DuckDB's row_number() (Spark's is INT) — the
+      // local gate compares dtypes strictly, not just values
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+              col("rnk").cast("long").as("rnk"), col("run_qty"))
       .orderBy("l_orderkey", "rnk")
   }
 

@@ -70,6 +70,9 @@ object SimilarityOps {
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
+      // BIGINT after the filter (cast between window and filter would
+      // hide the rn<=k shape from TopKRankPushdown)
+      .withColumn("rn", col("rn").cast("long"))
       .orderBy("qid", "rn")
   }
 
@@ -118,6 +121,7 @@ object SimilarityOps {
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
+      .withColumn("rn", col("rn").cast("long"))
       .orderBy("qid", "rn")
   }
 
@@ -190,6 +194,7 @@ object SimilarityOps {
               round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= TopK)
+      .withColumn("rn", col("rn").cast("long"))
       .orderBy("qid", "rn")
       .localCheckpoint(true)
     assigned.unpersist(false)
@@ -234,6 +239,7 @@ object SimilarityOps {
       .withColumn("cell",
         sort_array(array(candStructs.toIndexedSeq: _*)).getItem(0).getField("cid"))
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long")) // BIGINT like the SQL twin's range()
       .groupBy("cell", "dim")
       .agg(count(lit(1)).as("n_members"),
            ((sum(floor(col("x").cast("double") * 1000000.0).cast("long")).cast("double")

@@ -23,9 +23,10 @@ object TextOps {
     docs(s, d)
       .select(
         col("doc_id"),
-        size(tokens(col("text"))).as("n_ws"),
-        size(expr(s"regexp_extract_all(text, '$TokRe', 0)")).as("n_re"),
-        length(col("text")).as("n_chars_m"))
+        // BIGINT: DuckDB len() is BIGINT, Spark size()/length() are INT
+        size(tokens(col("text"))).cast("long").as("n_ws"),
+        size(expr(s"regexp_extract_all(text, '$TokRe', 0)")).cast("long").as("n_re"),
+        length(col("text")).cast("long").as("n_chars_m"))
       .orderBy("doc_id")
 
   private val tokenCountSql =
@@ -205,7 +206,7 @@ object TextOps {
       .select(
         col("doc_id"),
         (regexp_count(col("text"), lit(EmailRe))
-          + regexp_count(col("text"), lit(EntityRe))).as("n_redacted"),
+          + regexp_count(col("text"), lit(EntityRe))).cast("long").as("n_redacted"),
         md5(regexp_replace(
               regexp_replace(col("text"), EntityRe, "[ENTITY]"),
               EmailRe, "[EMAIL]").cast("binary")).as("redacted_md5"))
@@ -245,7 +246,7 @@ object TextOps {
       .persist()
     val sig = base.select(
       col("doc_id"),
-      size(col("toks")).as("n_tok"),
+      size(col("toks")).cast("long").as("n_tok"),
       col("toks"),
       ngrams(col("toks"), 2).as("g2"),
       ngrams(col("toks"), 3).as("g3"))
@@ -351,7 +352,7 @@ object TextOps {
        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
        |          ROWS UNBOUNDED PRECEDING) AS running
        |      FROM t)
-       |SELECT source, (running - n_tok) // $PackBudget AS bin,
+       |SELECT source, CAST((running - n_tok) // $PackBudget AS BIGINT) AS bin,
        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
        |FROM r GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 

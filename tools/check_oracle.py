@@ -55,7 +55,23 @@ def main(sf_dir, out_dir):
             print(f"  FAIL {name}: oracle SQL error: {str(ex).splitlines()[0][:150]}")
             continue
         ok = True; msg = ""
-        if sorted(got_cols) != sorted(exp_cols):
+        # Strict dtype gate (r2 lesson: q72's oracle window-SUM came back
+        # HUGEINT -> pandas float64 while the dump was int64; values
+        # compared equal here (0.0 == 0) but the driver's type-sensitive
+        # hash flagged a mismatch). Compare pandas dtypes exactly.
+        try:
+            import pandas as pd
+            gdt = {c: str(t) for c, t in pd.read_parquet(d).dtypes.items()}
+            edt = {c: str(t) for c, t in con.execute(oracle[name]).df().dtypes.items()}
+            if gdt != edt:
+                diff = {c: (gdt.get(c), edt.get(c))
+                        for c in set(gdt) | set(edt) if gdt.get(c) != edt.get(c)}
+                ok = False; msg = f"dtypes {diff}"
+        except Exception as ex:
+            ok = False; msg = f"dtype check error: {str(ex)[:120]}"
+        if not ok:
+            pass
+        elif sorted(got_cols) != sorted(exp_cols):
             ok = False; msg = f"cols {sorted(got_cols)} vs {sorted(exp_cols)}"
         elif len(got) != len(exp):
             ok = False; msg = f"rows {len(got)} vs {len(exp)}"
