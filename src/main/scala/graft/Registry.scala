@@ -19,6 +19,8 @@ object Registry {
   def all: Seq[Q] =
     graft.ops.CoreOps.queries ++
       graft.ops.JoinOps.queries ++
+      graft.ops.TpchOps.queries ++
+      graft.ops.SurfaceOps.queries ++
       graft.ops.AdvancedOps.queries ++
       graft.ops.EventOps.queries ++
       graft.ops.TextOps.queries ++
