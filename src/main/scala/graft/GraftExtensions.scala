@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     e.injectOptimizerRule(_ => graft.plans.TopKRankPushdown)
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
   }
 }

@@ -201,6 +201,30 @@ object EventOps {
        |FROM wins w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
        |GROUP BY w.h ORDER BY wstart""".stripMargin
 
+  // ---- q97: the SAME interval join written NAIVELY — `ts BETWEEN ws
+  //      AND we` with no manual binning — relying on the
+  //      BinnedRangeJoin optimizer rule to produce the equi-join plan
+  //      q66 builds by hand. The user writes the obvious condition; the
+  //      engine owns the scale rewrite (PlanShapeSpec asserts no nested
+  //      loop survives). Bin width 1 h in micros matches the 2 h
+  //      interval span. ----
+  def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
+    s.conf.set(graft.plans.BinnedRangeJoin.WidthConf,
+               (3600L * 1000000L).toString)
+    val wins = ev(s, d)
+      .select(date_trunc("hour", col("ts")).as("h")).distinct()
+      .select(col("h"),
+              (col("h") - expr("INTERVAL 30 MINUTES")).as("ws"),
+              (col("h") + expr("INTERVAL 90 MINUTES")).as("we"))
+    ev(s, d)
+      .join(broadcast(wins), col("ts") >= col("ws") && col("ts") < col("we"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+              col("n"), col("sum_value"))
+      .orderBy("wstart")
+  }
+
   // ---- VARIANT lane (Spark 4 semi-structured type): parse the JSON
   //      props column ONCE into a variant, extract typed fields from
   //      the binary-encoded value — the modern replacement for
@@ -229,6 +253,8 @@ object EventOps {
       "lag deltas + sliding ROWS-frame aggregates (quantized exact)"),
     Q("q66_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql),
       "interval join binned to a broadcast equi-join + residual filter"),
+    Q("q97_range_join_auto", rangeJoinAuto, Some(rangeJoinBinnedSql),
+      "naive BETWEEN join auto-binned by the BinnedRangeJoin rule"),
     Q("q59_top_session", topSessionPerUser, Some(topSessionPerUserSql),
       "session windows composed with the custom TopKPerKey operator"),
     Q("q26_events_window", eventsWindow, Some(eventsWindowSql),

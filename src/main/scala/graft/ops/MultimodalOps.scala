@@ -142,9 +142,62 @@ object MultimodalOps {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  final case class PcmWindow(doc_id: Long, win: Int, n_samples: Int, energy: Long)
+
+  /** Audio-path plumbing: treat the payload as 8-bit PCM and emit
+    * per-64-sample-window energy (Σ sample²) — the windowed
+    * feature-extraction shape (VAD, loudness, spectral stats) with the
+    * same partition-batched 1→N expansion as the video path. Integer
+    * arithmetic end to end, so the oracle is exact; a real build swaps
+    * the byte loop for a DSP kernel and keeps the plumbing. */
+  def pcmEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    media
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.content.length
+          val nWin = (n + 63) / 64
+          (0 until nWin).iterator.map { i =>
+            val lo = i * 64
+            val hi = math.min(lo + 64, n)
+            var e = 0L
+            var j = lo
+            while (j < hi) {
+              val v = (r.content(j) & 0xff).toLong
+              e += v * v
+              j += 1
+            }
+            PcmWindow(r.doc_id, i, hi - lo, e)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "win")
+  }
+
+  // ASCII payloads: unicode(substr) == byte value, so the SQL twin
+  // reproduces the sample loop with list arithmetic.
+  private val pcmEnergySql = {
+    val len = "octet_length(CAST(text AS BLOB))"
+    val u = "CAST(unicode(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)"
+    s"""WITH w AS (SELECT doc_id, text, $len AS len,
+       |  unnest(range(0, ($len + 63) // 64)) AS i FROM documents)
+       |SELECT doc_id, CAST(i AS INTEGER) AS win,
+       | CAST(least((i + 1) * 64, len) - i * 64 AS INTEGER) AS n_samples,
+       | CAST(list_sum(list_transform(
+       |   range(1 + i * 64, 1 + least((i + 1) * 64, len)),
+       |   j -> $u * $u)) AS BIGINT) AS energy
+       |FROM w ORDER BY doc_id, win""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "binary media column -> partition-batched (stub) decode -> features"),
     Q("q70_frame_sample", frameSample, Some(frameSampleSql),
-      "media payload -> sampled per-frame rows (map-side 1->N generator)"))
+      "media payload -> sampled per-frame rows (map-side 1->N generator)"),
+    Q("q95_pcm_energy", pcmEnergy, Some(pcmEnergySql),
+      "audio path: per-window PCM energy via partition-batched expansion"))
 }

@@ -265,9 +265,51 @@ object SimilarityOps {
        | ((CAST(SUM(q) AS DOUBLE) / 1000000.0) / COUNT(*)) AS new_c
        |FROM x GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
 
+  // ---- q96: int8 embedding quantization — the storage/serving-side
+  //      compression step of a vector pipeline (4x smaller index,
+  //      SIMD-able integer dot products). Per-vector symmetric scale
+  //      127/max|x|; rounding is floor(x+0.5) (identical half-up in
+  //      both engines — round() HALF_EVEN/HALF_UP variance is exactly
+  //      the cross-engine trap). Map-side expressions only: at 100 TB
+  //      this is a scan-shaped pass, no shuffle but the final sort. ----
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val q127 = lit(127L)
+    Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("maxabs",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("qv", transform(col("v"), x =>
+        greatest(-q127, least(q127,
+          floor(x * (lit(127.0) / col("maxabs")) + lit(0.5)).cast("long")))))
+      .select(col("vec_id"),
+              floor(col("maxabs") * 1e6).cast("long").as("maxabs_q6"),
+              aggregate(col("qv"), lit(0L), _ + _).as("sum_q"),
+              aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("sum_absq"),
+              aggregate(col("qv"), lit(0L),
+                (a, x) => a + when(abs(x) === q127, 1L).otherwise(0L)).as("n_sat"))
+      .orderBy("vec_id")
+  }
+
+  private val quantizeEmbeddingsSql =
+    s"""WITH e AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+       |q AS (SELECT vec_id, maxabs, list_transform(v, x ->
+       |        greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+       |          CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)))) AS qv
+       |      FROM m)
+       |SELECT vec_id, CAST(floor(maxabs * 1e6) AS BIGINT) AS maxabs_q6,
+       | CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       | CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_absq,
+       | CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
+    Q("q96_quantize_emb", quantizeEmbeddings, Some(quantizeEmbeddingsSql),
+      "int8 symmetric embedding quantization + saturation stats"),
     Q("q64_kmeans_iter", kmeansIter, Some(kmeansIterSql),
       "one Lloyd iteration: argmin assignment + quantized centroid update"),
     Q("q39_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql),
