@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.functions.HashFns.{hash64, hash64Sql, tokens, tokensSql}
 import graft.functions.Stable._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -66,6 +67,127 @@ object AdvancedOps {
     val exact = li.agg(countDistinct(col("l_orderkey")).as("orderkeys_exact"))
     sketched.crossJoin(exact)
       .select("orderkeys_hll", "orderkeys_exact", "price_p50_approx", "n")
+  }
+
+  // ---- q98: DETERMINISTIC quantile sketch — the oracle-able
+  //      counterpart to q44's engine-specific percentile_approx. A
+  //      fixed-width 1024-bucket histogram is a mergeable sketch with
+  //      none of t-digest's merge-order sensitivity: bucket counts add
+  //      associatively, so a 1000-executor build is bit-identical to a
+  //      single-threaded one. Two scan passes (exact min/max, then
+  //      counts); the cumulative pick runs over <=1024 rows regardless
+  //      of data size. Estimate error is bounded by the bucket width —
+  //      asserted against exact percentiles in SketchSpec. ----
+  private val QhBuckets = 1024
+
+  def quantileHist(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice")
+    val li = Tables.lineitem(s, d)
+    val mm = li.agg(min(price).as("lo"), max(price).as("hi"),
+                    count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / lit(QhBuckets.toDouble)
+    val counts = li.crossJoin(mm)
+      .select(least(floor((price - col("lo")) / width).cast("long"),
+                    lit((QhBuckets - 1).toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qs = cum.sparkSession.range(1)
+      .select(explode(array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)).as("q"))
+    cum.crossJoin(qs).crossJoin(mm)
+      .filter(col("cum").cast("double") >= col("q") * col("n"))
+      .groupBy("q")
+      .agg(min(col("bucket")).as("qb"), min(col("n")).as("n"))
+      .crossJoin(mm.select(col("lo"), col("hi")))
+      .select(col("q"), col("qb"),
+              floor((col("lo") + (col("qb") + lit(0.5))
+                * ((col("hi") - col("lo")) / lit(QhBuckets.toDouble))) * 1e6)
+                .cast("long").as("est_q6"),
+              col("n"))
+      .orderBy("q")
+  }
+
+  private val quantileHistSql =
+    s"""WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+       |             COUNT(*) AS n FROM lineitem),
+       |b AS (SELECT least(CAST(floor((l_extendedprice - lo)
+       |        / ((hi - lo) / $QhBuckets.0)) AS BIGINT),
+       |        ${QhBuckets - 1}) AS bucket
+       |      FROM lineitem, mm),
+       |c AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY 1),
+       |cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+       |          ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+       |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
+       |pick AS (SELECT q, MIN(bucket) AS qb, MIN(n) AS n
+       |         FROM cum, qs, mm
+       |         WHERE CAST(cum AS DOUBLE) >= q * n GROUP BY q)
+       |SELECT q, qb,
+       | CAST(floor((lo + (qb + 0.5) * ((hi - lo) / $QhBuckets.0)) * 1e6)
+       |   AS BIGINT) AS est_q6,
+       | pick.n AS n
+       |FROM pick, mm ORDER BY q""".stripMargin
+
+  // ---- q99: count-min sketch — frequency estimation in fixed memory
+  //      (4 x 1024 counters for any corpus size). Buckets come from the
+  //      seeded md5 hash64, so the sketch is DETERMINISTIC and the
+  //      DuckDB twin reproduces it cell for cell — unlike q44's HLL,
+  //      this sketch is fully oracle-checkable. Build is one explode +
+  //      hash-agg (counts add, so partials merge associatively at any
+  //      cluster size); probing joins 4 rows per key. est >= exact by
+  //      construction (collisions only inflate) — the over_est column
+  //      exposes the error; SketchSpec bounds it. ----
+  private val CmDepths = 4
+  private val CmWidth = 1024
+  private val CmProbes =
+    Seq("join", "hash", "scan", "order", "small", "customer", "zz_absent")
+
+  def countMin(s: SparkSession, d: String): DataFrame = {
+    def buckets(tok: org.apache.spark.sql.Column) =
+      posexplode(array((0 until CmDepths).map(dd =>
+        pmod(hash64(concat(lit(s"cm$dd:"), tok)), lit(CmWidth))): _*))
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .persist()
+    val sketch = toks
+      .select(buckets(col("tok")).as(Seq("depth", "bucket")))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+    val probes = s.range(1)
+      .select(explode(array(CmProbes.map(lit): _*)).as("tok"))
+      .select(col("tok"), buckets(col("tok")).as(Seq("depth", "bucket")))
+    val est = probes.join(sketch, Seq("depth", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val result = est.join(exact, Seq("tok"), "left")
+      .select(col("tok"), col("n_est"),
+              coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+              (col("n_est") - coalesce(col("n_exact"), lit(0L))).as("over_est"))
+      .orderBy("tok")
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
+  private val countMinSql = {
+    val probeList = CmProbes.map(p => s"'$p'").mkString("[", ", ", "]")
+    val bucket = s"((${hash64Sql("'cm' || dd || ':' || tok")} % $CmWidth) " +
+      s"+ $CmWidth) % $CmWidth"
+    s"""WITH t AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents),
+       |ds AS (SELECT unnest(range(0, $CmDepths)) AS dd),
+       |sk AS (SELECT dd, $bucket AS bucket, COUNT(*) AS cnt
+       |       FROM t, ds GROUP BY 1, 2),
+       |pr AS (SELECT unnest($probeList) AS tok),
+       |pb AS (SELECT tok, dd, $bucket AS bucket FROM pr, ds),
+       |est AS (SELECT pb.tok, MIN(COALESCE(sk.cnt, 0)) AS n_est
+       |        FROM pb LEFT JOIN sk ON pb.dd = sk.dd AND pb.bucket = sk.bucket
+       |        GROUP BY 1),
+       |ex AS (SELECT tok, COUNT(*) AS n_exact FROM t GROUP BY 1)
+       |SELECT est.tok, CAST(n_est AS BIGINT) AS n_est,
+       | CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+       | CAST(n_est - COALESCE(ex.n_exact, 0) AS BIGINT) AS over_est
+       |FROM est LEFT JOIN ex ON est.tok = ex.tok
+       |ORDER BY est.tok""".stripMargin
   }
 
   // ---- bucketed co-located join: both fact tables pre-bucketed on the
@@ -331,6 +453,10 @@ object AdvancedOps {
     Q("q43_cube", cubeAgg, Some(cubeAggSql), "cube grouping sets"),
     Q("q44_sketch", sketches, None,
       "HLL distinct + approx quantiles (rows-only; error bound in SketchSpec)"),
+    Q("q98_quantile_hist", quantileHist, Some(quantileHistSql),
+      "deterministic mergeable histogram quantiles (oracle-checked sketch)"),
+    Q("q99_countmin", countMin, Some(countMinSql),
+      "count-min sketch: fixed-memory frequency estimates, cell-exact twin"),
     Q("q45_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "bucketed co-located fact-fact join (no shuffle)"),
     Q("q46_partition_prune", partitionPrune, Some(partitionPruneSql),

@@ -87,4 +87,33 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(f - mf) < 1e-9 && math.abs(o - mo) < 1e-9)
     }
   }
+
+  test("q98 histogram quantiles land within one bucket width of exact") {
+    val est = AdvancedOps.quantileHist(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getLong(2) / 1e6).toMap
+    val Array(lo, hi) = Tables.lineitem(spark, sf)
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val width = (hi - lo) / 1024.0
+    val exact = Tables.lineitem(spark, sf)
+      .stat.approxQuantile("l_extendedprice", est.keys.toArray.sorted, 0.0)
+    est.keys.toSeq.sorted.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= width,
+        s"q=$q est=${est(q)} exact=$ex width=$width")
+    }
+  }
+
+  test("q99 count-min never underestimates; absent keys stay near zero") {
+    val rows = AdvancedOps.countMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, est, exact) =>
+      assert(est >= exact, s"$tok: CMS underestimated ($est < $exact)")
+    }
+    // 4 x 1024 counters vs a small vocabulary: collisions should cost
+    // at most a handful of counts at sf0.001
+    val (_, absentEst, absentExact) = rows.find(_._1 == "zz_absent").get
+    assert(absentExact == 0 && absentEst < 100,
+      s"absent-key estimate $absentEst suspiciously large")
+  }
 }
