@@ -20,6 +20,7 @@ object Registry {
     graft.ops.CoreOps.queries ++
       graft.ops.JoinOps.queries ++
       graft.ops.TpchOps.queries ++
+      graft.ops.TpchOps2.queries ++
       graft.ops.SurfaceOps.queries ++
       graft.ops.AdvancedOps.queries ++
       graft.ops.EventOps.queries ++
