@@ -408,6 +408,79 @@ object TextOps {
        | ${hash64Sql("text")} AS fp_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q111: deterministic training-order shuffle + microbatch
+  //      packing. The corpus is sharded by a seeded hash (pmod into 8
+  //      shards), ordered WITHIN each shard by the same hash, and cut
+  //      into fixed-size microbatches — the global training order is a
+  //      pure function of the data, reproducible across runs, cluster
+  //      sizes, and engines, with NO global sort: each shard sorts
+  //      independently (at 100 TB, shards = output files and the
+  //      within-shard sort is a local spillable sort per task). The
+  //      id checksum proves both engines derive the identical order,
+  //      not just the same counts. ----
+  private val ShufShards = 8
+  private val ShufBatch = 16
+
+  def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    val h = hash64(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
+              h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(ShufShards.toLong)))
+      .withColumn("mb", ((row_number().over(w) - 1) / ShufBatch).cast("long"))
+      .groupBy("shard", "mb")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+           sum(col("doc_id")).as("id_checksum"))
+      .orderBy("shard", "mb")
+  }
+
+  private val globalShuffleSql = {
+    val h = hash64Sql("'shuf:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH b AS (SELECT doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
+       |    $h AS h,
+       |    (($h % $ShufShards) + $ShufShards) % $ShufShards AS shard
+       |  FROM documents),
+       |r AS (SELECT shard, n_tok, doc_id,
+       |    CAST((row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)
+       |      // $ShufBatch AS BIGINT) AS mb
+       |  FROM b)
+       |SELECT shard, mb, COUNT(*) AS n_docs,
+       | CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM r GROUP BY 1, 2 ORDER BY shard, mb""".stripMargin
+  }
+
+  // ---- q112: tokenizer induction, step one — corpus-wide adjacent
+  //      token-pair counts (the first BPE merge candidates). The pair
+  //      enumeration is a per-row array transform (codegen'd, no
+  //      shuffle); the only shuffle is the final count groupBy, with
+  //      map-side partial aggregation doing most of the work. Top-k by
+  //      frequency with a total tiebreak. ----
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    docs(s, d)
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(25)
+  }
+
+  private val bpePairsSql = {
+    val t = tokensSql("text")
+    s"""WITH p AS (SELECT unnest(list_transform(range(1, len($t)),
+       |    i -> ($t)[i] || ' ' || ($t)[i + 1])) AS pair
+       |  FROM documents)
+       |SELECT pair, COUNT(*) AS n FROM p
+       |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 25""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -428,5 +501,9 @@ object TextOps {
     Q("q72_seq_pack", seqPack, Some(seqPackSql),
       "sequence packing: per-source token-budget binning (running sum)"),
     Q("q75_data_mix", dataMix, Some(dataMixSql),
-      "source mixing quotas under deterministic hash-shuffle selection"))
+      "source mixing quotas under deterministic hash-shuffle selection"),
+    Q("q111_global_shuffle", globalShuffle, Some(globalShuffleSql),
+      "deterministic sharded training shuffle + microbatch packing"),
+    Q("q112_bpe_pairs", bpePairs, Some(bpePairsSql),
+      "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"))
 }

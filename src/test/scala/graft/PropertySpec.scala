@@ -145,6 +145,32 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("globalShuffle: microbatches full except the last per shard") {
+    val rows = ops.TextOps.globalShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (shard, mbs) =>
+      val sorted = mbs.sortBy(_._2)
+      assert(sorted.head._2 == 0, s"shard $shard first microbatch != 0")
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"shard $shard gap")
+      // all but the last microbatch hold exactly the batch size
+      sorted.dropRight(1).foreach { case (_, mb, n) =>
+        assert(n == 16L, s"shard $shard mb $mb has $n docs")
+      }
+      assert(sorted.last._3 <= 16L)
+    }
+    // shard count: every document lands in exactly one shard/microbatch
+    assert(rows.map(_._3).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("bpePairs: pair enumeration shuffles only for the count") {
+    val plan = ops.TextOps.bpePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // one exchange for the groupBy, one for the global top-k sort
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
+  }
+
   test("broadcast join == shuffle join (strategy-independence)") {
     val big = randomDf(7)
     val dim = {
