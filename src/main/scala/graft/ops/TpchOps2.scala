@@ -349,22 +349,24 @@ object TpchOps2 {
 
   // ---- TPC-H Q21 (suppliers who kept orders waiting): for finished
   //      multi-supplier orders, the supplier(s) holding the latest ship
-  //      date. The EXISTS/NOT-EXISTS pair becomes one two-level
-  //      aggregation: dedupe to (order, supplier, last ship) pairs,
-  //      then per-order max + supplier count — the pair rollup and the
-  //      order rollup share the orderkey partitioning, so the fact
-  //      shuffles once and AQE reuses the exchange. ----
+  //      date. The EXISTS/NOT-EXISTS pair becomes a pair-level rollup
+  //      plus a per-order WINDOW (max + count over the order
+  //      partition) — NOT a groupBy+self-join, which would scan and
+  //      shuffle the fact twice (and at small scale broadcast an
+  //      |orders|-sized aggregate). This shape reads the fact once:
+  //      one (order,supplier) exchange, one order-key exchange. ----
   def tpchQ21(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+              .select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("l_shipdate")).as("pair_last"))
-    val orders = pairs.groupBy(col("l_orderkey").as("o_key"))
-      .agg(max(col("pair_last")).as("order_last"),
-           count(lit(1)).as("n_supp"))
-    pairs.join(orders, col("l_orderkey") === col("o_key"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    pairs
+      .withColumn("order_last", max(col("pair_last")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
       .filter(col("n_supp") >= 2 && col("pair_last") === col("order_last"))
-      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
-            col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -51,6 +51,13 @@ class TpchOps2Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q109 Q21: fact scanned once (window formulation, no self-join)") {
+    val plan = physical("q109_tpch_q21")
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1, s"expected one lineitem scan, got $factScans:\n$plan")
+  }
+
   test("q109 Q21 semantics: every waiter holds its order's latest shipment") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
