@@ -460,11 +460,20 @@ object TextOps {
   //      map-side partial aggregation doing most of the work. Top-k by
   //      frequency with a total tiebreak. ----
   def bpePairs(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // Bind the token array to a real column BEFORE the lambda consumes
+    // it: expression aliases are not CSE'd across lambda trees, so an
+    // inline split(text) would re-tokenize the document on EVERY
+    // element_at — O(tokens²) work per doc (measured 7x on q112). The
+    // repartition doubles as the project barrier (CollapseProject
+    // cannot inline the split through the exchange) and parallelizes
+    // the single-file input.
+    val tk = col("toks")
     val pairs = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      sequence(lit(1), greatest(size(tk) - 1, lit(0))),
+      i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))
     docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
       .select(explode(pairs).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
