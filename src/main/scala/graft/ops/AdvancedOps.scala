@@ -129,12 +129,13 @@ object AdvancedOps {
        |FROM pick, mm ORDER BY q""".stripMargin
 
   // ---- q99: count-min sketch — frequency estimation in fixed memory
-  //      (4 x 1024 counters for any corpus size). Buckets come from the
-  //      seeded md5 hash64, so the sketch is DETERMINISTIC and the
-  //      DuckDB twin reproduces it cell for cell — unlike q44's HLL,
-  //      this sketch is fully oracle-checkable. Build is one explode +
-  //      hash-agg (counts add, so partials merge associatively at any
-  //      cluster size); probing joins 4 rows per key. est >= exact by
+  //      (4 x 1024 counters for any corpus size). The 4 row buckets are
+  //      disjoint 10-bit slices of ONE md5 hash64 per token, so the
+  //      sketch is DETERMINISTIC and the DuckDB twin reproduces it cell
+  //      for cell — unlike q44's HLL, this sketch is fully
+  //      oracle-checkable. Build is one explode + hash-agg (counts add,
+  //      so partials merge associatively at any cluster size); probing
+  //      joins 4 rows per key. est >= exact by
   //      construction (collisions only inflate) — the over_est column
   //      exposes the error; SketchSpec bounds it. ----
   private val CmDepths = 4
@@ -143,18 +144,23 @@ object AdvancedOps {
     Seq("join", "hash", "scan", "order", "small", "customer", "zz_absent")
 
   def countMin(s: SparkSession, d: String): DataFrame = {
-    def buckets(tok: org.apache.spark.sql.Column) =
+    // ONE md5 per token; the 4 row buckets are disjoint 10-bit slices
+    // of the 60-bit hash (4x less hashing than hashing per depth —
+    // slice independence is all count-min needs: a colliding pair in
+    // one slice is unlikely to collide in another)
+    def buckets(h: org.apache.spark.sql.Column) =
       posexplode(array((0 until CmDepths).map(dd =>
-        pmod(hash64(concat(lit(s"cm$dd:"), tok)), lit(CmWidth))): _*))
+        shiftright(h, 10 * dd).bitwiseAND(lit((CmWidth - 1).toLong))): _*))
     val toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
+      .select(col("tok"), hash64(col("tok")).as("h"))
       .persist()
     val sketch = toks
-      .select(buckets(col("tok")).as(Seq("depth", "bucket")))
+      .select(buckets(col("h")).as(Seq("depth", "bucket")))
       .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
     val probes = s.range(1)
       .select(explode(array(CmProbes.map(lit): _*)).as("tok"))
-      .select(col("tok"), buckets(col("tok")).as(Seq("depth", "bucket")))
+      .select(col("tok"), buckets(hash64(col("tok"))).as(Seq("depth", "bucket")))
     val est = probes.join(sketch, Seq("depth", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
@@ -171,13 +177,14 @@ object AdvancedOps {
 
   private val countMinSql = {
     val probeList = CmProbes.map(p => s"'$p'").mkString("[", ", ", "]")
-    val bucket = s"((${hash64Sql("'cm' || dd || ':' || tok")} % $CmWidth) " +
-      s"+ $CmWidth) % $CmWidth"
-    s"""WITH t AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents),
+    val bucket = s"(h >> (10 * dd)) & ${CmWidth - 1}"
+    s"""WITH t AS (SELECT tok, ${hash64Sql("tok")} AS h FROM
+       |       (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)),
        |ds AS (SELECT unnest(range(0, $CmDepths)) AS dd),
        |sk AS (SELECT dd, $bucket AS bucket, COUNT(*) AS cnt
        |       FROM t, ds GROUP BY 1, 2),
-       |pr AS (SELECT unnest($probeList) AS tok),
+       |pr AS (SELECT tok, ${hash64Sql("tok")} AS h FROM
+       |       (SELECT unnest($probeList) AS tok)),
        |pb AS (SELECT tok, dd, $bucket AS bucket FROM pr, ds),
        |est AS (SELECT pb.tok, MIN(COALESCE(sk.cnt, 0)) AS n_est
        |        FROM pb LEFT JOIN sk ON pb.dd = sk.dd AND pb.bucket = sk.bucket
