@@ -23,6 +23,7 @@ object Registry {
       graft.ops.TpchOps2.queries ++
       graft.ops.SurfaceOps.queries ++
       graft.ops.AdvancedOps.queries ++
+      graft.ops.IncrementalOps.queries ++
       graft.ops.EventOps.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q113 upsert: change set applies via broadcast joins, snapshot never sort-merges") {
+    val plan = ops.IncrementalOps.upsert(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q113 upsert semantics: deletes gone, updates applied, inserts present") {
+    val merged = ops.IncrementalOps.upsert(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // inserted status N: one row per key%100==0 at price 9999
+    val nIns = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0).count()
+    assert(merged("N")._1 == nIns && merged("N")._2 == 9999L * nIns)
+    // no deleted key contributes: recompute totals excluding %10==1
+    val expectTotal = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 1).count() + nIns
+    assert(merged.values.map(_._1).sum == expectTotal)
+  }
+
+  test("q114 incremental merge equals from-scratch recompute (Spark-side)") {
+    val inc = ops.IncrementalOps.incrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val Dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val full = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+           sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_price"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // bit-exact, not approximate: decimal partials merge associatively
+    assert(inc.toSeq == full.toSeq)
+  }
+}
