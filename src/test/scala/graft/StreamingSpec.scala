@@ -19,6 +19,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     streamRes.zip(batchRes).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("streaming sliding (hopping) windows == batch q94 on events") {
+    val qname = "sliding_parity"
+    val q = StreamingOps.streamingEvents(spark, sf)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+              col("event_type"), col("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val stream = spark.table(qname).orderBy("wstart", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val batch = ops.SurfaceOps.slidingWindows(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("watermark + append mode drops late data past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
