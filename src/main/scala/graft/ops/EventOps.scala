@@ -208,9 +208,31 @@ object EventOps {
   //      engine owns the scale rewrite (PlanShapeSpec asserts no nested
   //      loop survives). Bin width 1 h in micros matches the 2 h
   //      interval span. ----
+  //      The bin-width conf is scoped: rule firing happens at plan
+  //      materialization, so the registry entry materializes eagerly
+  //      (localCheckpoint, like q34) inside the conf scope and RESTORES
+  //      the previous value — a leaked width would silently auto-bin
+  //      every later inner range join built on the same session with a
+  //      width meant for this query's timestamp domain. Plan dumps and
+  //      specs use [[rangeJoinAutoLazy]] inside their own conf scope.
+  val RangeJoinWidthMicros: Long = 3600L * 1000000L
+
   def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
-    s.conf.set(graft.plans.BinnedRangeJoin.WidthConf,
-               (3600L * 1000000L).toString)
+    val key = graft.plans.BinnedRangeJoin.WidthConf
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, RangeJoinWidthMicros.toString)
+    try rangeJoinAutoLazy(s, d).localCheckpoint(true)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** The naive-BETWEEN formulation, not materialized: the caller owns
+    * setting [[graft.plans.BinnedRangeJoin.WidthConf]] for the rule to
+    * fire at execution time.
+    */
+  def rangeJoinAutoLazy(s: SparkSession, d: String): DataFrame = {
     val wins = ev(s, d)
       .select(date_trunc("hour", col("ts")).as("h")).distinct()
       .select(col("h"),

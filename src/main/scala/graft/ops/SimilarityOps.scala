@@ -271,7 +271,13 @@ object SimilarityOps {
   //      127/max|x|; rounding is floor(x+0.5) (identical half-up in
   //      both engines — round() HALF_EVEN/HALF_UP variance is exactly
   //      the cross-engine trap). Map-side expressions only: at 100 TB
-  //      this is a scan-shaped pass, no shuffle but the final sort. ----
+  //      this is a scan-shaped pass — the repartition below exists ONLY
+  //      because the local testdata is a single parquet file (one scan
+  //      task); a multi-file deployment drops it and shuffles nothing
+  //      but the final sort. An all-zero vector (padding / failed
+  //      encode) must not reach 127/0 = Inf → 0·Inf = NaN, whose
+  //      BIGINT cast diverges across engines: its scale is pinned to
+  //      0 on both sides. ----
   def quantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
     val q127 = lit(127L)
     Tables.embeddings(s, d)
@@ -279,9 +285,12 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("maxabs",
         aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("maxabs")))
       .withColumn("qv", transform(col("v"), x =>
         greatest(-q127, least(q127,
-          floor(x * (lit(127.0) / col("maxabs")) + lit(0.5)).cast("long")))))
+          floor(x * col("scale") + lit(0.5)).cast("long")))))
       .select(col("vec_id"),
               floor(col("maxabs") * 1e6).cast("long").as("maxabs_q6"),
               aggregate(col("qv"), lit(0L), _ + _).as("sum_q"),
@@ -297,7 +306,8 @@ object SimilarityOps {
        |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
        |q AS (SELECT vec_id, maxabs, list_transform(v, x ->
        |        greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
-       |          CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)))) AS qv
+       |          CAST(floor(x * (CASE WHEN maxabs = 0 THEN 0.0
+       |                          ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)))) AS qv
        |      FROM m)
        |SELECT vec_id, CAST(floor(maxabs * 1e6) AS BIGINT) AS maxabs_q6,
        | CAST(list_sum(qv) AS BIGINT) AS sum_q,

@@ -467,10 +467,15 @@ object TextOps {
     // repartition doubles as the project barrier (CollapseProject
     // cannot inline the split through the exchange) and parallelizes
     // the single-file input.
+    // guard: sequence(1, n) DESCENDS for n < 1 (the HashFns.shingles
+    // trap), so a 0/1-token doc would evaluate element_at(tk, 0) and
+    // throw — gate the whole transform on size >= 2 instead
     val tk = col("toks")
-    val pairs = transform(
-      sequence(lit(1), greatest(size(tk) - 1, lit(0))),
-      i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))
+    val pairs = when(size(tk) >= 2,
+      transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array())
     docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))

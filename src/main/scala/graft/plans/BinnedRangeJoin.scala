@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite point-in-interval joins to binned equi-joins.
   *
@@ -144,10 +144,17 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
             val pointProj = Project(pointPlan.output :+ pBin, pointPlan)
             // interval side: explode the covered bin range. Sequence is
             // TimeZoneAware — without a zone the new node is unresolved
-            // and the optimizer rejects the whole rewrite.
-            val seqExpr = Sequence(bin(ic.lo, width), bin(ic.hi, width),
-                Some(Literal(1L, LongType)))
-              .withTimeZone(conf.sessionLocalTimeZone)
+            // and the optimizer rejects the whole rewrite. An inverted
+            // interval (hi < lo — sentinel or glitch row) must produce
+            // NO bins, not a Sequence boundary crash: the pre-rewrite
+            // nested loop matched nothing for such rows, and a rewrite
+            // may not turn an empty result into an error.
+            val binLo = bin(ic.lo, width)
+            val binHi = bin(ic.hi, width)
+            val seqExpr = If(LessThanOrEqual(binLo, binHi),
+              Sequence(binLo, binHi, Some(Literal(1L, LongType)))
+                .withTimeZone(conf.sessionLocalTimeZone),
+              Literal.create(Array.empty[Long], ArrayType(LongType)))
             val bins = Alias(seqExpr, "graft_bins")()
             val seqProj = Project(intervalPlan.output :+ bins, intervalPlan)
             val binAttr = AttributeReference("graft_bin_i", LongType,

@@ -22,12 +22,35 @@ class BinnedRangeJoinSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q97 plans as a hash equi-join, not a nested loop") {
-    val plan = ops.EventOps.rangeJoinAuto(spark, sf)
-      .queryExecution.executedPlan.toString
+    val plan = withWidth(ops.EventOps.RangeJoinWidthMicros) {
+      ops.EventOps.rangeJoinAutoLazy(spark, sf)
+        .queryExecution.executedPlan.toString
+    }
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"rule did not fire:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"expected equi join:\n$plan")
     assert(plan.toLowerCase.contains("explode"), s"expected bin explode:\n$plan")
+  }
+
+  test("q97 registry entry restores the session bin-width conf") {
+    val prev = spark.conf.getOption(W)
+    try {
+      spark.conf.unset(W)
+      ops.EventOps.rangeJoinAuto(spark, sf).collect()
+      assert(spark.conf.getOption(W).isEmpty,
+        "rangeJoinAuto leaked the bin-width conf into the session")
+    } finally prev.foreach(spark.conf.set(W, _))
+  }
+
+  test("inverted interval (hi < lo) yields no match, not a Sequence crash") {
+    import spark.implicits._
+    val pts = (0L to 20L).toDF("p")
+    val iv = Seq((5L, 10L), (15L, 3L)).toDF("lo", "hi") // second is inverted
+    withWidth(4L) {
+      val rows = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("p").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == (5L to 10L).toSeq, rows.mkString(","))
+    }
   }
 
   test("without the conf the same query is a nested loop (rule is opt-in)") {

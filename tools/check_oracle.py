@@ -20,6 +20,8 @@ def canon(v):
         if math.isnan(v): return "NaN"
         return v
     if isinstance(v, list): return tuple(canon(x) for x in v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):  # numpy array cell
+        return tuple(canon(x) for x in v.tolist())
     if isinstance(v, dict): return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
 
@@ -40,51 +42,49 @@ def main(sf_dir, out_dir):
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d): continue
-        got_rel = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-        got_cols = [c[0] for c in got_rel.description]
-        got = got_rel.fetchall()
+        # One pandas frame per side serves values AND dtypes (the oracle
+        # SQL — the expensive half — executes exactly once). Both sides
+        # go through pandas so null/timestamp representations are
+        # symmetric, mirroring the driver's pandas-based hash compare.
+        import pandas as pd
+        gd = pd.read_parquet(d)
         if name not in oracle:
-            print(f"  ~ {name}: no oracle (rows-only): {len(got)} rows")
+            print(f"  ~ {name}: no oracle (rows-only): {len(gd)} rows")
             continue
         try:
-            exp_rel = con.execute(oracle[name])
-            exp_cols = [c[0] for c in exp_rel.description]
-            exp = exp_rel.fetchall()
+            ed = con.execute(oracle[name]).df()
         except Exception as ex:
             n_fail += 1
             print(f"  FAIL {name}: oracle SQL error: {str(ex).splitlines()[0][:150]}")
             continue
+        got_cols, exp_cols = list(gd.columns), list(ed.columns)
         ok = True; msg = ""
         # Strict dtype gate (r2 lesson: q72's oracle window-SUM came back
         # HUGEINT -> pandas float64 while the dump was int64; values
         # compared equal here (0.0 == 0) but the driver's type-sensitive
         # hash flagged a mismatch). Compare pandas dtypes exactly.
-        try:
-            import pandas as pd
-            gdt = {c: str(t) for c, t in pd.read_parquet(d).dtypes.items()}
-            edt = {c: str(t) for c, t in con.execute(oracle[name]).df().dtypes.items()}
-            if gdt != edt:
-                diff = {c: (gdt.get(c), edt.get(c))
-                        for c in set(gdt) | set(edt) if gdt.get(c) != edt.get(c)}
-                ok = False; msg = f"dtypes {diff}"
-        except Exception as ex:
-            ok = False; msg = f"dtype check error: {str(ex)[:120]}"
-        if not ok:
-            pass
+        gdt = {c: str(t) for c, t in gd.dtypes.items()}
+        edt = {c: str(t) for c, t in ed.dtypes.items()}
+        if gdt != edt:
+            diff = {c: (gdt.get(c), edt.get(c))
+                    for c in set(gdt) | set(edt) if gdt.get(c) != edt.get(c)}
+            ok = False; msg = f"dtypes {diff}"
         elif sorted(got_cols) != sorted(exp_cols):
             ok = False; msg = f"cols {sorted(got_cols)} vs {sorted(exp_cols)}"
-        elif len(got) != len(exp):
-            ok = False; msg = f"rows {len(got)} vs {len(exp)}"
+        elif len(gd) != len(ed):
+            ok = False; msg = f"rows {len(gd)} vs {len(ed)}"
         else:
-            gi = [got_cols.index(c) for c in sorted(got_cols)]
-            ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-            for rn, (g, e) in enumerate(zip(got, exp)):
-                gr = tuple(canon(g[i]) for i in gi)
-                er = tuple(canon(e[i]) for i in ei)
+            order = sorted(got_cols)
+            git = gd[order].itertuples(index=False, name=None)
+            eit = ed[order].itertuples(index=False, name=None)
+            for rn, (g, e) in enumerate(zip(git, eit)):
+                gr = tuple(canon(x) for x in g)
+                er = tuple(canon(x) for x in e)
                 if gr != er:
                     ok = False
                     msg = f"row {rn}: {gr} vs {er}"
                     break
+        got = gd
         if ok:
             n_pass += 1
             print(f"  PASS {name} ({len(got)} rows)")
