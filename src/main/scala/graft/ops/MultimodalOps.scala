@@ -193,9 +193,84 @@ object MultimodalOps {
        |FROM w ORDER BY doc_id, win""".stripMargin
   }
 
+  final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int,
+                              sum_pool: Long, wsum_pool: Long)
+
+  /** q115: the resize verb of the multimodal path — the payload is a
+    * row-major W=16 byte grid; 2x2 integer average pooling halves both
+    * dims (the real op is bilinear over decoded pixels; the stub keeps
+    * the exact same batching, loop structure and output schema).
+    * Position-weighted checksum (wsum) proves the LAYOUT survived, not
+    * just the value sum. Integer arithmetic end to end → exact oracle.
+    */
+  private val ResizeW = 16
+
+  def resizePool(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    media
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val h = r.content.length / ResizeW
+          val outH = h / 2
+          val outW = ResizeW / 2
+          var sum = 0L
+          var wsum = 0L
+          var rr = 0
+          while (rr < outH) {
+            var cc = 0
+            while (cc < outW) {
+              val base = (2 * rr) * ResizeW + 2 * cc
+              val a = r.content(base) & 0xff
+              val b = r.content(base + 1) & 0xff
+              val c2 = r.content(base + ResizeW) & 0xff
+              val d2 = r.content(base + ResizeW + 1) & 0xff
+              val p = (a + b + c2 + d2) / 4
+              sum += p
+              wsum += p.toLong * (rr.toLong * outW + cc + 1)
+              cc += 1
+            }
+            rr += 1
+          }
+          ResizedRow(r.doc_id, outW, outH, sum, wsum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val resizePoolSql = {
+    def u(idx: String) =
+      s"CAST(unicode(substr(text, CAST(($idx) + 1 AS INTEGER), 1)) AS BIGINT)"
+    val outW = ResizeW / 2
+    s"""WITH g AS (SELECT doc_id, text,
+       |    (octet_length(CAST(text AS BLOB)) // $ResizeW) // 2 AS out_h
+       |  FROM documents),
+       |px AS (SELECT doc_id, out_h,
+       |    unnest(range(0, out_h * $outW)) AS k FROM g),
+       |p AS (SELECT doc_id, out_h, k,
+       |    (${u(s"(2 * (k // $outW)) * $ResizeW + 2 * (k % $outW)")}
+       |     + ${u(s"(2 * (k // $outW)) * $ResizeW + 2 * (k % $outW) + 1")}
+       |     + ${u(s"(2 * (k // $outW) + 1) * $ResizeW + 2 * (k % $outW)")}
+       |     + ${u(s"(2 * (k // $outW) + 1) * $ResizeW + 2 * (k % $outW) + 1")})
+       |      // 4 AS v
+       |  FROM px),
+       |agg AS (SELECT doc_id, SUM(v) AS s, SUM(v * (k + 1)) AS w
+       |        FROM p GROUP BY doc_id)
+       |SELECT g.doc_id, $outW AS out_w, CAST(g.out_h AS INTEGER) AS out_h,
+       | CAST(COALESCE(s, 0) AS BIGINT) AS sum_pool,
+       | CAST(COALESCE(w, 0) AS BIGINT) AS wsum_pool
+       |FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "binary media column -> partition-batched (stub) decode -> features"),
+    Q("q115_resize", resizePool, Some(resizePoolSql),
+      "resize verb: 2x2 integer average pooling over the byte grid"),
     Q("q70_frame_sample", frameSample, Some(frameSampleSql),
       "media payload -> sampled per-frame rows (map-side 1->N generator)"),
     Q("q95_pcm_energy", pcmEnergy, Some(pcmEnergySql),
