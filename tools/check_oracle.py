@@ -11,6 +11,7 @@ decimal-stabilized, so any drift is a real bug).
 """
 import sys, os, json, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -46,7 +47,6 @@ def main(sf_dir, out_dir):
         # SQL — the expensive half — executes exactly once). Both sides
         # go through pandas so null/timestamp representations are
         # symmetric, mirroring the driver's pandas-based hash compare.
-        import pandas as pd
         gd = pd.read_parquet(d)
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows-only): {len(gd)} rows")
@@ -84,10 +84,9 @@ def main(sf_dir, out_dir):
                     ok = False
                     msg = f"row {rn}: {gr} vs {er}"
                     break
-        got = gd
         if ok:
             n_pass += 1
-            print(f"  PASS {name} ({len(got)} rows)")
+            print(f"  PASS {name} ({len(gd)} rows)")
         else:
             n_fail += 1
             print(f"  FAIL {name}: {msg}")
