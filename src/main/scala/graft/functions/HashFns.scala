@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object HashFns {
 
-  /** 60-bit deterministic hash of a string column via md5 prefix. */
-  def hash64(c: Column): Column =
+  /** 60-bit deterministic hash of a string column via md5 prefix —
+    * the native one-pass kernel; semantics proven identical to the
+    * composed `conv(substr(md5,1,15),16,10)` form in Hash64Spec.
+    */
+  def hash64(c: Column): Column = graft.expressions.Hash64.hash64(c)
+
+  /** The original composed formulation, kept as the differential-test
+    * reference for the native kernel.
+    */
+  def hash64Composed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
   def hash64Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
