@@ -216,9 +216,75 @@ object StreamingOps {
        | ${graft.functions.Stable.dsumSql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
+  // ---- q116: streaming top-k per key — a bounded-heap leaderboard in
+  //      explicit GroupState (the streaming twin of the TopKPerKey
+  //      physical operator). State per key is EXACTLY k entries, so
+  //      memory is bounded for any stream length; each micro-batch
+  //      absorbs its rows into the heap and emits the current top-k
+  //      with a monotone n_seen counter — the reader takes the row with
+  //      max(n_seen) per key as the final answer (update-mode memory
+  //      sink appends one emission per key per batch). Oracle: the
+  //      batch row_number()<=k formulation over the same events. ----
+  final case class KEvt(event_type: String, event_id: Long, value: Double)
+  final case class TopKState(n: Long, top: List[(Double, Long)])
+  final case class TopKEmit(event_type: String, n_seen: Long,
+                            ids: Seq[Long], vals: Seq[Double])
+  private val StreamK = 3
+
+  def streamTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val qname = "graft_stream_topk_" + java.lang.Integer.toHexString(d.hashCode)
+    // (value desc, event_id asc) total order, same as the oracle's
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (v, id) => (-v, id)
+    }
+    val q = streamingEvents(s, d)
+      .select(col("event_type"), col("event_id"), col("value")).as[KEvt]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TopKState, TopKEmit](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KEvt], state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Nil))
+          var top = prev.top
+          var n = prev.n
+          rows.foreach { e =>
+            n += 1
+            top = ((e.value, e.event_id) :: top).sorted(ord).take(StreamK)
+          }
+          state.update(TopKState(n, top))
+          TopKEmit(key, n, top.map(_._2), top.map(_._1))
+      }
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n_seen").desc)
+    s.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // final (largest-n_seen) emission per key
+      .select(col("event_type"), posexplode(col("ids")).as(Seq("r", "event_id")))
+      .select(col("event_type"), (col("r") + 1).cast("long").as("rank"),
+              col("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
+  private val streamTopKSql =
+    s"""SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id
+       |FROM (SELECT event_type, event_id, row_number() OVER
+       |        (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+       |        AS rn
+       |      FROM events)
+       |WHERE rn <= $StreamK ORDER BY event_type, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
     Q("q63_stream_dedup", streamDedup, Some(streamDedupSql),
-      "streaming dropDuplicatesWithinWatermark == batch COUNT(DISTINCT)"))
+      "streaming dropDuplicatesWithinWatermark == batch COUNT(DISTINCT)"),
+    Q("q116_stream_topk", streamTopK, Some(streamTopKSql),
+      "stateful streaming top-k leaderboard (bounded GroupState heap)"))
 }

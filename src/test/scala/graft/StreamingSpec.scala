@@ -37,6 +37,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("streaming top-k: heap state merges correctly across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val ord = Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+    val q = mem.toDS().map { case (k, id, v) => StreamingOps.KEvt(k, id, v) }
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[StreamingOps.TopKState, StreamingOps.TopKEmit](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[StreamingOps.KEvt],
+         state: GroupState[StreamingOps.TopKState]) =>
+          val prev = state.getOption.getOrElse(StreamingOps.TopKState(0L, Nil))
+          var top = prev.top
+          var n = prev.n
+          rows.foreach { e =>
+            n += 1
+            top = ((e.value, e.event_id) :: top).sorted(ord).take(3)
+          }
+          state.update(StreamingOps.TopKState(n, top))
+          StreamingOps.TopKEmit(key, n, top.map(_._2), top.map(_._1))
+      }
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("topk_batches").start()
+    try {
+      // batch 1: the eventual #2 and #4; batch 2: #1; batch 3: #3 + noise
+      mem.addData(("a", 10L, 5.0), ("a", 11L, 2.0)); q.processAllAvailable()
+      mem.addData(("a", 12L, 9.0), ("b", 20L, 1.0)); q.processAllAvailable()
+      mem.addData(("a", 13L, 3.0), ("a", 14L, 0.5)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("topk_batches").as[StreamingOps.TopKEmit].collect()
+    // one emission per key per batch it appeared in
+    assert(rows.count(_.event_type == "a") == 3 && rows.count(_.event_type == "b") == 1)
+    val finalA = rows.filter(_.event_type == "a").maxBy(_.n_seen)
+    assert(finalA.n_seen == 5L)
+    assert(finalA.ids == Seq(12L, 10L, 13L), s"got ${finalA.ids}")
+    // state never holds more than k entries
+    assert(rows.forall(_.ids.length <= 3))
+  }
+
   test("watermark + append mode drops late data past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
