@@ -495,6 +495,68 @@ object TextOps {
        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 25""".stripMargin
   }
 
+  // ---- q117: corpus-level segment dedup (CCNet/RefinedWeb-style
+  //      boilerplate removal): cut every doc into 8-token segments,
+  //      count each segment's occurrences ACROSS the corpus, drop
+  //      segments appearing more than twice anywhere, and re-assemble
+  //      the cleaned doc in original segment order. The only corpus-
+  //      wide state is the segment-count table (shuffle on the segment
+  //      text); re-assembly is a per-doc sort_array over (idx, seg)
+  //      structs — collect_list alone is shuffle-order-dependent, the
+  //      struct sort is what makes the rebuilt text deterministic. ----
+  private val BoilSeg = 8
+  private val BoilMax = 2
+
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val tk = col("toks")
+    val segExpr = transform(
+      sequence(lit(0),
+        expr(s"(size(toks) + ${BoilSeg - 1}) DIV $BoilSeg - 1").cast("int")),
+      i => array_join(slice(tk, i * BoilSeg + 1, lit(BoilSeg)), " "))
+    val segs = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(segExpr).as(Seq("idx", "seg")))
+    val counts = segs.groupBy("seg").agg(count(lit(1)).as("n_occ"))
+    segs.join(counts, "seg")
+      .withColumn("keep", col("n_occ") <= BoilMax)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+           hash64(array_join(
+             transform(
+               sort_array(collect_list(when(col("keep"),
+                 struct(col("idx"), col("seg"))))),
+               s0 => s0.getField("seg")),
+             " ")).as("cleaned_h"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateSql = {
+    val t = tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $t AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |    unnest(range(0, (len(toks) + ${BoilSeg - 1}) // $BoilSeg)) AS idx,
+       |    toks FROM t),
+       |sg AS (SELECT doc_id, idx, array_to_string(
+       |    toks[(idx * $BoilSeg + 1):(idx * $BoilSeg + $BoilSeg)], ' ') AS seg
+       |  FROM s),
+       |c AS (SELECT seg, COUNT(*) AS n_occ FROM sg GROUP BY 1),
+       |k AS (SELECT sg.doc_id, sg.idx, sg.seg, c.n_occ <= $BoilMax AS keep
+       |      FROM sg JOIN c USING (seg))
+       |SELECT doc_id, COUNT(*) AS n_seg,
+       | CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       | ${hashFnsCleanedSql}
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // DuckDB string_agg skips NULLs (un-kept segments) and returns NULL
+  // when every segment was dropped — COALESCE to '' to match Spark's
+  // array_join over an empty array
+  private def hashFnsCleanedSql: String =
+    hash64Sql("COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' " +
+      "ORDER BY idx), '')") + " AS cleaned_h"
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -519,5 +581,7 @@ object TextOps {
     Q("q111_global_shuffle", globalShuffle, Some(globalShuffleSql),
       "deterministic sharded training shuffle + microbatch packing"),
     Q("q112_bpe_pairs", bpePairs, Some(bpePairsSql),
-      "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"))
+      "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"),
+    Q("q117_boilerplate", boilerplate, Some(boilerplateSql),
+      "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"))
 }

@@ -171,6 +171,20 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
+  test("boilerplate: un-dropped docs rebuild to exactly the original text") {
+    val res = ops.TextOps.boilerplate(spark, sf)
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+              functions.HashFns.hash64(col("text")).as("orig_h"))
+    val joined = res.join(orig, "doc_id")
+    val clean = joined.filter(col("n_dropped") === 0)
+    assert(clean.count() > 0, "expected some untouched docs")
+    assert(clean.filter(col("cleaned_h") =!= col("orig_h")).isEmpty,
+      "segment rebuild corrupted an untouched document")
+    // and some docs must actually lose segments on this corpus
+    assert(joined.filter(col("n_dropped") > 0).count() > 0)
+  }
+
   test("broadcast join == shuffle join (strategy-independence)") {
     val big = randomDf(7)
     val dim = {
