@@ -508,11 +508,15 @@ object TextOps {
   private val BoilMax = 2
 
   def boilerplate(s: SparkSession, d: String): DataFrame = {
+    // sequence(0, n) DESCENDS for n < 0 (the shingles trap) — guard the
+    // empty-token-array case even though split() can't produce it today
     val tk = col("toks")
-    val segExpr = transform(
-      sequence(lit(0),
-        expr(s"(size(toks) + ${BoilSeg - 1}) DIV $BoilSeg - 1").cast("int")),
-      i => array_join(slice(tk, i * BoilSeg + 1, lit(BoilSeg)), " "))
+    val segExpr = when(size(tk) >= 1,
+      transform(
+        sequence(lit(0),
+          expr(s"(size(toks) + ${BoilSeg - 1}) DIV $BoilSeg - 1").cast("int")),
+        i => array_join(slice(tk, i * BoilSeg + 1, lit(BoilSeg)), " ")))
+      .otherwise(array())
     val segs = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))

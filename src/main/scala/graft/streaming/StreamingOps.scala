@@ -229,31 +229,42 @@ object StreamingOps {
   final case class TopKState(n: Long, top: List[(Double, Long)])
   final case class TopKEmit(event_type: String, n_seen: Long,
                             ids: Seq[Long], vals: Seq[Double])
-  private val StreamK = 3
+  val StreamK = 3
+
+  /** (value desc, event_id asc) total order — identical to the oracle's
+    * `ORDER BY value DESC, event_id ASC`.
+    */
+  private val topKOrd = Ordering.by[(Double, Long), (Double, Long)] {
+    case (v, id) => (-v, id)
+  }
+
+  /** The per-group state-update function — the ONE definition both the
+    * registry query and StreamingSpec's cross-batch test run, so the
+    * spec proves the shipped merge logic, not a copy.
+    */
+  private[graft] def topKUpdate(
+      key: String, rows: Iterator[KEvt],
+      state: org.apache.spark.sql.streaming.GroupState[TopKState]): TopKEmit = {
+    val prev = state.getOption.getOrElse(TopKState(0L, Nil))
+    var top = prev.top
+    var n = prev.n
+    rows.foreach { e =>
+      n += 1
+      top = ((e.value, e.event_id) :: top).sorted(topKOrd).take(StreamK)
+    }
+    state.update(TopKState(n, top))
+    TopKEmit(key, n, top.map(_._2), top.map(_._1))
+  }
 
   def streamTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val qname = "graft_stream_topk_" + java.lang.Integer.toHexString(d.hashCode)
-    // (value desc, event_id asc) total order, same as the oracle's
-    val ord = Ordering.by[(Double, Long), (Double, Long)] {
-      case (v, id) => (-v, id)
-    }
     val q = streamingEvents(s, d)
       .select(col("event_type"), col("event_id"), col("value")).as[KEvt]
       .groupByKey(_.event_type)
-      .mapGroupsWithState[TopKState, TopKEmit](GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[KEvt], state: GroupState[TopKState]) =>
-          val prev = state.getOption.getOrElse(TopKState(0L, Nil))
-          var top = prev.top
-          var n = prev.n
-          rows.foreach { e =>
-            n += 1
-            top = ((e.value, e.event_id) :: top).sorted(ord).take(StreamK)
-          }
-          state.update(TopKState(n, top))
-          TopKEmit(key, n, top.map(_._2), top.map(_._1))
-      }
+      .mapGroupsWithState[TopKState, TopKEmit](GroupStateTimeout.NoTimeout)(
+        topKUpdate _)
       .writeStream
       .outputMode(OutputMode.Update)
       .format("memory")
