@@ -464,9 +464,75 @@ object DedupOps {
        |SELECT node AS doc_id, r AS rank_micro FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q118: triangle counting over the part-category co-occurrence
+  //      graph (categories bought in the same order are connected; raw
+  //      part keys give a graph whose density — and wedge-join cost —
+  //      grows with data volume, so nodes are coarsened to 300
+  //      categories and only edges STRICTLY stronger than the average
+  //      pair count are kept: a self-scaling association filter that
+  //      stays non-degenerate from sf0.001 to sf0.1 and bounds compute
+  //      by the category count at ANY data scale). The count is the
+  //      classic two-join formulation: wedges = e⋈e on the middle node,
+  //      closed by a third equi-join — every step a hash equi-join, no
+  //      nested loop. The a<b<c orientation dedupes each triangle; at
+  //      100 TB you orient low-degree→high-degree instead (bounds
+  //      wedges by arboricity) — same plan, different ordering key. The
+  //      average-strength cut is one scalar aggregate broadcast into
+  //      the filter (cnt·n_edges > total_cnt — integer-exact in both
+  //      engines). One output row: edge/triangle counts + a corner-sum
+  //      checksum that only matches if both engines found the identical
+  //      triangle SET.
+  private val TriCats = 300
+
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val np = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"),
+              pmod(col("l_partkey"), lit(TriCats.toLong)).as("p")).distinct()
+    val w = np.alias("l")
+      .join(np.alias("r"), col("l.o") === col("r.o") && col("l.p") < col("r.p"))
+      .groupBy(col("l.p").as("x"), col("r.p").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = w.agg(count(lit(1)).as("ne"), sum(col("cnt")).as("tc"))
+    val e = w.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("ne") > col("tc"))
+      .select("x", "y")
+      .persist()
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.y") === col("e2.x"))
+      .join(e.alias("e3"),
+            col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    val nEdges = e.count()
+    val result = tri
+      .agg(count(lit(1)).as("n_triangles"),
+           sum(col("a") + col("b") + col("c")).as("corner_checksum"))
+      .select(lit(nEdges).as("n_edges"), col("n_triangles"),
+              col("corner_checksum"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    result
+  }
+
+  private val trianglesSql =
+    s"""WITH np AS (SELECT DISTINCT l_orderkey AS o,
+       |    ((l_partkey % $TriCats) + $TriCats) % $TriCats AS p FROM lineitem),
+       |w AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS cnt
+       |      FROM np a JOIN np b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |tot AS (SELECT COUNT(*) AS ne, SUM(cnt) AS tc FROM w),
+       |e AS (SELECT x, y FROM w, tot WHERE cnt * ne > tc),
+       |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       |        FROM e e1 JOIN e e2 ON e1.y = e2.x
+       |          JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       | COUNT(*) AS n_triangles,
+       | CAST(SUM(a + b + c) AS BIGINT) AS corner_checksum
+       |FROM tri""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
+    Q("q118_triangles", triangles, Some(trianglesSql),
+      "triangle count over the part co-occurrence graph (two equi-joins)"),
     Q("q74_pagerank", pagerank, Some(pagerankSql),
       "integer-quantized PageRank (3 iters) over the near-dup graph"),
     Q("q81_decontaminate", decontaminate, Some(decontaminateSql),
