@@ -561,6 +561,36 @@ object TextOps {
     hash64Sql("COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' " +
       "ORDER BY idx), '')") + " AS cleaned_h"
 
+  // ---- q119: deterministic weighted sampling — select K docs with
+  //      probability increasing in doc length (importance sampling for
+  //      data mixing), with NO rand(): each doc's priority is its
+  //      seeded hash divided by its weight (integer division), and the
+  //      K smallest priorities win. Bigger weight → smaller priority →
+  //      more likely selected; the winner set is a pure function of the
+  //      data (same on any cluster, any partitioning, both engines) —
+  //      the integer-arithmetic cousin of A-ES (u^(1/w)) exponential
+  //      sampling. Plan: map-side priority + TakeOrdered(K) — no full
+  //      sort, no shuffle beyond the top-k merge. ----
+  private val WsK = 50
+
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      // integer DIV, not Column./ — double division would lose low bits
+      // of the 60-bit hash and diverge from DuckDB's exact floor div
+      .select(col("doc_id"), col("n_chars"),
+              hash64(concat(lit("ws:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("n_chars"),
+              expr("h DIV n_chars").as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(WsK)
+
+  private val weightedSampleSql = {
+    val h = hash64Sql("'ws:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, n_chars, $h // n_chars AS priority
+       |FROM documents
+       |ORDER BY priority ASC, doc_id ASC LIMIT $WsK""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -587,5 +617,7 @@ object TextOps {
     Q("q112_bpe_pairs", bpePairs, Some(bpePairsSql),
       "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"),
     Q("q117_boilerplate", boilerplate, Some(boilerplateSql),
-      "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"))
+      "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"),
+    Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
+      "deterministic size-weighted sampling via integer hash priorities"))
 }
