@@ -55,6 +55,27 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
       s"expected the clustering shuffle below the operator:\n$plan")
   }
 
+  test("auto variant: high-cardinality flag plans the spillable window, same rows") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val keys = Seq(col("l_orderkey"))
+    val ord = Seq(col("l_extendedprice").desc, col("l_linenumber").asc)
+    val heap = TopKPerKey.topKPerKeyAuto(li, keys, ord, 2,
+      highCardinalityKeys = false)
+    val win = TopKPerKey.topKPerKeyAuto(li, keys, ord, 2,
+      highCardinalityKeys = true)
+    // same rows either way...
+    assert(heap.collect().map(_.toSeq.toString).sorted.toSeq ==
+           win.collect().map(_.toSeq.toString).sorted.toSeq)
+    // ...but different physical strategies: bounded heap vs Spark's
+    // spill-capable WindowExec (the 100 TB answer when per-partition
+    // distinct keys × k no longer fits on the heap)
+    assert(heap.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val winPlan = win.queryExecution.executedPlan.toString
+    assert(!winPlan.contains("TopKPerKeyExec") && winPlan.contains("Window"),
+      s"expected the window fallback:\n$winPlan")
+  }
+
   test("keys with fewer than k rows keep all their rows") {
     import spark.implicits._
     val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (2L, 3, 3.0))
