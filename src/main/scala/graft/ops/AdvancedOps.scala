@@ -197,6 +197,76 @@ object AdvancedOps {
        |ORDER BY est.tok""".stripMargin
   }
 
+  // ---- q120: linear-counting distinct sketch — the oracle-able
+  //      mergeable counterpart to q44's HLL (as q98 is to its quantile
+  //      half). Per group, a 1024-bit bitmap (16 bigint words) marks
+  //      hash buckets of seen keys; words merge with bit_or, which is
+  //      idempotent AND associative, so a 1000-executor build is
+  //      bit-identical to a single-threaded one and partial bitmaps
+  //      union across shards/days for free. The distinct estimate
+  //      -m·ln(zeros/m) is float, so it stays in the SPEC; the query
+  //      outputs only integers — zero-bit count, xor checksum (proves
+  //      identical bitmaps, not just similar counts), exact distinct
+  //      from a separate aggregate (separate: mixing countDistinct
+  //      with other aggs triggers the Expand rewrite). ----
+  private val LcWords = 16 // 16 x 64 = 1024 bits
+  private val lcSeed = "lc:"
+
+  def linearCount(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(hash64(concat(lit(lcSeed), col("l_partkey").cast("string"))),
+                      lit(LcWords * 64L))
+    // bind bucket once: both the word index and the bit mask read it
+    val bound = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), bucket.as("bkt"))
+      .select(col("l_returnflag"),
+              expr("bkt DIV 64").as("w"),
+              expr("shiftleft(1L, CAST(bkt % 64 AS INT))").as("m"))
+    val words = (0 until LcWords).map(i =>
+      expr(s"bit_or(CASE WHEN w = $i THEN m ELSE 0L END)").as(s"w$i"))
+    val sketch = bound.groupBy("l_returnflag")
+      .agg(words.head, words.tail: _*)
+    val zeroBits = (0 until LcWords)
+      .map(i => lit(64L) - expr(s"bit_count(w$i)").cast("long"))
+      .reduce(_ + _)
+    val xorSum = (0 until LcWords).map(i => col(s"w$i"))
+      .reduce((a, b) => a.bitwiseXOR(b))
+    val exact = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("rf2"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    sketch
+      .select(col("l_returnflag"), zeroBits.as("n_zero_bits"),
+              xorSum.as("xor_checksum"))
+      .join(exact, col("l_returnflag") === col("rf2"))
+      .select("l_returnflag", "n_zero_bits", "xor_checksum", "n_exact")
+      .orderBy("l_returnflag")
+  }
+
+  private val linearCountSql = {
+    val h = hash64Sql(s"'$lcSeed' || CAST(l_partkey AS VARCHAR)")
+    val m = LcWords * 64
+    // DuckDB overflow-checks 1<<63 (the sign bit) — mask it explicitly
+    val mask = "CASE WHEN bkt % 64 = 63 THEN -9223372036854775808 " +
+      "ELSE (1::BIGINT << CAST(bkt % 64 AS INTEGER)) END"
+    val words = (0 until LcWords).map(i =>
+      s"bit_or(CASE WHEN bkt // 64 = $i THEN $mask ELSE 0 END) AS w$i")
+      .mkString(",\n       |   ")
+    val zeros = (0 until LcWords)
+      .map(i => s"(64 - CAST(bit_count(w$i) AS BIGINT))").mkString(" + ")
+    val xor = (0 until LcWords).map(i => s"w$i")
+      .reduceLeft((a, b) => s"xor($a, $b)")
+    s"""WITH b AS (SELECT l_returnflag, (($h % $m) + $m) % $m AS bkt FROM lineitem),
+       |sk AS (SELECT l_returnflag,
+       |   $words
+       |  FROM b GROUP BY 1),
+       |ex AS (SELECT l_returnflag AS rf2,
+       |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+       |       FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, CAST($zeros AS BIGINT) AS n_zero_bits,
+       | CAST($xor AS BIGINT) AS xor_checksum, n_exact
+       |FROM sk JOIN ex ON l_returnflag = rf2
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---- bucketed co-located join: both fact tables pre-bucketed on the
   //      join key → SortMergeJoin with NO shuffle exchange on either
   //      side (the decisive optimization for repeated fact-fact joins
@@ -464,6 +534,8 @@ object AdvancedOps {
       "deterministic mergeable histogram quantiles (oracle-checked sketch)"),
     Q("q99_countmin", countMin, Some(countMinSql),
       "count-min sketch: fixed-memory frequency estimates, cell-exact twin"),
+    Q("q120_linear_count", linearCount, Some(linearCountSql),
+      "linear-counting distinct sketch: bit_or-mergeable bitmap, xor-exact twin"),
     Q("q45_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "bucketed co-located fact-fact join (no shuffle)"),
     Q("q46_partition_prune", partitionPrune, Some(partitionPruneSql),

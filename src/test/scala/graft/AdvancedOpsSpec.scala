@@ -103,6 +103,20 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q120 linear-counting estimate lands near exact distinct counts") {
+    val rows = AdvancedOps.linearCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (rf, zeroBits, exact) =>
+      assert(zeroBits > 0, s"$rf: bitmap saturated — enlarge it")
+      // the float estimate lives here, not in the oracle: ln across
+      // engines can differ in the last ulp
+      val est = -1024.0 * math.log(zeroBits / 1024.0)
+      val err = math.abs(est - exact) / math.max(exact, 1L)
+      assert(err < 0.15, s"$rf: est $est vs exact $exact (err $err)")
+    }
+  }
+
   test("q99 count-min never underestimates; absent keys stay near zero") {
     val rows = AdvancedOps.countMin(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
