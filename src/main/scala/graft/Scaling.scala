@@ -12,35 +12,48 @@ import org.apache.spark.sql.functions.col
 object Scaling {
   private val Sfs = Seq("0.001", "0.01", "0.1")
 
+  // each pick annotated with the table whose size drives it — the
+  // testdata tables do NOT all scale together (documents is 500 rows at
+  // BOTH sf0.001 and sf0.01; embeddings grows 4x not 10x on the last
+  // step), so time ratios are only meaningful against the actual row
+  // ratio of the driving table
   private val Picks = Seq(
-    "q01_scan_agg" -> "scan + aggregate",
-    "q05_filter_gt" -> "pushed filter",
-    "q14_topk" -> "global top-k (TakeOrdered)",
-    "q22_tpch_q1" -> "wide decimal aggregate",
-    "q23_tpch_q3" -> "3-table join + top-10",
-    "q69_tpch_q5" -> "6-table star join",
-    "q100_tpch_q8" -> "7-table star, ratio agg",
-    "q24_window_rank" -> "partitioned window",
-    "q48_topk_per_key" -> "custom TopKPerKey operator",
-    "q33_dedup_exact" -> "hash-groupBy dedup",
-    "q34_dedup_minhash" -> "MinHash LSH near-dup",
-    "q38_sim_topk" -> "brute-force cosine top-k",
-    "q50_sim_ann_ivf" -> "IVF ANN",
-    "q111_global_shuffle" -> "sharded training shuffle",
-    "q112_bpe_pairs" -> "BPE pair counts",
-    "q117_boilerplate" -> "corpus segment dedup",
-    "q118_triangles" -> "triangle counting",
-    "q113_upsert" -> "CDC upsert",
-    "q66_range_join" -> "binned range join")
+    ("q01_scan_agg", "scan + aggregate", "lineitem"),
+    ("q05_filter_gt", "pushed filter", "lineitem"),
+    ("q14_topk", "global top-k (TakeOrdered)", "lineitem"),
+    ("q22_tpch_q1", "wide decimal aggregate", "lineitem"),
+    ("q23_tpch_q3", "3-table join + top-10", "lineitem"),
+    ("q69_tpch_q5", "6-table star join", "lineitem"),
+    ("q100_tpch_q8", "7-table star, ratio agg", "lineitem"),
+    ("q24_window_rank", "partitioned window", "lineitem"),
+    ("q48_topk_per_key", "custom TopKPerKey operator", "lineitem"),
+    ("q33_dedup_exact", "hash-groupBy dedup", "documents"),
+    ("q34_dedup_minhash", "MinHash LSH near-dup", "documents"),
+    ("q38_sim_topk", "brute-force cosine top-k", "embeddings"),
+    ("q50_sim_ann_ivf", "IVF ANN", "embeddings"),
+    ("q111_global_shuffle", "sharded training shuffle", "documents"),
+    ("q112_bpe_pairs", "BPE pair counts", "documents"),
+    ("q117_boilerplate", "corpus segment dedup", "documents"),
+    ("q118_triangles", "triangle counting", "lineitem"),
+    ("q113_upsert", "CDC upsert", "orders"),
+    ("q66_range_join", "binned range join", "events"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     val byName = Registry.all.map(q => q.name -> q).toMap
-    // lineitem row counts give the actual data ratio per sf
-    val rows = Sfs.map { sf =>
-      sf -> spark.read.parquet(s"/root/testdata/sf$sf/lineitem.parquet").count()
-    }.toMap
+    // actual row counts per driving table per sf — the honest
+    // denominator for every ratio below. Loaders, not raw reads:
+    // events is TIMESTAMP(NANOS) parquet and needs Tables' handling.
+    val load: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "lineitem" -> Tables.lineitem, "orders" -> Tables.orders,
+      "documents" -> Tables.documents, "embeddings" -> Tables.embeddings,
+      "events" -> Tables.events)
+    val tables = Picks.map(_._3).distinct
+    val rows: Map[(String, String), Long] = (for {
+      t <- tables; sf <- Sfs
+    } yield (t, sf) -> load(t)(spark, s"/root/testdata/sf$sf").count()).toMap
 
     def timeOne(name: String, sf: String): Double = {
       spark.catalog.clearCache()
@@ -55,25 +68,27 @@ object Scaling {
     }
 
     // warm-up pass (codegen + classloading)
-    Picks.foreach { case (n, _) => timeOne(n, "0.001") }
+    Picks.foreach { case (n, _, _) => timeOne(n, "0.001") }
 
     val sb = new StringBuilder
-    sb.append("# SCALING — measured sf sweep (100x data spread)\n\n")
-    sb.append("Best-of-2 seconds per scale factor (lineitem rows: ")
-    sb.append(Sfs.map(sf => s"sf$sf=${rows(sf)}").mkString(", "))
-    sb.append("), after a warm-up pass. `x0.1/x0.01` is the time ratio across\n")
-    sb.append("a 10x data step — linear scaling would be 10, overhead-bound\n")
-    sb.append("queries sit near 1; values well above 10 would flag a\n")
-    sb.append("super-linear stage. Regenerate: `sbt \"runMain graft.Scaling\"`.\n\n")
-    sb.append("| query | what | sf0.001 | sf0.01 | sf0.1 | x0.1/x0.01 |\n")
-    sb.append("|---|---|---|---|---|---|\n")
-    Picks.foreach { case (name, what) =>
+    sb.append("# SCALING — measured sf sweep\n\n")
+    sb.append("Best-of-2 seconds per scale factor after a warm-up pass. The\n")
+    sb.append("testdata tables do NOT all grow together, so each query is\n")
+    sb.append("compared against the measured row growth of its own driving\n")
+    sb.append("table across the sf0.01 -> sf0.1 step (`data x`): linear\n")
+    sb.append("scaling means `time x` tracks `data x`; `time x` well below is\n")
+    sb.append("overhead-bound, well above would flag a super-linear stage.\n")
+    sb.append("Regenerate: `sbt \"runMain graft.Scaling\"`.\n\n")
+    sb.append("| query | what | table | sf0.001 | sf0.01 | sf0.1 | data x | time x |\n")
+    sb.append("|---|---|---|---|---|---|---|---|\n")
+    Picks.foreach { case (name, what, table) =>
       val t = Sfs.map(sf => sf -> timeOne(name, sf)).toMap
-      val ratio = t("0.1") / math.max(t("0.01"), 1e-9)
-      sb.append(f"| $name | $what | ${t("0.001")}%.2f | ${t("0.01")}%.2f " +
-        f"| ${t("0.1")}%.2f | ${ratio}%.1f |\n")
-      println(f"[scaling] $name%-22s ${t("0.001")}%6.2f ${t("0.01")}%6.2f " +
-        f"${t("0.1")}%6.2f  ratio ${ratio}%.1f")
+      val dataX = rows((table, "0.1")).toDouble / rows((table, "0.01"))
+      val timeX = t("0.1") / math.max(t("0.01"), 1e-9)
+      sb.append(f"| $name | $what | $table | ${t("0.001")}%.2f | ${t("0.01")}%.2f " +
+        f"| ${t("0.1")}%.2f | ${dataX}%.0f | ${timeX}%.1f |\n")
+      println(f"[scaling] $name%-22s $table%-10s ${t("0.001")}%6.2f " +
+        f"${t("0.01")}%6.2f ${t("0.1")}%6.2f  data ${dataX}%.0fx time ${timeX}%.1fx")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), sb.toString)

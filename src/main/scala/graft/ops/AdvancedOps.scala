@@ -210,6 +210,10 @@ object AdvancedOps {
   //      from a separate aggregate (separate: mixing countDistinct
   //      with other aggs triggers the Expand rewrite). ----
   private val LcWords = 16 // 16 x 64 = 1024 bits
+  /** bitmap size in bits — the m of the -m·ln(zeros/m) estimate; the
+    * spec derives its formula from this so the geometry has one knob
+    */
+  val LcBits: Long = LcWords * 64L
   private val lcSeed = "lc:"
 
   def linearCount(s: SparkSession, d: String): DataFrame = {

@@ -111,7 +111,8 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(zeroBits > 0, s"$rf: bitmap saturated — enlarge it")
       // the float estimate lives here, not in the oracle: ln across
       // engines can differ in the last ulp
-      val est = -1024.0 * math.log(zeroBits / 1024.0)
+      val m = AdvancedOps.LcBits.toDouble
+      val est = -m * math.log(zeroBits / m)
       val err = math.abs(est - exact) / math.max(exact, 1L)
       assert(err < 0.15, s"$rf: est $est vs exact $exact (err $err)")
     }
