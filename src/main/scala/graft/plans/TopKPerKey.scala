@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.{SparkEnv, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.SparkStrategy
@@ -7,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 import org.apache.spark.sql.graftbridge
 
 /** Custom whole-operator: per-key top-k.
@@ -20,15 +23,30 @@ import org.apache.spark.sql.graftbridge
   * no full sort anywhere. At 100 TB that is the difference between a
   * spilling sort of the fact table and a streaming pass.
   *
-  * MEMORY BOUND (ADVICE r1): the heap map is in-heap and does NOT
-  * spill — per partition it holds O(distinct keys in partition × k)
-  * rows. That is the right trade when keys are group-like (bounded
-  * cardinality: users, sessions, categories). When the key is
-  * near-unique (e.g. l_orderkey on the fact table) the map approaches
-  * the partition size and can OOM where a sort would spill; use
-  * [[TopKPerKey.topKPerKeyAuto]] which falls back to the window
-  * formulation (WindowExec = external sort + streaming rank, spillable
-  * by construction) when the caller flags high key cardinality.
+  * MEMORY BOUND + DEGRADE PATH (ADVICE r1, VERDICT r3): the heap map
+  * holds O(distinct keys in partition × k) retained rows. That is the
+  * right trade when keys are group-like (bounded cardinality: users,
+  * sessions, categories) — but when the key is near-unique (e.g.
+  * l_orderkey on the fact table) the map approaches the partition size.
+  * Rather than OOM where a window sort would have spilled, the exec
+  * DEGRADES: once retained rows cross the per-partition budget
+  * (`spark.graft.topKPerKey.maxHeldRows`, default 2^20), every retained
+  * row plus the rest of the input is handed to Spark's spillable
+  * [[UnsafeExternalRowSorter]] ordered by (key, order), and a streaming
+  * pass keeps the first k rows per key group with O(1) extra memory.
+  * Rows already evicted from a full heap can never re-enter that key's
+  * top-k (k strictly-better rows are still retained), so dropping them
+  * stays safe. The degrade is observable in the `degraded partitions` /
+  * `external sorted rows` SQL metrics. This makes the automatic
+  * [[TopKRankPushdown]] rewrite safe for plain-SQL users at any key
+  * cardinality: worst case the plan pays one external sort — exactly
+  * what WindowExec would have done — after a bounded O(maxHeldRows)
+  * detour. Map-typed keys are groupable but not sort-orderable; they
+  * keep the pure heap path (and the bounded-cardinality contract).
+  *
+  * [[TopKPerKey.topKPerKeyAuto]] remains the explicit API for callers
+  * who KNOW keys are near-unique and want the window formulation
+  * (external sort + streaming rank) without the heap detour.
   *
   * Preference-ladder slot (c) from the build brief: LogicalPlan +
   * Strategy + SparkPlan, registered both via GraftExtensions and
@@ -53,6 +71,12 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numDegradedPartitions" -> SQLMetrics.createMetric(sparkContext,
+      "degraded partitions (external sort)"),
+    "externalSortedRows" -> SQLMetrics.createMetric(sparkContext,
+      "external sorted rows"))
+
   /** All rows of a key must meet in one partition — Spark's
     * EnsureRequirements inserts the (single) hash shuffle.
     */
@@ -73,6 +97,17 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val schema = child.schema
+    val maxHeldRows = conf
+      .getConfString(TopKPerKey.MaxHeldRowsKey, TopKPerKey.MaxHeldRowsDefault.toString)
+      .toLong
+    // degrade needs a total order on the key columns; map-typed keys are
+    // groupable but not orderable and keep the pure heap path
+    val degradable = keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
+    val fullOrder = keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder
+    val pageSize = SparkEnv.get.memoryManager.pageSizeBytes
+    val numDegraded = longMetric("numDegradedPartitions")
+    val extSortedRows = longMetric("externalSortedRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(sortOrder, childOutput)
@@ -80,7 +115,9 @@ case class TopKPerKeyExec(
       // replaces the head when it sorts strictly before it
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val reverse = ordering.reversed()
-      while (iter.hasNext) {
+      var held = 0L
+      var degrade = false
+      while (iter.hasNext && !degrade) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -90,16 +127,75 @@ case class TopKPerKeyExec(
         }
         if (heap.size() < limit) {
           heap.add(row.copy())
+          held += 1
+          if (degradable && held > maxHeldRows) degrade = true
         } else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val arr = heap.toArray(new Array[InternalRow](heap.size()))
-        java.util.Arrays.sort(arr, ordering)
-        arr.iterator
+      if (!degrade) {
+        import scala.jdk.CollectionConverters._
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val arr = heap.toArray(new Array[InternalRow](heap.size()))
+          java.util.Arrays.sort(arr, ordering)
+          arr.iterator
+        }
+      } else {
+        numDegraded.add(1)
+        // Spill path: sort (key, order) externally — UnsafeExternalRowSorter
+        // spills to disk under memory pressure, exactly like WindowExec's
+        // sort — then stream the first k rows of each key group.
+        val fullOrdering = RowOrdering.create(fullOrder, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          // constant prefix: every comparison falls through to the full
+          // record comparator; correctness over radix speed on the rare path
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, fullOrdering, PrefixComparators.LONG, prefixComputer,
+          pageSize, false)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        var fed = 0L
+        val heapIt = heaps.values().iterator()
+        while (heapIt.hasNext) {
+          val h = heapIt.next()
+          val rowIt = h.iterator()
+          while (rowIt.hasNext) { sorter.insertRow(toUnsafe(rowIt.next())); fed += 1 }
+        }
+        heaps.clear()
+        while (iter.hasNext) { sorter.insertRow(toUnsafe(iter.next())); fed += 1 }
+        extSortedRows.add(fed)
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var emittedForKey = 0
+          private var ready: InternalRow = null
+          override def hasNext: Boolean = {
+            // advance lazily inside hasNext — the sorter reuses its row
+            // buffer, so the emitted row must stay untouched until the
+            // consumer's NEXT next() call
+            while (ready == null && sorted.hasNext) {
+              val r = sorted.next()
+              val key = keyProj(r)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy(); emittedForKey = 0
+              }
+              if (emittedForKey < limit) { emittedForKey += 1; ready = r }
+            }
+            ready != null
+          }
+          override def next(): InternalRow = {
+            if (ready == null && !hasNext) throw new NoSuchElementException
+            val r = ready; ready = null; r
+          }
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -117,6 +213,22 @@ object GraftStrategies extends SparkStrategy {
 }
 
 object TopKPerKey {
+  /** Per-partition retained-row budget before the exec degrades to the
+    * spillable external sort. 2^20 rows ≈ 100 MB at 100 B/row — small
+    * enough to never OOM an executor, large enough that group-like keys
+    * (the operator's target case) never trip it.
+    */
+  val MaxHeldRowsKey = "spark.graft.topKPerKey.maxHeldRows"
+  val MaxHeldRowsDefault: Long = 1L << 20
+
+  /** Alias-metadata marker telling [[TopKRankPushdown]] to leave a
+    * window formulation alone. Without it, the auto variant's explicit
+    * high-cardinality fallback would be silently rewritten back into
+    * the heap operator by our own optimizer rule in
+    * GraftExtensions-enabled sessions (found by the r4 spill spec).
+    */
+  val NoRewriteTag = "graft.topk.noRewrite"
+
   /** Column-API entry point; self-registers the planner strategy. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -148,19 +260,24 @@ object TopKPerKey {
 
   /** Cardinality-aware entry point: the bounded-heap operator when keys
     * are group-like, the spillable sort-based window formulation when
-    * the key is near-unique (`highCardinalityKeys = true`). The window
-    * path sorts each key-partition externally (spills to disk) and
-    * streams ranks — O(1) extra heap per key — so it survives keys ~ n.
+    * the caller KNOWS the key is near-unique (`highCardinalityKeys =
+    * true`). The window path sorts each key-partition externally
+    * (spills to disk) and streams ranks — O(1) extra heap per key — so
+    * it survives keys ~ n without paying the heap path's bounded
+    * maxHeldRows detour first.
     */
   def topKPerKeyAuto(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                      k: Int, highCardinalityKeys: Boolean): DataFrame =
     if (!highCardinalityKeys) topKPerKey(df, keys, order, k)
     else {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.row_number
+      import org.apache.spark.sql.functions.{col, row_number}
+      import org.apache.spark.sql.types.MetadataBuilder
       val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-      df.withColumn("__graft_rn", row_number().over(w))
-        .filter(org.apache.spark.sql.functions.col("__graft_rn") <= k)
+      val noRewrite = new MetadataBuilder().putBoolean(NoRewriteTag, true).build()
+      df.select(df.columns.map(col) :+
+          row_number().over(w).as("__graft_rn", noRewrite): _*)
+        .filter(col("__graft_rn") <= k)
         .drop("__graft_rn")
     }
 }

@@ -30,8 +30,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - the filter bounds that row_number attribute by a positive integer
   *    literal (`rn <= k`, `rn < k+1`, or `rn = 1`) among its conjuncts;
   *  - k is small enough that keys·k heap entries are a win (MaxK guard —
-  *    beyond that the spillable window sort is the safer physical plan,
-  *    see the memory-bound note on [[TopKPerKey]]);
+  *    beyond that the spillable window sort is the safer physical plan);
+  *    key CARDINALITY needs no guard here: [[TopKPerKeyExec]] degrades
+  *    to a spillable external sort when retained rows cross its
+  *    per-partition budget (`spark.graft.topKPerKey.maxHeldRows`), so a
+  *    near-unique key (row_number over l_orderkey on a 100 TB fact)
+  *    costs one external sort — what the window would have paid anyway
+  *    — instead of an OOM;
   *  - idempotence: the window's child is not already a TopKPerKey.
   *
   * Registered via GraftExtensions.injectOptimizerRule, so any
@@ -58,11 +63,14 @@ object TopKRankPushdown extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         w @ Window(
-          Seq(Alias(WindowExpression(_: RowNumber,
+          Seq(a @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
           _, _, child, _))
-        if part.nonEmpty && order.nonEmpty && !child.isInstanceOf[TopKPerKey] =>
+        if part.nonEmpty && order.nonEmpty && !child.isInstanceOf[TopKPerKey] &&
+          // topKPerKeyAuto's high-cardinality path REQUESTED the window
+          // formulation — honor the opt-out instead of undoing it
+          !a.metadata.contains(TopKPerKey.NoRewriteTag) =>
       val rnAttr = w.output.last
       boundOf(splitConjunctivePredicates(cond), rnAttr) match {
         case Some(k) if k >= 1 && k <= MaxK =>

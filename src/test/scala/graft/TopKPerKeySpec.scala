@@ -1,11 +1,32 @@
 package graft
 
-import graft.plans.TopKPerKey
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Locate the exec in a (possibly AQE-wrapped) executed plan. AQE
+    * wraps materialized stages in QueryStageExec LEAF nodes (Spark 4
+    * adds ResultQueryStageExec around the final stage), so plain child
+    * traversal stops short — descend into stage plans explicitly.
+    */
+  private def findExec(p: SparkPlan): Option[TopKPerKeyExec] = p match {
+    case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findExec(q.plan)
+    case t: TopKPerKeyExec => Some(t)
+    case other =>
+      other.children.iterator.map(findExec).collectFirst { case Some(t) => t }
+  }
+
+  private def withMaxHeldRows[A](n: Long)(body: => A): A = {
+    spark.conf.set(TopKPerKey.MaxHeldRowsKey, n.toString)
+    try body finally spark.conf.unset(TopKPerKey.MaxHeldRowsKey)
+  }
 
   test("custom operator == window row_number formulation (lineitem)") {
     val li = Tables.lineitem(spark, sf)
@@ -71,9 +92,84 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     // spill-capable WindowExec (the 100 TB answer when per-partition
     // distinct keys × k no longer fits on the heap)
     assert(heap.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // the NoRewriteTag must keep TopKRankPushdown from undoing the
+    // explicit window request (logical-plan check — the rendered
+    // physical string hid this in r3 because "Exec" is stripped)
+    assert(win.queryExecution.optimizedPlan
+      .collect { case t: graft.plans.TopKPerKey => t }.isEmpty,
+      s"rank pushdown must not fire on the tagged window fallback:\n" +
+        win.queryExecution.optimizedPlan)
     val winPlan = win.queryExecution.executedPlan.toString
-    assert(!winPlan.contains("TopKPerKeyExec") && winPlan.contains("Window"),
+    assert(findExec(win.queryExecution.executedPlan).isEmpty &&
+           winPlan.contains("Window"),
       s"expected the window fallback:\n$winPlan")
+  }
+
+  test("near-unique key under a tiny held-row budget degrades to the " +
+       "spillable external sort with identical results (VERDICT r3 #1)") {
+    // l_orderkey is near-unique relative to lineitem (~4 lines/order):
+    // exactly the 100 TB OOM scenario the degrade path exists for. A
+    // 64-row budget forces every partition onto the external-sort path.
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    val expected = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    withMaxHeldRows(64) {
+      val df = TopKPerKey.topKPerKey(li, Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 2)
+      val got = df.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected)
+      val exec = findExec(df.queryExecution.executedPlan)
+        .getOrElse(fail(s"no TopKPerKeyExec in:\n${df.queryExecution.executedPlan}"))
+      assert(exec.metrics("numDegradedPartitions").value > 0,
+        "expected at least one partition to take the degrade path")
+      assert(exec.metrics("externalSortedRows").value > 0)
+    }
+  }
+
+  test("degrade path agrees with heap path on random data with duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 4000)
+      .map(i => (rnd.nextInt(900).toLong, i, rnd.nextInt(5).toDouble))
+      .toDF("key", "id", "v")
+    val keys = Seq(col("key"))
+    val ord = Seq(col("v").desc, col("id").asc)
+    val heap = TopKPerKey.topKPerKey(df, keys, ord, 3)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    withMaxHeldRows(16) {
+      val spilled = TopKPerKey.topKPerKey(df, keys, ord, 3)
+      val got = spilled.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == heap)
+      val exec = findExec(spilled.queryExecution.executedPlan).get
+      assert(exec.metrics("numDegradedPartitions").value > 0)
+    }
+  }
+
+  test("SQL row_number()<=1 over a near-unique key completes under the " +
+       "budget via the auto-rewrite (plain-SQL user is safe)") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_topk")
+    try withMaxHeldRows(32) {
+      val q = spark.sql(
+        """SELECT l_orderkey, l_extendedprice FROM (
+          |  SELECT l_orderkey, l_extendedprice,
+          |         row_number() OVER (PARTITION BY l_orderkey
+          |                            ORDER BY l_extendedprice DESC) AS rn
+          |  FROM li_topk) WHERE rn = 1""".stripMargin)
+      assert(q.queryExecution.optimizedPlan
+        .collect { case t: TopKPerKey => t }.nonEmpty,
+        "rank pushdown should fire on the SQL formulation")
+      val got = q.collect()
+      // one row per order, price == that order's max line price
+      val truth = Tables.lineitem(spark, sf)
+        .groupBy("l_orderkey").agg(max("l_extendedprice").as("p"))
+        .collect().map(r => (r.get(0), r.get(1))).toMap
+      assert(got.length == truth.size)
+      got.foreach(r => assert(truth(r.get(0)) == r.get(1)))
+    } finally spark.catalog.dropTempView("li_topk")
   }
 
   test("keys with fewer than k rows keep all their rows") {
@@ -83,5 +179,53 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     val r = TopKPerKey.topKPerKey(df, Seq(col("key")),
       Seq(col("v").desc, col("id").asc), 5).collect()
     assert(r.length == 3)
+  }
+
+  test("window fallback actually SPILLS under a constrained buffer " +
+       "(the claimed 100 TB survival property, observed; VERDICT r3 #7)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import java.util.concurrent.atomic.AtomicLong
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    val expected = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn").count()
+    val spilledDisk = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          spilledDisk.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    val savedMem = spark.conf.get("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+    val savedSpill = spark.conf.get("spark.sql.windowExec.buffer.spill.threshold", "2147483647")
+    val savedExcl = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    // per-key buffers >1 row go to the external sorter, >2 rows force a
+    // disk spill (lineitem orders have up to 7 lines). Spark's own
+    // InferWindowGroupLimit would pre-prune the buffers to k rows and
+    // hide the spill we are here to observe — exclude it for the test.
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "1")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "2")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = TopKPerKey.topKPerKeyAuto(li, Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 2,
+        highCardinalityKeys = true).count()
+      assert(got == expected)
+      // task-end events arrive asynchronously on the listener bus
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (spilledDisk.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spilledDisk.get() > 0,
+        "expected WindowExec to spill to disk under the constrained buffer")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", savedMem)
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", savedSpill)
+      if (savedExcl.isEmpty) spark.conf.unset("spark.sql.optimizer.excludedRules")
+      else spark.conf.set("spark.sql.optimizer.excludedRules", savedExcl)
+    }
   }
 }
