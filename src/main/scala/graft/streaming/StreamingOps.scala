@@ -291,11 +291,70 @@ object StreamingOps {
        |      FROM events)
        |WHERE rn <= $StreamK ORDER BY event_type, rank""".stripMargin
 
+  // ---- q121: the STREAMING-CORRECT sessionizer as a registry query
+  //      (VERDICT r3 #3). sessionizeStreaming runs the event stream with
+  //      a 0-second watermark; sessions closed by later events emit in
+  //      batch 0, trailing open sessions flush via event-time TIMEOUT in
+  //      the no-data micro-batch once the watermark reaches max(ts).
+  //      A session whose last+gap lies at/after the final watermark can
+  //      never time out — the batch oracle applies the same cutoff
+  //      (last + gap < max ts), making the streaming semantics
+  //      themselves the thing the oracle checks.
+  //      Determinism notes: ts truncated to whole seconds on BOTH sides
+  //      (GroupState math is in millis; events carry micros), and the
+  //      summed measure is floor(value*100) — integer-valued doubles add
+  //      exactly, so Scala's in-order accumulation == DuckDB's scan-order
+  //      sum bit-for-bit. ----
+  val SessGapMs: Long = 6L * 3600 * 1000
+
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qname = "graft_stream_sess_" + java.lang.Integer.toHexString(d.hashCode)
+    val evts = streamingEvents(s, d)
+      .select(col("user_id"),
+              date_trunc("second", col("ts")).as("ts"),
+              floor(col("value") * 100).cast("double").as("value"))
+      .withWatermark("ts", "0 seconds")
+      .as[Evt]
+    val q = sessionizeStreaming(evts, SessGapMs)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(qname)
+      .select(col("user_id"),
+              date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+              col("n_events").cast("long").as("n_events"),
+              col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val streamSessionSql =
+    """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts,
+      |                  floor(value * 100) AS v FROM events),
+      |mx AS (SELECT max(ts) AS maxts FROM e),
+      |marked AS (SELECT user_id, ts, v,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |            > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk FROM e),
+      |isl AS (SELECT user_id, ts, v,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS UNBOUNDED PRECEDING) AS sid FROM marked),
+      |sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+      |                count(*) AS n_events, sum(v) AS sum_value
+      |         FROM isl GROUP BY user_id, sid)
+      |SELECT user_id,
+      |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       n_events, sum_value
+      |FROM sess, mx WHERE last_ts + INTERVAL 6 HOUR < maxts
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
     Q("q63_stream_dedup", streamDedup, Some(streamDedupSql),
       "streaming dropDuplicatesWithinWatermark == batch COUNT(DISTINCT)"),
     Q("q116_stream_topk", streamTopK, Some(streamTopKSql),
-      "stateful streaming top-k leaderboard (bounded GroupState heap)"))
+      "stateful streaming top-k leaderboard (bounded GroupState heap)"),
+    Q("q121_stream_session", streamSession, Some(streamSessionSql),
+      "event-time-timeout sessionizer == batch gaps-and-islands oracle"))
 }

@@ -6,14 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
   import ops.AdvancedOps
 
-  test("sketches: HLL within its 2% rsd envelope, p50 near exact median") {
+  test("sketches: envelope booleans true; raw HLL within 2% rsd, p50 near exact") {
     val r = AdvancedOps.sketches(spark, sf).head()
-    val hll = r.getLong(0); val exact = r.getLong(1)
-    assert(math.abs(hll - exact).toDouble / exact < 0.05,
-      s"hll=$hll exact=$exact")
-    val p50 = r.getDouble(2)
-    val exactP50 = Tables.lineitem(spark, sf).stat
-      .approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    assert(r.getBoolean(0), "HLL estimate outside its ±3·rsd envelope")
+    assert(r.getBoolean(1), "approx p50 outside the exact [p49, p51] band")
+    assert(r.getLong(2) == Tables.lineitem(spark, sf).count())
+    // and the numeric property behind the booleans, independently
+    val li = Tables.lineitem(spark, sf)
+    val hll = li.agg(approx_count_distinct(col("l_orderkey"), 0.02)).head().getLong(0)
+    val exact = li.agg(count_distinct(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(hll - exact).toDouble / exact < 0.05, s"hll=$hll exact=$exact")
+    val p50 = li.agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+      .head().getDouble(0)
+    val exactP50 = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
     assert(math.abs(p50 - exactP50) / exactP50 < 0.01)
   }
 
