@@ -42,6 +42,7 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val memMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rssMb = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // ---- JVM + codegen warm-up on the smallest sf (O19) ----
     val warmSf = "/root/testdata/sf0.001"
@@ -64,6 +65,23 @@ object Bench {
       (r.totalMemory() - r.freeMemory()) / 1048576.0
     }
 
+    // Process-level memory, the metric the reference actually reports
+    // (updated.rs:20-64 K32GetProcessMemoryInfo working set,
+    // datatable_benchmark.py:18-21 psutil rss) — JVM heap alone misses
+    // off-heap Tungsten pages, codegen, and VM overhead. local-mode
+    // Spark is one JVM, so VmRSS is directly comparable to the
+    // reference's single-process numbers; VmHWM is the peak analogue of
+    // PeakWorkingSetSize.
+    def procStatusMb(key: String): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines().collectFirst {
+          case l if l.startsWith(key + ":") =>
+            l.trim.split("\\s+")(1).toDouble / 1024.0 // kB -> MiB
+        }.getOrElse(-1.0)
+        finally src.close()
+      } catch { case _: Throwable => -1.0 }
+
     def stage(name: String)(f: => Unit): Unit = {
       try {
         val times = (0 to reps).map { i =>
@@ -73,6 +91,7 @@ object Bench {
         }
         results(s"stage_$name") = median(times.drop(1)) // drop warm-up rep
         memMb(s"stage_$name") = heapMb()
+        rssMb(s"stage_$name") = procStatusMb("VmRSS")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stage $name failed: $e")
         results(s"stage_$name") = -1
@@ -150,8 +169,11 @@ object Bench {
       .mkString("{", ",", "}")
     val mems = memMb.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
+    val rsses = rssMb.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
+      .mkString("{", ",", "}")
+    val peakRss = procStatusMb("VmHWM")
     val detail =
-      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"mem_mb":$mems,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -164,7 +186,7 @@ object Bench {
       if (k.startsWith("stage_")) k else k.takeWhile(_ != '_')
     val qsShort = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

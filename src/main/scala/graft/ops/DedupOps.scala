@@ -502,12 +502,14 @@ object DedupOps {
       .join(e.alias("e3"),
             col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
       .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
-    val nEdges = e.count()
+    // edge count folded in as a 1-row broadcast cross join (same shape
+    // as the `tot` cut above) — one Spark job, no driver-side action
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val result = tri
       .agg(count(lit(1)).as("n_triangles"),
            sum(col("a") + col("b") + col("c")).as("corner_checksum"))
-      .select(lit(nEdges).as("n_edges"), col("n_triangles"),
-              col("corner_checksum"))
+      .crossJoin(broadcast(nEdges))
+      .select(col("n_edges"), col("n_triangles"), col("corner_checksum"))
       .localCheckpoint(true)
     e.unpersist(false)
     result
