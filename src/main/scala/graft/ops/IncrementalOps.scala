@@ -103,9 +103,72 @@ object IncrementalOps {
        | ${dsumSql("l_extendedprice")} AS sum_price
        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // ---- q122: TPC-H refresh-stream analogue (RF1 inserts / RF2
+  //      deletes, VERDICT r3 #6) — the sustained-writes story. B
+  //      deterministic refresh batches are applied SEQUENTIALLY to the
+  //      orders snapshot: batch b anti-joins away original keys with
+  //      key % 97 == b and unions in fresh rows (key + b*10^10) derived
+  //      from originals with key % 101 == b. Each commit is
+  //      localCheckpoint(true) — the copy-on-write commit analogue; it
+  //      truncates lineage so batch N's plan does not embed batches
+  //      1..N-1 (same rule as dedupClusters). Delete keys only ever
+  //      target the original key space (inserted keys live above 10^10),
+  //      so the final state has a CLOSED FORM the oracle recomputes from
+  //      scratch: originals surviving all B deletes + all B insert sets.
+  //      Equality proves the incremental maintenance loop lands exactly
+  //      on the recompute — TPC-H's ACID/refresh consistency condition.
+  //      At 100 TB each batch is one broadcast anti-join + union over
+  //      the snapshot, no shuffle of the big side; the checkpoint is the
+  //      table-format commit a lakehouse would do. ----
+  val RefreshBatches = 5
+  private val InsertKeyOffset = 10000000000L
+
+  def refreshStream(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    var snap = base
+    for (b <- 1 to RefreshBatches) {
+      val deletes = base
+        .filter(pmod(col("o_orderkey"), lit(97)) === b)
+        .select(col("o_orderkey").as("k"))
+      val inserts = base
+        .filter(pmod(col("o_orderkey"), lit(101)) === b)
+        .select((col("o_orderkey") + lit(b * InsertKeyOffset)).as("o_orderkey"),
+                lit("N").as("o_orderstatus"),
+                (col("price_c") + lit(b.toLong)).as("price_c"))
+      snap = snap
+        .join(broadcast(deletes), snap("o_orderkey") === deletes("k"), "left_anti")
+        .unionByName(inserts)
+        .localCheckpoint(true)
+    }
+    snap.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           sum(col("price_c")).as("sum_price_c"),
+           sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val refreshStreamSql =
+    s"""WITH o AS (SELECT o_orderkey, o_orderstatus,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+       |fin AS (
+       |  SELECT o_orderkey, o_orderstatus, price_c FROM o
+       |  WHERE o_orderkey % 97 NOT BETWEEN 1 AND $RefreshBatches
+       |  UNION ALL
+       |  SELECT o_orderkey + (o_orderkey % 101) * $InsertKeyOffset, 'N',
+       |         price_c + (o_orderkey % 101)
+       |  FROM o WHERE o_orderkey % 101 BETWEEN 1 AND $RefreshBatches)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       | CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       | CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+       |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q113_upsert", upsert, Some(upsertSql),
       "CDC upsert (MERGE emulation): anti-join deletes, coalesce updates, union inserts"),
     Q("q114_incremental_agg", incrementalAgg, Some(incrementalAggSql),
-      "incremental aggregate maintenance: old partial + delta == full recompute"))
+      "incremental aggregate maintenance: old partial + delta == full recompute"),
+    Q("q122_refresh_stream", refreshStream, Some(refreshStreamSql),
+      "TPC-H RF1/RF2 refresh loop: B sequential merge commits == closed-form recompute"))
 }

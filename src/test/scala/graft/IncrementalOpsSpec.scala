@@ -39,4 +39,36 @@ class IncrementalOpsSpec extends AnyFunSuite with SparkTestBase {
     // bit-exact, not approximate: decimal partials merge associatively
     assert(inc.toSeq == full.toSeq)
   }
+
+  test("q122 refresh stream: B sequential merge commits land exactly on " +
+       "the closed-form recompute; sustained maintenance rate reported") {
+    import ops.IncrementalOps._
+    val t0 = System.nanoTime()
+    val got = refreshStream(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    // Spark-side closed-form recompute (the DuckDB oracle's twin):
+    // originals surviving all B deletes + the B insert sets
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val survivors = base.filter(!pmod(col("o_orderkey"), lit(97))
+      .between(1, RefreshBatches))
+    val m = pmod(col("o_orderkey"), lit(101))
+    val inserted = base.filter(m.between(1, RefreshBatches))
+      .select((col("o_orderkey") + m * lit(10000000000L)).as("o_orderkey"),
+              lit("N").as("o_orderstatus"),
+              (col("price_c") + m.cast("long")).as("price_c"))
+    val truth = survivors.unionByName(inserted)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"),
+           sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == truth.toSeq)
+    val snapRows = base.count()
+    info(f"refresh maintenance: $RefreshBatches commits over $snapRows-row " +
+      f"snapshot in $secs%.2fs = ${RefreshBatches * snapRows / secs}%.0f " +
+      "maintained rows/sec")
+  }
 }
