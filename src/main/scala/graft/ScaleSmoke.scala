@@ -57,13 +57,26 @@ object ScaleSmoke {
     gen.write.mode("overwrite").option("header", "true").csv(tmp)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rssMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // process RSS after each stage — what the reference's memory columns
+    // measure (psutil rss / working set), see Bench.procStatusMb
+    def vmRssMb(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("VmRSS:") =>
+            l.trim.split("\\s+")(1).toDouble / 1024.0
+        }.getOrElse(-1.0)
+        finally src.close()
+      } catch { case _: Throwable => -1.0 }
     def stage(name: String)(f: => Unit): Unit = {
       // reference protocol (O17/O19/O20): repeated timed trials with a
       // gc between reps, median reported, after a JVM warm-up pass
       val times = (1 to reps).map { _ => System.gc(); time(f) }
       results(name) = median(times)
+      rssMb(name) = vmRssMb()
     }
 
     // warm-up (O19): small read to JIT the CSV path
@@ -100,7 +113,14 @@ object ScaleSmoke {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke_30.3M","value":${num(results.values.sum)},"unit":"sec","queries":$qs,"rows":$Rows}""")
+    val rs = rssMb.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_smoke_30.3M","value":${num(results.values.sum)},"unit":"sec","queries":$qs,"rss_mb":$rs,"rows":$Rows}"""
+    println(line)
+    // machine-readable copy for graft.Plot (O23)
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // side-by-side with BASELINE.md Table A (Colab) and B (local)
     val baseline = Map(
