@@ -66,15 +66,16 @@ object AdvancedOps {
     // countDistinct NEVER shares an Aggregate with other functions:
     // mixing them triggers the Expand rewrite (one input copy per
     // aggregate group through every operator — measured 20-60x slower
-    // here). Two single-row aggregations cross-joined instead.
+    // here), so the exact distinct count gets its own scan. Everything
+    // else — both sketches AND the exact percentile band — is
+    // non-distinct and shares ONE Aggregate (one scan, no Expand).
     val sketched = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("orderkeys_hll"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50_approx"),
-      count(lit(1)).as("n"))
+      count(lit(1)).as("n"),
+      expr("percentile(l_extendedprice, array(0.49D, 0.51D))").as("p_band"))
     val exact = li.agg(countDistinct(col("l_orderkey")).as("orderkeys_exact"))
-    val band = li.agg(expr(
-      "percentile(l_extendedprice, array(0.49D, 0.51D))").as("p_band"))
-    sketched.crossJoin(exact).crossJoin(band)
+    sketched.crossJoin(exact)
       .select(
         (abs(col("orderkeys_hll") - col("orderkeys_exact")) <=
           col("orderkeys_exact") * lit(0.06)).as("hll_ok"),
