@@ -544,8 +544,72 @@ object AdvancedOps {
        |      FROM lineitem)""".stripMargin
   }
 
+  // ---- q123: runtime bloom-filter join (Spark's InjectRuntimeFilter).
+  //      At 100 TB the star-join killer is scanning AND shuffling the
+  //      whole fact when the dim filter is selective. Dynamic partition
+  //      pruning only covers partition columns; the runtime BLOOM
+  //      filter covers arbitrary join keys — the optimizer plants
+  //      bloom_filter_agg on the filtered (creation) side and
+  //      might_contain(xxhash64(l_orderkey)) on the fact (application)
+  //      side, dropping non-qualifying fact rows BEFORE the join
+  //      exchange. Local testdata sits under the feature's size gates
+  //      (application side must look 10 GB+, and a broadcastable dim
+  //      bypasses the shuffle-join requirement), so the registry entry
+  //      scopes the thresholds exactly like q97 scopes the bin width:
+  //      save -> set -> materialize eagerly -> restore. The rewrite is
+  //      pure pruning — the result is oracle-identical to the plain
+  //      join (RuntimeFilterSpec also proves it differentially and
+  //      asserts might_contain in the optimized plan). ----
+  private val RuntimeFilterConf = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // any application-side scan qualifies (default gate: 10 GB)
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // the rule only fires on probable SHUFFLE joins — the 100 TB case
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  def runtimeFilterJoin(s: SparkSession, d: String): DataFrame =
+    withRuntimeFilterConf(s) {
+      runtimeFilterJoinLazy(s, d).localCheckpoint(true)
+    }
+
+  /** The join itself, not materialized: the caller owns setting
+    * [[RuntimeFilterConf]] (see [[withRuntimeFilterConf]]) so the
+    * injection happens when IT plans, not here.
+    */
+  def runtimeFilterJoinLazy(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Scoped conf for specs / plan dumps of the lazy variant. */
+  def withRuntimeFilterConf[T](s: SparkSession)(body: => T): T = {
+    val prev = RuntimeFilterConf.map { case (k, _) => k -> s.conf.getOption(k) }
+    RuntimeFilterConf.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private val runtimeFilterJoinSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       | ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q55_tpch_q6", tpchQ6, Some(tpchQ6Sql), "TPC-H Q6 revenue probe"),
+    Q("q123_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql),
+      "runtime bloom-filter join: selective dim filter prunes the fact pre-shuffle"),
     Q("q56_histogram", histogram, Some(histogramSql),
       "fixed-width histogram binning"),
     Q("q57_correlation", correlation, Some(correlationSql),
