@@ -275,9 +275,16 @@ object TopKPerKey {
       import org.apache.spark.sql.types.MetadataBuilder
       val w = Window.partitionBy(keys: _*).orderBy(order: _*)
       val noRewrite = new MetadataBuilder().putBoolean(NoRewriteTag, true).build()
-      df.select(df.columns.map(col) :+
-          row_number().over(w).as("__graft_rn", noRewrite): _*)
-        .filter(col("__graft_rn") <= k)
-        .drop("__graft_rn")
+      // backtick-quote every projected name so columns containing dots
+      // resolve exactly (bare col("a.b") reads a struct field); pick a
+      // rank alias no caller column shares so the filter can't bind to
+      // a pre-existing column of the same name
+      def quoted(n: String) = col("`" + n.replace("`", "``") + "`")
+      val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+        .find(n => !df.columns.contains(n)).get
+      df.select(df.columns.map(quoted).toSeq :+
+          row_number().over(w).as(rn, noRewrite): _*)
+        .filter(quoted(rn) <= k)
+        .drop(rn)
     }
 }
