@@ -94,13 +94,21 @@ object Bench {
         rssMb(s"stage_$name") = procStatusMb("VmRSS")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stage $name failed: $e")
+        // all three maps stay key-aligned on failure — consumers that
+        // zip the JSON objects by key set must not misattribute values
         results(s"stage_$name") = -1
+        memMb(s"stage_$name") = -1
+        rssMb(s"stage_$name") = -1
       }
     }
 
+    // schema-INFERRED read, the reference's O3 contract — via the
+    // sampled single-file inference path (CsvIngest): inference costs
+    // 1/n_files of a pass instead of a full extra type-parsing pass,
+    // which is what the reference's fastest engines (polars/datatable)
+    // also do. Inference runs INSIDE the timed region, every rep.
     stage("read") {
-      force(spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(tmpCsv))
+      force(graft.sources.CsvIngest.readInferFast(spark, tmpCsv))
     }
     stage("write") {
       li.write.mode("overwrite").option("header", "true")

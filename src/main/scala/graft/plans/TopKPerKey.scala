@@ -178,16 +178,23 @@ case class TopKPerKeyExec(
           private var emittedForKey = 0
           private var ready: InternalRow = null
           override def hasNext: Boolean = {
-            // advance lazily inside hasNext — the sorter reuses its row
-            // buffer, so the emitted row must stay untouched until the
-            // consumer's NEXT next() call
             while (ready == null && sorted.hasNext) {
               val r = sorted.next()
+              // group-change detection by key-byte equality is sound
+              // here because the strategy float-normalized the keys:
+              // byte equality and the (key, order) sort order agree on
+              // ±0.0 / NaN, so a key group is one contiguous byte-equal
+              // run (ADVICE r4 #1)
               val key = keyProj(r)
               if (curKey == null || key != curKey) {
                 curKey = key.copy(); emittedForKey = 0
               }
-              if (emittedForKey < limit) { emittedForKey += 1; ready = r }
+              // copy: the sorter reuses its row buffer and this iterator
+              // advances it inside hasNext(), which would clobber a row
+              // the consumer still holds one call earlier than the heap
+              // path's copied rows allow (ADVICE r4 #2); cost is bounded
+              // by the output size, k rows per key
+              if (emittedForKey < limit) { emittedForKey += 1; ready = r.copy() }
             }
             ready != null
           }
@@ -207,7 +214,16 @@ case class TopKPerKeyExec(
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // Float-normalize the keys ONCE here so every downstream use —
+      // the shuffle's HashPartitioning, the heap map's byte-equality
+      // grouping, the degrade sort order, and the degrade iterator's
+      // group-change detection — agrees on -0.0 == 0.0 and NaN == NaN.
+      // The optimizer's NormalizeFloatingNumbers rule does this for
+      // built-in Aggregate/Window/Join keys but never visits custom
+      // nodes (ADVICE r4: byte-distinct-but-ordering-equal keys could
+      // interleave in the sorted run and over-emit per key).
+      val normKeys = keys.map(org.apache.spark.sql.graftbridge.normalizeFloats)
+      TopKPerKeyExec(normKeys, order, k, planLater(child)) :: Nil
     case _ => Nil
   }
 }

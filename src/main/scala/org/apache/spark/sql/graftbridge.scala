@@ -12,6 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Canonicalize -0.0 → 0.0 and NaN → the canonical NaN (recursively
+    * through structs/arrays). The optimizer applies this to the keys of
+    * every built-in grouping/join/window operator; custom operators that
+    * hash or byte-compare key bytes must apply it themselves or ±0.0
+    * keys land in different shuffle partitions (ADVICE r4).
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(

@@ -172,6 +172,36 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     } finally spark.catalog.dropTempView("li_topk")
   }
 
+  test("signed-zero / NaN double keys group exactly like a window on " +
+       "both the heap and degrade paths (ADVICE r4 #1)") {
+    import spark.implicits._
+    // -0.0 and 0.0 are byte-distinct but ordering-equal; NaN repeats.
+    // Without key normalization the shuffle hashes raw bits (splitting
+    // the ±0.0 group across partitions) and the degrade iterator's
+    // byte-equality group detection would reset mid-group.
+    val df = Seq(
+      (0.0, 1, 5.0), (-0.0, 2, 7.0), (0.0, 3, 6.0), (-0.0, 4, 4.0),
+      (Double.NaN, 5, 9.0), (Double.NaN, 6, 1.0), (1.5, 7, 2.0))
+      .toDF("key", "id", "v")
+    val keys = Seq(col("key"))
+    val ord = Seq(col("v").desc, col("id").asc)
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val heap = TopKPerKey.topKPerKey(df, keys, ord, 2)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(heap == expected, "heap path")
+    withMaxHeldRows(1) {
+      val spilled = TopKPerKey.topKPerKey(df, keys, ord, 2)
+      val got = spilled.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected, "degrade path")
+      val exec = findExec(spilled.queryExecution.executedPlan).get
+      assert(exec.metrics("numDegradedPartitions").value > 0,
+        "budget of 1 must force the external-sort path")
+    }
+  }
+
   test("keys with fewer than k rows keep all their rows") {
     import spark.implicits._
     val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (2L, 3, 3.0))
