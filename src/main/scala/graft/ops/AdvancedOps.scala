@@ -55,45 +55,79 @@ object AdvancedOps {
   //      KLL vs t-digest), so the raw estimates can never hash-match.
   //      Oracle strategy (VERDICT r3 #2): each engine independently
   //      computes its own sketch AND the exact value, then emits
-  //      error-ENVELOPE booleans — HLL within ±3·rsd of the exact
-  //      distinct count, approx-p50 inside the exact [p49, p51] rank
-  //      band. Both sides output (true, true, n) whenever their sketch
+  //      error-ENVELOPE booleans — HLL within ±4·rsd of the exact
+  //      distinct count, approx-p50 inside a histogram-derived
+  //      [p49, p51] rank band. Both sides output (true, true, n) whenever their sketch
   //      honors its own accuracy contract, which IS the property a user
   //      of an approximate function relies on. SketchSpec additionally
   //      asserts the numeric envelope against exact values. ----
+  // HLL envelope width: 4·rsd (rsd = 0.02 requested from Spark; DuckDB's
+  // HLL runs its own default profile). At 4 sigma the per-engine flake
+  // probability is ~6e-5 per run — the r4 band of 3·rsd carried ~0.3%
+  // per engine per run, enough to surface as an unreproducible oracle
+  // failure once in a few hundred rounds (ADVICE r4 #4). The envelope
+  // only asserts "the sketch honors its accuracy contract typically",
+  // so the wider band loses nothing.
+  private val HllBand = 0.08
+
   def sketches(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     // countDistinct NEVER shares an Aggregate with other functions:
     // mixing them triggers the Expand rewrite (one input copy per
     // aggregate group through every operator — measured 20-60x slower
-    // here), so the exact distinct count gets its own scan. Everything
-    // else — both sketches AND the exact percentile band — is
-    // non-distinct and shares ONE Aggregate (one scan, no Expand).
+    // here), so the exact distinct count gets its own scan.
     val sketched = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("orderkeys_hll"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50_approx"),
-      count(lit(1)).as("n"),
-      expr("percentile(l_extendedprice, array(0.49D, 0.51D))").as("p_band"))
+      count(lit(1)).as("n"))
+    // p50 rank band from a MERGEABLE integer-bucket histogram
+    // (VERDICT r4 #1) — replaces the exact percentile(0.49, 0.51),
+    // whose ObjectHashAggregate buffered every value through a
+    // SinglePartition exchange. Bucket counts add associatively
+    // (map-side combine; bit-identical at any cluster size) and the
+    // cumulative pick runs over the bucket table (~price range in
+    // dollars, ≤~110k rows at any sf), never the data. The band is a
+    // superset of the exact [p49, p51] interval — p49 lies in bucket
+    // b_lo so band_lo = b_lo ≤ p49, p51 in b_hi so band_hi = b_hi + 1
+    // > p51 — and percentile_approx at accuracy 10000 has rank error
+    // ±0.01%, far inside the ±1% rank band.
+    val wCum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val band = li
+      .groupBy(floor(col("l_extendedprice")).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_rows", sum(col("cnt")).over(wAll))
+      .agg(
+        min(when(col("cum") >= ceil(col("n_rows") * 0.49), col("b"))).as("b_lo"),
+        min(when(col("cum") >= ceil(col("n_rows") * 0.51), col("b"))).as("b_hi"))
     val exact = li.agg(countDistinct(col("l_orderkey")).as("orderkeys_exact"))
-    sketched.crossJoin(exact)
+    sketched.crossJoin(exact).crossJoin(band)
       .select(
         (abs(col("orderkeys_hll") - col("orderkeys_exact")) <=
-          col("orderkeys_exact") * lit(0.06)).as("hll_ok"),
-        (col("price_p50_approx") >= element_at(col("p_band"), 1) &&
-          col("price_p50_approx") <= element_at(col("p_band"), 2)).as("p50_ok"),
+          col("orderkeys_exact") * lit(HllBand)).as("hll_ok"),
+        (col("price_p50_approx") >= col("b_lo").cast("double") &&
+          col("price_p50_approx") < (col("b_hi") + 1).cast("double")).as("p50_ok"),
         col("n"))
   }
 
   private val sketchesSql =
-    """WITH s AS (SELECT approx_count_distinct(l_orderkey) AS hll,
-      |                  approx_quantile(l_extendedprice, 0.5) AS p50a,
-      |                  count(*) AS n FROM lineitem),
-      |     e AS (SELECT count(DISTINCT l_orderkey) AS nd,
-      |                  quantile_cont(l_extendedprice, 0.49) AS q49,
-      |                  quantile_cont(l_extendedprice, 0.51) AS q51 FROM lineitem)
-      |SELECT abs(hll - nd) <= nd * 0.06 AS hll_ok,
-      |       p50a BETWEEN q49 AND q51 AS p50_ok, n
-      |FROM s, e""".stripMargin
+    s"""WITH s AS (SELECT approx_count_distinct(l_orderkey) AS hll,
+       |                  approx_quantile(l_extendedprice, 0.5) AS p50a,
+       |                  count(*) AS n FROM lineitem),
+       |     e AS (SELECT count(DISTINCT l_orderkey) AS nd FROM lineitem),
+       |     h AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS b,
+       |                  count(*) AS cnt FROM lineitem GROUP BY 1),
+       |     c AS (SELECT b, SUM(cnt) OVER (ORDER BY b
+       |                     ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+       |     band AS (SELECT MIN(CASE WHEN cum >= ceil(n * 0.49) THEN b END) AS b_lo,
+       |                     MIN(CASE WHEN cum >= ceil(n * 0.51) THEN b END) AS b_hi
+       |              FROM c, s)
+       |SELECT abs(hll - nd) <= nd * $HllBand AS hll_ok,
+       |       p50a >= b_lo AND p50a < b_hi + 1 AS p50_ok, n
+       |FROM s, e, band""".stripMargin
 
   // ---- q98: DETERMINISTIC quantile sketch — the oracle-able
   //      counterpart to q44's engine-specific percentile_approx. A
@@ -362,6 +396,69 @@ object AdvancedOps {
     s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q124: write-layout management as an ORACLED query (VERDICT r4
+  //      #6 — the last spec-only surface). The sink layout IS the read
+  //      performance of every downstream job at 100 TB: file count,
+  //      per-file key clustering, and records-per-file caps are product
+  //      behavior, not incidentals. The query writes lineitem clustered
+  //      into deterministic key-range buckets (floor(l_orderkey/20000)
+  //      — explicit arithmetic, NOT repartitionByRange, whose sampled
+  //      boundaries are not reproducible for an oracle), one writer
+  //      task per bucket, maxRecordsPerFile=5000, then reads the layout
+  //      FACTS back as rows: ceil(rows/5000) files per bucket, no file
+  //      above the cap, per-file key ranges disjoint within a bucket.
+  //      Every fact is arithmetic over the clean table, so DuckDB
+  //      reproduces it without seeing the written directory. ----
+  private val LayoutBucketWidth = 20000L
+  private val LayoutMaxRecords = 5000L
+
+  def writeLayout(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_layout_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables.lineitem(s, d)
+        .withColumn("bucket", floor(col("l_orderkey") / LayoutBucketWidth))
+        // hash-repartition on the bucket column: every bucket is owned
+        // by exactly one writer task, so files-per-bucket is the
+        // deterministic ceil(bucket_rows / maxRecordsPerFile); the
+        // within-task sort keeps each rolled file a contiguous key run
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "l_orderkey")
+        .write.partitionBy("bucket")
+        .option("maxRecordsPerFile", LayoutMaxRecords)
+        .mode("overwrite").parquet(out)
+    }
+    val wB = Window.partitionBy("bucket").orderBy("lo", "f")
+    s.read.parquet(out)
+      .groupBy(col("bucket"), col("_metadata.file_name").as("f"))
+      .agg(count(lit(1)).as("rows"),
+           min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(wB))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("rows")).as("n_rows"),
+           min(col("lo")).as("min_key"), max(col("hi")).as("max_key"),
+           max(col("rows")).as("max_file_rows"),
+           bool_and(col("prev_hi").isNull || col("prev_hi") <= col("lo"))
+             .as("files_disjoint"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_files"),
+              col("n_rows"), col("min_key"), col("max_key"),
+              col("max_file_rows"), col("files_disjoint"))
+      .orderBy("bucket")
+  }
+
+  private val writeLayoutSql =
+    s"""WITH a AS (SELECT CAST(floor(l_orderkey / $LayoutBucketWidth.0) AS BIGINT) AS bucket,
+       |                  COUNT(*) AS n_rows,
+       |                  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+       |           FROM lineitem GROUP BY 1)
+       |SELECT bucket, CAST(ceil(n_rows / $LayoutMaxRecords.0) AS BIGINT) AS n_files,
+       |       n_rows, min_key, max_key,
+       |       CAST(least(n_rows, $LayoutMaxRecords) AS BIGINT) AS max_file_rows,
+       |       TRUE AS files_disjoint
+       |FROM a ORDER BY bucket""".stripMargin
 
   // ---- as-of join: latest order at-or-before each event, per user.
   //      Spark has no asof operator; the scalable composition is a
@@ -634,6 +731,8 @@ object AdvancedOps {
       "bucketed co-located fact-fact join (no shuffle)"),
     Q("q46_partition_prune", partitionPrune, Some(partitionPruneSql),
       "partitioned sink + partition-pruned scan"),
+    Q("q124_write_layout", writeLayout, Some(writeLayoutSql),
+      "write-layout facts: bucketed clustered sink, file counts/caps/key ranges as rows"),
     Q("q47_asof_join", asofJoin, Some(asofJoinSql),
       "as-of join via tagged union + window (single shuffle)"))
 }

@@ -8,8 +8,8 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("sketches: envelope booleans true; raw HLL within 2% rsd, p50 near exact") {
     val r = AdvancedOps.sketches(spark, sf).head()
-    assert(r.getBoolean(0), "HLL estimate outside its ±3·rsd envelope")
-    assert(r.getBoolean(1), "approx p50 outside the exact [p49, p51] band")
+    assert(r.getBoolean(0), "HLL estimate outside its ±4·rsd envelope")
+    assert(r.getBoolean(1), "approx p50 outside the histogram [p49, p51] rank band")
     assert(r.getLong(2) == Tables.lineitem(spark, sf).count())
     // and the numeric property behind the booleans, independently
     val li = Tables.lineitem(spark, sf)
