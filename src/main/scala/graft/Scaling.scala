@@ -36,7 +36,14 @@ object Scaling {
     ("q117_boilerplate", "corpus segment dedup", "documents"),
     ("q118_triangles", "triangle counting", "lineitem"),
     ("q113_upsert", "CDC upsert", "orders"),
-    ("q66_range_join", "binned range join", "events"))
+    ("q66_range_join", "binned range join", "events"),
+    // r5 additions (VERDICT r4 #2): the registry entries added or
+    // rewritten since the r3 sweep
+    ("q44_sketch", "HLL + approx-p50 + histogram rank band", "lineitem"),
+    ("q121_stream_session", "streaming sessionizer (event-time timeout)", "events"),
+    ("q122_refresh_stream", "RF1/RF2 refresh round-trip", "orders"),
+    ("q123_runtime_filter", "runtime bloom-filter join", "lineitem"),
+    ("q125_csv_infer", "sampled-inference CSV read", "lineitem"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
@@ -90,9 +97,68 @@ object Scaling {
       println(f"[scaling] $name%-22s $table%-10s ${t("0.001")}%6.2f " +
         f"${t("0.01")}%6.2f ${t("0.1")}%6.2f  data ${dataX}%.0fx time ${timeX}%.1fx")
     }
+    // ---- q123 runtime-filter differential (VERDICT r4 #8): the bloom
+    //      filter's value is rows dropped BEFORE the fact's join
+    //      exchange, so the honest metric is shuffle bytes written
+    //      (scan bytes are identical — might_contain is not a parquet
+    //      pushdown, it is a pre-shuffle prune). Both arms run as
+    //      shuffle joins (broadcast disabled): that is the 100 TB shape
+    //      the feature exists for. ----
+    sb.append("\n## q123 runtime bloom-filter differential\n\n")
+    sb.append("Same join, broadcast disabled both arms; `filtered` adds the\n")
+    sb.append("injected bloom filter. Shuffle-MB is the sum of task shuffle\n")
+    sb.append("bytes written (best-of-2 for time; shuffle bytes from the last\n")
+    sb.append("rep — the plan, and therefore the byte count, is run-stable).\n\n")
+    sb.append("At toy scale the filter COSTS time (the bloom build is a fixed\n")
+    sb.append("~0.1 s) while already cutting shuffled bytes ~9x — and the bytes\n")
+    sb.append("saved GROW with sf (the 100 TB story: rows pruned before the\n")
+    sb.append("fact exchange), while the build cost stays a dim-side constant.\n\n")
+    sb.append("| sf | arm | time s | shuffle MB |\n|---|---|---|---|\n")
+    def measured(f: => Unit): (Double, Double) = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val t = (1 to 2).map { _ =>
+          spark.catalog.clearCache(); System.gc(); bytes.set(0L)
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        // task-end events arrive asynchronously — wait for the count to
+        // go quiet before reading it
+        var last = -1L
+        while (bytes.get() != last) { last = bytes.get(); Thread.sleep(200) }
+        (t, bytes.get() / 1048576.0)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    for (sf <- Seq("0.01", "0.1"); filtered <- Seq(false, true)) {
+      val dir = s"/root/testdata/sf$sf"
+      val arm = if (filtered) "filtered" else "plain"
+      val (t, mb) =
+        if (filtered) ops.AdvancedOps.withRuntimeFilterConf(spark) {
+          measured(ops.AdvancedOps.runtimeFilterJoinLazy(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+        } else {
+          val prev = spark.conf.getOption(bcKey)
+          spark.conf.set(bcKey, "-1")
+          try measured(ops.AdvancedOps.runtimeFilterJoinLazy(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+          finally prev match {
+            case Some(v) => spark.conf.set(bcKey, v)
+            case None    => spark.conf.unset(bcKey)
+          }
+        }
+      sb.append(f"| $sf | $arm | $t%.2f | $mb%.1f |\n")
+      println(f"[scaling] q123 diff sf$sf $arm%-8s $t%6.2f s $mb%8.1f MB shuffled")
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), sb.toString)
-    println(s"wrote SCALING.md (${Picks.size} queries x ${Sfs.size} sfs)")
+    println(s"wrote SCALING.md (${Picks.size} queries x ${Sfs.size} sfs + q123 differential)")
     spark.stop()
   }
 }
