@@ -641,6 +641,44 @@ object AdvancedOps {
        |      FROM lineitem)""".stripMargin
   }
 
+  // ---- q126: pipeline observability as an ORACLED query. At 100 TB a
+  //      second .count() to learn "how many rows did the scan see /
+  //      how many were flagged" re-reads the input; Dataset.observe
+  //      rides accumulator-backed metrics along the ONE pass the query
+  //      already makes. The query attaches observe() to the pre-filter
+  //      scan, drives the aggregate, then emits the observed metrics
+  //      PLUS facts about the aggregate it rode along with — all exact
+  //      arithmetic DuckDB reproduces from the clean table. Observation
+  //      .get blocks on query completion (no async-listener raciness —
+  //      that path is exercised by ObserveSpec). ----
+  def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val grouped = Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("rows_scanned"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("high_discount"))
+      .filter(col("l_quantity") > 30)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    // bounded collect: one row per returnflag (3); this DRIVES the
+    // single observed pass
+    val groups = grouped.collect()
+    val m = obs.get
+    s.range(1).select(
+      lit(m("rows_scanned").asInstanceOf[Long]).as("rows_scanned"),
+      lit(m("high_discount").asInstanceOf[Long]).as("high_discount"),
+      lit(groups.length.toLong).as("n_groups"),
+      lit(groups.map(_.getAs[Long]("n")).sum).as("n_high_qty"))
+  }
+
+  private val observeMetricsSql =
+    """SELECT COUNT(*) AS rows_scanned,
+      | CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS high_discount,
+      | (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem
+      |  WHERE l_quantity > 30) AS n_groups,
+      | (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30) AS n_high_qty
+      |FROM lineitem""".stripMargin
+
   // ---- q123: runtime bloom-filter join (Spark's InjectRuntimeFilter).
   //      At 100 TB the star-join killer is scanning AND shuffling the
   //      whole fact when the dim filter is selective. Dynamic partition
@@ -733,6 +771,8 @@ object AdvancedOps {
       "partitioned sink + partition-pruned scan"),
     Q("q124_write_layout", writeLayout, Some(writeLayoutSql),
       "write-layout facts: bucketed clustered sink, file counts/caps/key ranges as rows"),
+    Q("q126_observe", observeMetrics, Some(observeMetricsSql),
+      "Dataset.observe: scan metrics ride the one pass (no second read), emitted as rows"),
     Q("q47_asof_join", asofJoin, Some(asofJoinSql),
       "as-of join via tagged union + window (single shuffle)"))
 }

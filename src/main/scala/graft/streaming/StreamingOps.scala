@@ -379,9 +379,55 @@ object StreamingOps {
       |FROM sess, mx WHERE last_ts + INTERVAL 6 HOUR < maxts
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- q127: stream-stream interval join as a registry query — the
+  //      last spec-only streaming family (VERDICT r4). For every
+  //      purchase, the clicks by the same user in the PRECEDING hour:
+  //      both sides are watermarked streams, the join carries the
+  //      event-time range constraint Spark needs to bound state (rows
+  //      older than watermark - 1h are evicted), and inner-join matches
+  //      emit eagerly — so with the testdata arriving as one batch the
+  //      result equals the batch interval join DuckDB runs. Multi-batch
+  //      state-eviction behavior is exercised separately in
+  //      StreamingSpec; this entry oracles the JOIN SEMANTICS. ----
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val qname = "graft_ssj_" + java.lang.Integer.toHexString(d.hashCode)
+    withStreamShufflePartitions(s) {
+      val purchases = streamingEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = streamingEvents(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(qname)
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT p.event_id AS p_id, p.user_id, COUNT(*) AS n_clicks
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY 1, 2 ORDER BY p_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
+    Q("q127_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql),
+      "watermarked stream-stream interval join == batch interval join"),
     Q("q63_stream_dedup", streamDedup, Some(streamDedupSql),
       "streaming dropDuplicatesWithinWatermark == batch COUNT(DISTINCT)"),
     Q("q116_stream_topk", streamTopK, Some(streamTopKSql),
