@@ -495,6 +495,55 @@ object TextOps {
        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 25""".stripMargin
   }
 
+  // ---- q128: n-gram LM quality scoring — the perplexity-filter shape
+  //      (CCNet/KenLM) in integer-exact form: corpus-wide bigram
+  //      frequencies, then each doc scored by the mean corpus frequency
+  //      of ITS bigrams. Common phrasing scores high; OOV/garbled text
+  //      scores low. Counts instead of log-probs so both engines agree
+  //      bit-for-bit (no float log, no summation-order drift); the
+  //      score is a floor integer division. Two shuffles: the
+  //      map-combined pair count and the pair→doc join; the pair table
+  //      is persisted so tokenization runs once (at 100 TB it would be
+  //      a written artifact shared by every scoring job; the mean's
+  //      long arithmetic would move to DECIMAL at that scale). ----
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val tk = col("toks")
+    val pairsExpr = when(size(tk) >= 2,
+      transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array())
+    val docPairs = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(pairsExpr).as("pair"))
+      .persist()
+    val counts = docPairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val result = docPairs.join(counts, "pair")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+              expr("(sum_freq * 1000000L) div n_bigrams").as("mean_freq_e6"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    docPairs.unpersist(false)
+    result
+  }
+
+  private val lmScoreSql = {
+    val t = tokensSql("text")
+    s"""WITH p AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len($t)),
+       |      i -> ($t)[i] || ' ' || ($t)[i + 1])) AS pair
+       |  FROM documents),
+       |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       | CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+       | CAST(SUM(cnt) * 1000000 // COUNT(*) AS BIGINT) AS mean_freq_e6
+       |FROM p JOIN c USING (pair)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q117: corpus-level segment dedup (CCNet/RefinedWeb-style
   //      boilerplate removal): cut every doc into 8-token segments,
   //      count each segment's occurrences ACROSS the corpus, drop
@@ -616,6 +665,8 @@ object TextOps {
       "deterministic sharded training shuffle + microbatch packing"),
     Q("q112_bpe_pairs", bpePairs, Some(bpePairsSql),
       "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"),
+    Q("q128_lm_score", lmScore, Some(lmScoreSql),
+      "n-gram LM quality score: mean corpus bigram frequency per doc (integer-exact perplexity analogue)"),
     Q("q117_boilerplate", boilerplate, Some(boilerplateSql),
       "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"),
     Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
