@@ -43,7 +43,9 @@ object Scaling {
     ("q121_stream_session", "streaming sessionizer (event-time timeout)", "events"),
     ("q122_refresh_stream", "RF1/RF2 refresh round-trip", "orders"),
     ("q123_runtime_filter", "runtime bloom-filter join", "lineitem"),
-    ("q125_csv_infer", "sampled-inference CSV read", "lineitem"))
+    ("q125_csv_infer", "sampled-inference CSV read", "lineitem"),
+    ("q127_stream_stream_join", "stream-stream interval join", "events"),
+    ("q128_lm_score", "n-gram LM quality scoring", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

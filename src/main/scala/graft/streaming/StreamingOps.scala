@@ -61,10 +61,10 @@ object StreamingOps {
     * the cross-batch assertions are untouched. Production streams size
     * this to throughput: it is a per-query knob, not a semantic one.
     */
-  private def withStreamShufflePartitions[T](s: SparkSession)(f: => T): T = {
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, n.toString)
     try f finally s.conf.set(key, old)
   }
 
@@ -391,7 +391,7 @@ object StreamingOps {
   //      StreamingSpec; this entry oracles the JOIN SEMANTICS. ----
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val qname = "graft_ssj_" + java.lang.Integer.toHexString(d.hashCode)
-    withStreamShufflePartitions(s) {
+    withStreamShufflePartitions(s, 2) {
       val purchases = streamingEvents(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
