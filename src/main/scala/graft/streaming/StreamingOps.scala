@@ -423,9 +423,86 @@ object StreamingOps {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1, 2 ORDER BY p_id""".stripMargin
 
+  // ---- q129: checkpoint recovery as an ORACLED query — the last
+  //      spec-only streaming family. The event stream is staged as TWO
+  //      files; a first query (one-file-per-trigger, long re-trigger
+  //      interval so exactly ONE batch runs) processes half the data
+  //      against a REAL checkpoint, stops, and a SECOND query started
+  //      on the same checkpoint restores the aggregation state, sees
+  //      only the unprocessed file in the source log, and drains it.
+  //      The complete-mode table after restart is therefore correct
+  //      ONLY IF recovery is exactly-once: dropped state would lose
+  //      file A, a replayed file would double-count it. Oracle = the
+  //      batch aggregate over all events. The checkpoint is fresh per
+  //      invocation (recovery is re-exercised every run); the staged
+  //      split is written once. Sum uses floor(value*100) — integer-
+  //      valued doubles add exactly in any order. ----
+  def checkpointRecovery(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val srcDir = java.nio.file.Paths.get(tmp, s"graft_ckpt_src_$hex")
+    if (!java.nio.file.Files.exists(srcDir.resolve("_STAGED"))) {
+      java.nio.file.Files.createDirectories(srcDir)
+      def stageHalf(even: Boolean, name: String): Unit = {
+        val part = java.nio.file.Files.createTempDirectory("graft_ckpt_half")
+        Tables.events(s, d)
+          .filter(if (even) col("event_id") % 2 === 0 else col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = new java.io.File(part.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath, srcDir.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      stageHalf(even = true, "a.parquet")
+      stageHalf(even = false, "b.parquet")
+      java.nio.file.Files.createFile(srcDir.resolve("_STAGED"))
+    }
+    // fresh checkpoint per invocation: recovery is the thing under test
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val qname = s"graft_ckpt_$hex"
+    // the staged files carry micros timestamps (written by this session)
+    val schema = StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => StructField("ts", TimestampType)
+      case f => f
+    })
+    def agged = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("value") * 100)).cast("long").as("sum_v2"))
+    withStreamShufflePartitions(s) {
+      val q1 = agged.writeStream.outputMode("complete").format("memory")
+        .queryName(qname).option("checkpointLocation", ckpt)
+        // first trigger fires immediately and takes ONE file; the next
+        // would be a day away — so exactly one batch commits before stop
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("24 hours"))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120_000_000_000L
+        while (q1.lastProgress == null && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        require(q1.lastProgress != null, "q129: first batch never committed")
+      } finally q1.stop()
+      val q2 = agged.writeStream.outputMode("complete").format("memory")
+        .queryName(qname).option("checkpointLocation", ckpt)
+        .start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+    }
+    s.table(qname).orderBy("event_type")
+  }
+
+  private val checkpointRecoverySql =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(floor(value * 100)) AS BIGINT) AS sum_v2
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
+    Q("q129_checkpoint_recovery", checkpointRecovery, Some(checkpointRecoverySql),
+      "stop/restart on one checkpoint: restored state + source log == exactly-once"),
     Q("q127_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql),
       "watermarked stream-stream interval join == batch interval join"),
     Q("q63_stream_dedup", streamDedup, Some(streamDedupSql),
