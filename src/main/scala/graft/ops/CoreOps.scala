@@ -303,6 +303,36 @@ object CoreOps {
        | strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- O24: CSV read straight off a URL (graft.sources.UrlIngest —
+  //      driver-side stream-to-spool, then the normal distributed CSV
+  //      lane). The sandbox has zero egress, so the registry entry
+  //      exercises the identical code path over a file:// URL; https
+  //      differs only in the socket. ----
+  def urlCsvRead(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_urlcsv_${math.abs(d.hashCode)}"
+    val marker = new java.io.File(tmp, "_SUCCESS")
+    if (!marker.exists()) {
+      li(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .coalesce(1) // the reference's O24 fetches ONE csv file
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+    }
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+    graft.sources.UrlIngest.readCsvFromUrl(s, part.toURI.toString)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           min(col("l_orderkey")).cast("long").as("min_key"),
+           max(col("l_orderkey")).cast("long").as("max_key"))
+      .orderBy("l_returnflag")
+  }
+
+  private val urlCsvReadSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- O3/O5 variant: ORC source/sink roundtrip (columnar alternative
   //      to parquet; same push-down/pruning story, verified by
   //      aggregating the roundtripped data against the parquet oracle) ----
@@ -518,6 +548,8 @@ object CoreOps {
     Q("q13_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), "O3/O5 CSV write+read"),
     Q("q125_csv_infer", csvInferFast, Some(csvInferFastSql),
       "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
+    Q("q130_url_csv", urlCsvRead, Some(urlCsvReadSql),
+      "O24 URL CSV fetch: stream-to-spool + distributed parse (file:// in-sandbox)"),
     Q("q60_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql),
       "ORC sink+source roundtrip with scan-pushed filter"),
     Q("q71_corrupt_read", corruptTolerantRead, Some(corruptTolerantReadSql),
