@@ -13,6 +13,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     q.build(spark, sf).queryExecution.executedPlan.toString
   }
 
+  test("q44 sketch: no exact-percentile hold-all-values aggregate (r5)") {
+    val plan = physical("q44_sketch")
+    // the r4 envelope buffered every l_extendedprice through an exact
+    // percentile(...) in a SinglePartition ObjectHashAggregate; the r5
+    // band comes from a mergeable integer-bucket histogram instead
+    assert(!plan.contains("percentile("),
+      s"exact percentile crept back into the sketch plan:\n$plan")
+    assert(plan.contains("approx_count_distinct"), s"plan:\n$plan")
+  }
+
+  test("q67 percentiles: the window runs over the COUNT table, " +
+       "never over per-row data (r5)") {
+    val q = Registry.all.find(_.name == "q67_percentiles").get
+    val optimized = q.build(spark, sf).queryExecution.optimizedPlan
+    // every Window node must sit above an Aggregate — 3 effective
+    // window streams over the raw fact table would serialize the sort
+    // onto 3 tasks at any cluster size
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = optimized.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"expected a window in:\n$optimized")
+    windows.foreach { w =>
+      val aggBelow = w.collectFirst { case a: Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"window must consume the (group,value) count aggregate, not raw rows:\n$optimized")
+    }
+  }
+
   test("q66 binned range join: equi-join, never a nested-loop join") {
     val plan = physical("q66_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
