@@ -315,6 +315,83 @@ object SimilarityOps {
        | CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
        |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---- q131: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+  //      semantic dedup by clustering embeddings and comparing pairs
+  //      WITHIN each cluster only. That is the whole trick: the O(n²)
+  //      all-pairs cosine becomes Σ over cells of O(|cell|²), and the
+  //      candidate generator is a plain equi-join on the cell id that
+  //      shuffles each vector once. Assignment reuses the q50
+  //      literal-centroid map-side argmin (no shuffle, no extra pass);
+  //      at 100 TB the cell count grows with the corpus so per-cell
+  //      pair work stays bounded — the paper uses ~50k clusters for
+  //      LAION-scale. Drop policy is deterministic and closed-form
+  //      (no iteration): a vector is dropped when any same-cell
+  //      neighbor with a SMALLER vec_id sits at cosine >= tau. Output
+  //      is the per-cell audit a curation run reports: members, pairs
+  //      checked, dropped, kept. ----
+  private val SemTau = 0.40
+
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val candStructs = cellStructs(literalCentroids(all))
+    val assigned = all
+      .withColumn("cell",
+        sort_array(array(candStructs.toIndexedSeq: _*)).getItem(0).getField("cid"))
+      .persist()
+    val x = assigned.select(col("cell"), col("vec_id").as("a"),
+                            col("v").as("va"), col("nrm").as("na"))
+    val y = assigned.select(col("cell"), col("vec_id").as("b"),
+                            col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = x.join(y, Seq("cell")).filter(col("a") < col("b"))
+      .select(col("cell"), col("b"),
+              round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r"))
+      .persist()
+    val members = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val checked = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+    val dropped = pairs.filter(col("cos_r") >= SemTau)
+      .groupBy("cell").agg(countDistinct(col("b")).as("n_dropped"))
+    val result = members
+      .join(checked, Seq("cell"), "left")
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+              (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    assigned.unpersist(false)
+    result
+  }
+
+  private val semDedupSql =
+    s"""WITH $baseCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a0 AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  -(${dotFoldSql("n.v", "c.cv")}) / (n.nrm * c.cn) AS negsim
+       |  FROM n CROSS JOIN c),
+       |r AS (SELECT vec_id, v, nrm, cid, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY negsim ASC, cid ASC) AS crn
+       |  FROM a0),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM r WHERE crn = 1),
+       |pairs AS (SELECT x.cell, y.vec_id AS b,
+       |  round(${dotFoldSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos_r
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |members AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+       |checked AS (SELECT cell, COUNT(*) AS n_pairs FROM pairs GROUP BY cell),
+       |dropped AS (SELECT cell, COUNT(DISTINCT b) AS n_dropped FROM pairs
+       |            WHERE cos_r >= $SemTau GROUP BY cell)
+       |SELECT m.cell, m.n_vecs,
+       |  COALESCE(ch.n_pairs, 0) AS n_pairs,
+       |  COALESCE(dr.n_dropped, 0) AS n_dropped,
+       |  m.n_vecs - COALESCE(dr.n_dropped, 0) AS n_kept
+       |FROM members m
+       |LEFT JOIN checked ch USING (cell)
+       |LEFT JOIN dropped dr USING (cell)
+       |ORDER BY m.cell""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
@@ -325,5 +402,7 @@ object SimilarityOps {
     Q("q39_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql),
       "random-hyperplane LSH ANN (bucket equi-join)"),
     Q("q50_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql),
-      "IVF ANN: inverted lists + nearest-cell probing (argmin SQL twin)"))
+      "IVF ANN: inverted lists + nearest-cell probing (argmin SQL twin)"),
+    Q("q131_semdedup", semDedup, Some(semDedupSql),
+      "SemDeDup: cluster-bucketed semantic near-dup removal audit"))
 }

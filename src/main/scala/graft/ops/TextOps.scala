@@ -640,6 +640,83 @@ object TextOps {
        |ORDER BY priority ASC, doc_id ASC LIMIT $WsK""".stripMargin
   }
 
+  // ---- q132: BM25 retrieval scoring (Robertson & Spärck Jones;
+  //      k1 = 1.2, b = 0.75) — the lexical-retrieval primitive of a
+  //      RAG / data-curation stack, in EXACT rational form. The usual
+  //      float log/idf drifts across engines, so the standard formula
+  //      is algebraically cleared of fractions first:
+  //        idf       = (2N − 2df + 1) / (2df + 1)        [(N−df+.5)/(df+.5)]
+  //        tf-part   = 22·tf·TT / (10·TT·tf + 3·TT + 9·dl·N)
+  //                    [tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/TT)), ×10·TT]
+  //      so each contribution is ONE division of two exact integers
+  //      (both < 2^53, hence exact in double; at a 100 TB corpus the
+  //      products move to DECIMAL(38,0) like q128's note) followed by
+  //      floor(·1e6) — bit-identical in both engines, and the per-doc
+  //      score is a SUM of longs: no float-summation-order drift.
+  //      Plan shape: tf/dl are per-row HOFs (no postings explode — the
+  //      corpus never shuffles token rows); only docs×|terms| matched
+  //      rows carry on; df and the corpus stats are two tiny broadcast
+  //      aggregates; top-20 is a TakeOrdered. ----
+  private val Bm25Terms = Seq("dup", "spark", "window")
+
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    // bind toks before the lambdas consume it (the q112 CSE trap); the
+    // repartition doubles as the single-file parallelism barrier
+    val toks = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .persist()
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+                         sum(size(col("toks")).cast("long")).as("tt"))
+    val perTerm = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+              explode(typedLit(Bm25Terms)).as("term"), col("toks"))
+      .select(col("doc_id"), col("dl"), col("term"),
+              size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val dfs = perTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val num = (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
+      lit(22L) * col("tf") * col("tt")
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tt") * col("tf") + lit(3L) * col("tt") +
+        lit(9L) * col("dl") * col("n_docs"))
+    val result = perTerm
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+              floor(num.cast("double") / den.cast("double") * 1e6)
+                .cast("long").as("contrib_e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(20)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
+  private val bm25Sql = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS tt
+       |          FROM t),
+       |pt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+       |         CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+       |       FROM t CROSS JOIN (SELECT unnest([$termList]) AS term) q),
+       |pt2 AS (SELECT * FROM pt WHERE tf > 0),
+       |d AS (SELECT term, COUNT(*) AS df FROM pt2 GROUP BY term),
+       |scored AS (SELECT doc_id,
+       |  CAST(floor(
+       |    CAST((2 * n_docs - 2 * df + 1) * 22 * tf * tt AS DOUBLE)
+       |    / CAST((2 * df + 1) * (10 * tt * tf + 3 * tt + 9 * dl * n_docs)
+       |           AS DOUBLE) * 1e6) AS BIGINT) AS contrib_e6
+       |  FROM pt2 JOIN d USING (term) CROSS JOIN stats)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -669,6 +746,8 @@ object TextOps {
       "n-gram LM quality score: mean corpus bigram frequency per doc (integer-exact perplexity analogue)"),
     Q("q117_boilerplate", boilerplate, Some(boilerplateSql),
       "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"),
+    Q("q132_bm25", bm25, Some(bm25Sql),
+      "BM25 retrieval scoring in exact rational form, top-20 docs"),
     Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
       "deterministic size-weighted sampling via integer hash priorities"))
 }

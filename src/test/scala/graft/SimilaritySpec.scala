@@ -30,4 +30,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       brute.get(k).foreach(bv => assert(bv == v, s"score mismatch for $k"))
     }
   }
+
+  test("SemDeDup audit matches a driver-side brute-force recomputation") {
+    val rows = ops.SimilarityOps.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    // independent recomputation: plain-Scala cosines over the raw table,
+    // same argmin assignment, same round-half-up tau gate
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = embs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val cents = embs.filter(_._1 < 16)
+    def cellOf(id: Long, v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (-dot(v, cv) / (nrm(id) * nrm(cid)), cid) }.min._2
+    def cos6(a: (Long, Array[Double]), b: (Long, Array[Double])): Double =
+      BigDecimal(dot(a._2, b._2) / (nrm(a._1) * nrm(b._1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val byCell = embs.groupBy { case (id, v) => cellOf(id, v) }
+    assert(rows.keySet == byCell.keySet)
+    byCell.foreach { case (cell, members) =>
+      val ms = members.sortBy(_._1)
+      val pairs = for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+      } yield (ms(i), ms(j))
+      val dropped = pairs.filter(p => cos6(p._1, p._2) >= 0.40).map(_._2._1).distinct
+      val (nVecs, nPairs, nDropped, nKept) = rows(cell)
+      assert(nVecs == ms.length.toLong, s"cell $cell n_vecs")
+      assert(nPairs == pairs.length.toLong, s"cell $cell n_pairs")
+      assert(nDropped == dropped.length.toLong, s"cell $cell n_dropped")
+      assert(nKept == nVecs - nDropped, s"cell $cell kept+dropped")
+    }
+    // the corpus has planted near-dups, and clustering must localize
+    // some of them — an all-zero drop column would mean the threshold
+    // or the assignment is broken
+    assert(rows.values.map(_._3).sum > 0, "no within-cell near-dups found")
+    assert(rows.values.map(_._1).sum == embs.length.toLong)
+  }
 }
