@@ -45,7 +45,9 @@ object Scaling {
     ("q123_runtime_filter", "runtime bloom-filter join", "lineitem"),
     ("q125_csv_infer", "sampled-inference CSV read", "lineitem"),
     ("q127_stream_stream_join", "stream-stream interval join", "events"),
-    ("q128_lm_score", "n-gram LM quality scoring", "documents"))
+    ("q128_lm_score", "n-gram LM quality scoring", "documents"),
+    ("q131_semdedup", "SemDeDup cluster-bucketed near-dup", "embeddings"),
+    ("q132_bm25", "BM25 exact-rational retrieval", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

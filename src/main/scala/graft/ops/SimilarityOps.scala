@@ -331,7 +331,10 @@ object SimilarityOps {
   //      checked, dropped, kept. ----
   private val SemTau = 0.40
 
-  def semDedup(s: SparkSession, d: String): DataFrame = {
+  /** Lazy variant for plan dumps: the audit BEFORE the eager
+    * checkpoint, plus the persisted handles the caller must release.
+    */
+  private[graft] def semDedupLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val all = base(s, d)
     val candStructs = cellStructs(literalCentroids(all))
     val assigned = all
@@ -358,9 +361,13 @@ object SimilarityOps {
               coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
               (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy("cell")
-      .localCheckpoint(true)
-    pairs.unpersist(false)
-    assigned.unpersist(false)
+    (result, Seq(pairs, assigned))
+  }
+
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = semDedupLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
     result
   }
 

@@ -659,7 +659,10 @@ object TextOps {
   //      aggregates; top-20 is a TakeOrdered. ----
   private val Bm25Terms = Seq("dup", "spark", "window")
 
-  def bm25(s: SparkSession, d: String): DataFrame = {
+  /** Lazy variant for plan dumps: the ranking BEFORE the eager
+    * checkpoint, plus the persisted handle the caller must release.
+    */
+  private[graft] def bm25Lazy(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // bind toks before the lambdas consume it (the q112 CSE trap); the
     // repartition doubles as the single-file parallelism barrier
     val toks = docs(s, d)
@@ -690,7 +693,12 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("doc_id").asc)
       .limit(20)
-      .localCheckpoint(true)
+    (result, toks)
+  }
+
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, toks) = bm25Lazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
     toks.unpersist(false)
     result
   }
