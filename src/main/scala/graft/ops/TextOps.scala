@@ -725,6 +725,70 @@ object TextOps {
        |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  // ---- q133: quality-classifier inference filtering — the
+  //      fastText-style linear-model gate (DCLM / FineWeb-Edu shape)
+  //      that decides, per document, keep-or-drop at corpus scale.
+  //      Features are hashed bag-of-words: each token buckets by the
+  //      deterministic 60-bit md5 hash (so both engines agree), the
+  //      model is a 64-bucket integer weight vector inlined as a
+  //      literal (the broadcast-model pattern — at 100 TB the weights
+  //      ride the closure/plan, the corpus never shuffles), and the
+  //      logit is a per-row LONG sum — exact, no float dot product.
+  //      The mean logit is floor()'d over an exact double ratio, NOT
+  //      integer division: Spark `div` truncates toward zero while
+  //      DuckDB `//` floors, and logits go negative — the one
+  //      arithmetic trap of signed scores. Map-side only; the only
+  //      shuffle is the presentation sort. ----
+  private val ClfBuckets = 64
+  private val ClfThreshold = 0L // keep docs with a non-negative mean logit
+
+  /** Seeded deterministic weights in [-1000, 1000], generated from md5
+    * like SimilarityOps.planeInt — inlined into BOTH engines' plans.
+    */
+  private[graft] val clfWeights: IndexedSeq[Long] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h15(sck: String): Long = {
+      val hex = mdig.digest(sck.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until ClfBuckets).map(b => h15(s"clf_w_$b") % 2001L - 1000L)
+  }
+
+  def classifierFilter(s: SparkSession, d: String): DataFrame = {
+    val w = typedLit(clfWeights)
+    val tk = col("toks")
+    val logit = aggregate(
+      transform(tk, t =>
+        element_at(w, (hash64(t) % ClfBuckets).cast("int") + 1)),
+      lit(0L), _ + _)
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // single-file input → compute parallelism
+      .select(col("doc_id"), size(tk).cast("long").as("n_toks"),
+              logit.as("logit_sum"))
+      .withColumn("score_e6",
+        floor(col("logit_sum").cast("double") * 1e6 / col("n_toks"))
+          .cast("long"))
+      .withColumn("kept", col("score_e6") >= ClfThreshold)
+      .orderBy("doc_id")
+  }
+
+  private val classifierFilterSql = {
+    val wList = clfWeights.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |scored AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(list_sum(list_transform(toks, tok ->
+       |    ($wList)[(${hash64Sql("tok")} % $ClfBuckets) + 1])) AS BIGINT)
+       |    AS logit_sum
+       |  FROM t)
+       |SELECT doc_id, n_toks, logit_sum,
+       |  CAST(floor(CAST(logit_sum AS DOUBLE) * 1e6 / n_toks) AS BIGINT)
+       |    AS score_e6,
+       |  CAST(floor(CAST(logit_sum AS DOUBLE) * 1e6 / n_toks) AS BIGINT)
+       |    >= $ClfThreshold AS kept
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -756,6 +820,8 @@ object TextOps {
       "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"),
     Q("q132_bm25", bm25, Some(bm25Sql),
       "BM25 retrieval scoring in exact rational form, top-20 docs"),
+    Q("q133_classifier_filter", classifierFilter, Some(classifierFilterSql),
+      "hashed-BoW linear quality-classifier inference gate (integer-exact logit)"),
     Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
       "deterministic size-weighted sampling via integer hash priorities"))
 }
