@@ -315,31 +315,94 @@ object SimilarityOps {
        | CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
        |FROM q ORDER BY vec_id""".stripMargin
 
-  // ---- q131: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+  // ---- q131/q134: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
   //      semantic dedup by clustering embeddings and comparing pairs
   //      WITHIN each cluster only. That is the whole trick: the O(n²)
   //      all-pairs cosine becomes Σ over cells of O(|cell|²), and the
   //      candidate generator is a plain equi-join on the cell id that
-  //      shuffles each vector once. Assignment reuses the q50
-  //      literal-centroid map-side argmin (no shuffle, no extra pass);
-  //      at 100 TB the cell count grows with the corpus so per-cell
-  //      pair work stays bounded — the paper uses ~50k clusters for
-  //      LAION-scale. Drop policy is deterministic and closed-form
-  //      (no iteration): a vector is dropped when any same-cell
-  //      neighbor with a SMALLER vec_id sits at cosine >= tau. Output
-  //      is the per-cell audit a curation run reports: members, pairs
-  //      checked, dropped, kept. ----
+  //      shuffles each vector once. The cell count is DERIVED FROM THE
+  //      CORPUS — k = ceil(n / target-cell-size) — so per-cell pair
+  //      work stays bounded as the corpus grows (the paper's regime:
+  //      ~50k clusters at LAION scale). Centroids are the first k
+  //      vectors refined by ONE Lloyd step (the q64 update: quantized-
+  //      exact per-(cell,dim) means, identical in both engines), and
+  //      assignment is a BROADCAST-JOIN argmin (see [[assignCells]]) —
+  //      never a per-cell literal expression, which could not codegen
+  //      once k reaches the thousands. Drop policy is deterministic
+  //      and closed-form (no iteration): a vector is dropped when any
+  //      same-cell neighbor with a SMALLER vec_id sits at cosine >=
+  //      tau. q131 emits the per-cell audit a curation run reports
+  //      (members, pairs checked, dropped, kept); q134 emits the kept
+  //      vec_id set — the artifact the downstream pipeline consumes. ----
   private val SemTau = 0.40
+  private val SemCellTarget = 64L // target members per cell
+  private val SemMinCells = 16L
 
-  /** Lazy variant for plan dumps: the audit BEFORE the eager
-    * checkpoint, plus the persisted handles the caller must release.
+  /** Corpus-derived cell count: k = max(16, ceil(n / 64)). The count
+    * is a parquet footer-metadata read, not a data scan.
     */
-  private[graft] def semDedupLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  private def semCellCount(s: SparkSession, d: String): Long = {
+    val n = Tables.embeddings(s, d).count()
+    math.max(SemMinCells, (n + SemCellTarget - 1) / SemCellTarget)
+  }
+
+  /** Seed centroids: the first k vectors by id, double-widened so the
+    * pass-1 dot product is float×double on both engines (floats widen
+    * exactly — same values as the SQL twin's double lists).
+    */
+  private def semSeeds(all: DataFrame, k: Long): DataFrame =
+    all.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
+              col("nrm").as("cn"))
+
+  /** Broadcast-join argmin assignment: every vector meets every
+    * centroid through a broadcast nested-loop join (centroids are
+    * metadata-sized — k × dim doubles), `min(struct(negsim, cid))`
+    * picks the nearest cell with a deterministic cid tie-break, and a
+    * map-side-combined hash aggregate collapses the n×k candidate rows
+    * back to n before the (single) shuffle. This survives k in the
+    * thousands where a literal expression per cell (the fixed-k shape
+    * q50/q64 use for their 16-cell IVF probe) would blow up codegen.
+    * The SQL twin is the same argmin as a row_number() = 1.
+    */
+  private def assignCells(all: DataFrame, cents: DataFrame): DataFrame =
+    all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((-vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("negsim"),
+               col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min(col("sc")).as("sc"),
+           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+              col("sc").getField("cid").as("cell"))
+
+  /** One Lloyd refinement — the q64 update step feeding back into
+    * assignment: per-(cell, dim) quantized-exact means (floor(x·1e6)
+    * longs, so both engines agree bit-for-bit), reassembled into
+    * per-cell centroid vectors + norms. Output is k×(dim+2) — always
+    * broadcastable.
+    */
+  private def lloydRefine(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(((sum(floor(col("x").cast("double") * 1000000.0).cast("long")).cast("double")
+             / 1000000.0) / count(lit(1))).as("cx"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+                     e => e.getField("cx")).as("cv"))
+      .select(col("cell").as("cid"), col("cv"),
+              sqrt(vecDot(col("cv"), col("cv"))).as("cn"))
+
+  /** Shared SemDeDup core: cluster (derived k, seeded + one Lloyd
+    * step, broadcast-join argmin) and generate same-cell candidate
+    * pairs. Returns (assigned, pairs), both persisted — callers own
+    * the release.
+    */
+  private def semCore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val k = semCellCount(s, d)
     val all = base(s, d)
-    val candStructs = cellStructs(literalCentroids(all))
-    val assigned = all
-      .withColumn("cell",
-        sort_array(array(candStructs.toIndexedSeq: _*)).getItem(0).getField("cid"))
+    val assigned = assignCells(all, lloydRefine(assignCells(all, semSeeds(all, k))))
       .persist()
     val x = assigned.select(col("cell"), col("vec_id").as("a"),
                             col("v").as("va"), col("nrm").as("na"))
@@ -349,6 +412,14 @@ object SimilarityOps {
       .select(col("cell"), col("b"),
               round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r"))
       .persist()
+    (assigned, pairs)
+  }
+
+  /** Lazy variant for plan dumps: the audit BEFORE the eager
+    * checkpoint, plus the persisted handles the caller must release.
+    */
+  private[graft] def semDedupLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (assigned, pairs) = semCore(s, d)
     val members = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val checked = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
     val dropped = pairs.filter(col("cos_r") >= SemTau)
@@ -371,21 +442,70 @@ object SimilarityOps {
     result
   }
 
-  private val semDedupSql =
-    s"""WITH $baseCte,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-       |      WHERE vec_id < $IvfCells),
-       |a0 AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
-       |  -(${dotFoldSql("n.v", "c.cv")}) / (n.nrm * c.cn) AS negsim
-       |  FROM n CROSS JOIN c),
-       |r AS (SELECT vec_id, v, nrm, cid, row_number() OVER
+  /** q134: the kept-id lane — same clustering and drop policy as the
+    * q131 audit, emitting the surviving (vec_id, cell) rows a curation
+    * pipeline actually writes out. Anti-join against the dropped set:
+    * the dropped ids are a distinct aggregate of the pair table, never
+    * the corpus itself.
+    */
+  private[graft] def semKeptLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (assigned, pairs) = semCore(s, d)
+    val droppedIds = pairs.filter(col("cos_r") >= SemTau)
+      .select(col("b").as("vec_id")).distinct()
+    val result = assigned.join(droppedIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+    (result, Seq(pairs, assigned))
+  }
+
+  def semDedupKept(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = semKeptLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  /** The clustering pipeline as SQL CTEs shared by the q131 and q134
+    * twins: derived k → seeds → pass-1 argmin → quantized-mean Lloyd
+    * update → pass-2 argmin → same-cell pairs.
+    */
+  private val semCoreCte =
+    s"""$baseCte,
+       |params AS (SELECT GREATEST($SemMinCells,
+       |    CAST(CEIL(COUNT(*) / $SemCellTarget.0) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n, params
+       |          WHERE vec_id < k),
+       |a1 AS (SELECT n.vec_id, n.v, s.cid,
+       |  -(${dotFoldSql("n.v", "s.cv")}) / (n.nrm * s.cn) AS negsim
+       |  FROM n CROSS JOIN seeds s),
+       |r1 AS (SELECT vec_id, v, cid, row_number() OVER
        |  (PARTITION BY vec_id ORDER BY negsim ASC, cid ASC) AS crn
-       |  FROM a0),
-       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM r WHERE crn = 1),
+       |  FROM a1),
+       |asg1 AS (SELECT vec_id, v, cid AS cell FROM r1 WHERE crn = 1),
+       |xq AS (SELECT cell, t.i - 1 AS dim,
+       |        CAST(floor(v[t.i] * 1000000.0) AS BIGINT) AS q
+       |       FROM asg1, range(1, ${Dim + 1}) t(i)),
+       |cm AS (SELECT cell, dim,
+       |        ((CAST(SUM(q) AS DOUBLE) / 1000000.0) / COUNT(*)) AS cx
+       |       FROM xq GROUP BY cell, dim),
+       |cents AS (SELECT cell AS cid, list(cx ORDER BY dim) AS cv
+       |          FROM cm GROUP BY cell),
+       |c2 AS (SELECT cid, cv, ${normSql("cv")} AS cn FROM cents),
+       |a2 AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  -(${dotFoldSql("n.v", "c.cv")}) / (n.nrm * c.cn) AS negsim
+       |  FROM n CROSS JOIN c2 c),
+       |r2 AS (SELECT vec_id, v, nrm, cid, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY negsim ASC, cid ASC) AS crn
+       |  FROM a2),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM r2 WHERE crn = 1),
        |pairs AS (SELECT x.cell, y.vec_id AS b,
        |  round(${dotFoldSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos_r
        |  FROM assigned x JOIN assigned y
-       |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
+
+  private val semDedupSql =
+    s"""WITH $semCoreCte,
        |members AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
        |checked AS (SELECT cell, COUNT(*) AS n_pairs FROM pairs GROUP BY cell),
        |dropped AS (SELECT cell, COUNT(DISTINCT b) AS n_dropped FROM pairs
@@ -399,6 +519,15 @@ object SimilarityOps {
        |LEFT JOIN dropped dr USING (cell)
        |ORDER BY m.cell""".stripMargin
 
+  private val semDedupKeptSql =
+    s"""WITH $semCoreCte,
+       |dropped AS (SELECT DISTINCT b AS vec_id FROM pairs
+       |            WHERE cos_r >= $SemTau)
+       |SELECT a.vec_id, a.cell FROM assigned a
+       |LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
@@ -411,5 +540,7 @@ object SimilarityOps {
     Q("q50_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql),
       "IVF ANN: inverted lists + nearest-cell probing (argmin SQL twin)"),
     Q("q131_semdedup", semDedup, Some(semDedupSql),
-      "SemDeDup: cluster-bucketed semantic near-dup removal audit"))
+      "SemDeDup: derived-k clustered semantic near-dup removal audit"),
+    Q("q134_semdedup_kept", semDedupKept, Some(semDedupKeptSql),
+      "SemDeDup kept-id lane: surviving vec_ids under the same drop policy"))
 }
