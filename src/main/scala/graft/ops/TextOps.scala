@@ -642,22 +642,40 @@ object TextOps {
 
   // ---- q132: BM25 retrieval scoring (Robertson & Spärck Jones;
   //      k1 = 1.2, b = 0.75) — the lexical-retrieval primitive of a
-  //      RAG / data-curation stack, in EXACT rational form. The usual
-  //      float log/idf drifts across engines, so the standard formula
-  //      is algebraically cleared of fractions first:
-  //        idf       = (2N − 2df + 1) / (2df + 1)        [(N−df+.5)/(df+.5)]
+  //      RAG / data-curation stack, in EXACT rational form, as a real
+  //      N-queries × corpus primitive: the query-terms relation is a
+  //      broadcast TABLE derived from the corpus (the first 3 docs
+  //      each contribute their first 4 sorted distinct length≥4
+  //      tokens), never a hard-coded literal, and the output is the
+  //      per-query top-10 ranking.
+  //      The usual float log/idf drifts across engines, so the
+  //      standard formula is algebraically cleared of fractions first:
+  //        idf*      = (2N − 2df + 1) / (2df + 1)        [(N−df+.5)/(df+.5)]
   //        tf-part   = 22·tf·TT / (10·TT·tf + 3·TT + 9·dl·N)
   //                    [tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/TT)), ×10·TT]
-  //      so each contribution is ONE division of two exact integers
-  //      (both < 2^53, hence exact in double; at a 100 TB corpus the
-  //      products move to DECIMAL(38,0) like q128's note) followed by
-  //      floor(·1e6) — bit-identical in both engines, and the per-doc
-  //      score is a SUM of longs: no float-summation-order drift.
+  //      NOTE the deliberate simplification (*): the idf LOG is
+  //      dropped — rare terms weigh linearly, not logarithmically,
+  //      which can reorder multi-term rankings vs textbook BM25. It is
+  //      the price of integer-exact cross-engine determinism and is
+  //      declared in COVERAGE.md.
+  //      Each contribution is ONE division of two exact integers —
+  //      Spark computes the products in DECIMAL(38,0), DuckDB in
+  //      HUGEINT (int128): both are exact past any realistic corpus
+  //      (≈1e38 ≫ 44·N·TT² at N=1e11 docs, TT=2.5e13 tokens) and both
+  //      fail LOUDLY on overflow (ANSI decimal error / hugeint range
+  //      error) instead of silently wrapping int64. The exact integers
+  //      cast to double identically (IEEE round-nearest) in both
+  //      engines, so floor(num/den·1e6) is bit-identical, and the
+  //      per-(query,doc) score is a SUM of longs: no float-summation-
+  //      order drift.
   //      Plan shape: tf/dl are per-row HOFs (no postings explode — the
   //      corpus never shuffles token rows); only docs×|terms| matched
-  //      rows carry on; df and the corpus stats are two tiny broadcast
-  //      aggregates; top-20 is a TakeOrdered. ----
-  private val Bm25Terms = Seq("dup", "spark", "window")
+  //      rows carry on; query terms, df and the corpus stats are tiny
+  //      broadcast sides; the per-query top-10 is the row_number≤k
+  //      idiom TopKRankPushdown plans through TopKPerKey. ----
+  private val Bm25NQueries = 3
+  private val Bm25TermsPerQ = 4
+  private val Bm25TopK = 10
 
   /** Lazy variant for plan dumps: the ranking BEFORE the eager
     * checkpoint, plus the persisted handle the caller must release.
@@ -671,28 +689,41 @@ object TextOps {
       .persist()
     val stats = toks.agg(count(lit(1)).as("n_docs"),
                          sum(size(col("toks")).cast("long")).as("tt"))
+    // the query-terms relation: (qid, term) — derived, broadcastable
+    val qterms = toks.filter(col("doc_id") < Bm25NQueries)
+      .select(col("doc_id").as("qid"),
+              explode(slice(array_sort(array_distinct(
+                filter(col("toks"), t => length(t) >= 4))), 1, Bm25TermsPerQ))
+                .as("term"))
+    val terms = qterms.select(col("term")).distinct()
     val perTerm = toks
+      .crossJoin(broadcast(terms))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-              explode(typedLit(Bm25Terms)).as("term"), col("toks"))
-      .select(col("doc_id"), col("dl"), col("term"),
+              col("term"),
               size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
       .filter(col("tf") > 0)
     val dfs = perTerm.groupBy("term").agg(count(lit(1)).as("df"))
-    val num = (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
-      lit(22L) * col("tf") * col("tt")
-    val den = (lit(2L) * col("df") + lit(1L)) *
-      (lit(10L) * col("tt") * col("tf") + lit(3L) * col("tt") +
-        lit(9L) * col("dl") * col("n_docs"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val num = d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
+      d38(lit(22L) * col("tf")) * d38(col("tt"))
+    val den = d38(lit(2L) * col("df") + lit(1L)) *
+      (d38(lit(10L) * col("tt")) * d38(col("tf")) + d38(lit(3L) * col("tt")) +
+        d38(lit(9L) * col("dl")) * d38(col("n_docs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_e6").desc, col("doc_id").asc)
     val result = perTerm
       .join(broadcast(dfs), "term")
+      .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+      .select(col("qid"), col("doc_id"),
               floor(num.cast("double") / den.cast("double") * 1e6)
                 .cast("long").as("contrib_e6"))
-      .groupBy("doc_id")
+      .groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_e6")).as("score_e6"))
-      .orderBy(col("score_e6").desc, col("doc_id").asc)
-      .limit(20)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("qid", "rank")
     (result, toks)
   }
 
@@ -703,27 +734,35 @@ object TextOps {
     result
   }
 
-  private val bm25Sql = {
-    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  private val bm25Sql =
     s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS tt
        |          FROM t),
+       |qt AS (SELECT doc_id AS qid, unnest(list_sort(list_distinct(
+       |         list_filter(toks, x -> len(x) >= 4)))[1:$Bm25TermsPerQ]) AS term
+       |       FROM t WHERE doc_id < $Bm25NQueries),
+       |terms AS (SELECT DISTINCT term FROM qt),
        |pt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
        |         CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
-       |       FROM t CROSS JOIN (SELECT unnest([$termList]) AS term) q),
+       |       FROM t CROSS JOIN terms),
        |pt2 AS (SELECT * FROM pt WHERE tf > 0),
        |d AS (SELECT term, COUNT(*) AS df FROM pt2 GROUP BY term),
-       |scored AS (SELECT doc_id,
+       |scored AS (SELECT qt.qid, pt2.doc_id,
        |  CAST(floor(
-       |    CAST((2 * n_docs - 2 * df + 1) * 22 * tf * tt AS DOUBLE)
-       |    / CAST((2 * df + 1) * (10 * tt * tf + 3 * tt + 9 * dl * n_docs)
-       |           AS DOUBLE) * 1e6) AS BIGINT) AS contrib_e6
-       |  FROM pt2 JOIN d USING (term) CROSS JOIN stats)
-       |SELECT doc_id, COUNT(*) AS n_terms,
-       |  CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
-       |FROM scored GROUP BY doc_id
-       |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
-  }
+       |    CAST(CAST(2 * n_docs - 2 * df + 1 AS HUGEINT) * 22 * tf * tt AS DOUBLE)
+       |    / CAST(CAST(2 * df + 1 AS HUGEINT) *
+       |        (CAST(10 AS HUGEINT) * tt * tf + CAST(3 AS HUGEINT) * tt
+       |         + CAST(9 AS HUGEINT) * dl * n_docs) AS DOUBLE)
+       |    * 1e6) AS BIGINT) AS contrib_e6
+       |  FROM pt2 JOIN d USING (term) JOIN qt USING (term) CROSS JOIN stats),
+       |g AS (SELECT qid, doc_id, COUNT(*) AS n_terms,
+       |        CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
+       |      FROM scored GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, n_terms, score_e6, row_number() OVER
+       |        (PARTITION BY qid ORDER BY score_e6 DESC, doc_id ASC) AS rank
+       |      FROM g)
+       |SELECT qid, doc_id, n_terms, score_e6, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $Bm25TopK ORDER BY qid, rank""".stripMargin
 
   // ---- q133: quality-classifier inference filtering — the
   //      fastText-style linear-model gate (DCLM / FineWeb-Edu shape)
@@ -819,7 +858,7 @@ object TextOps {
     Q("q117_boilerplate", boilerplate, Some(boilerplateSql),
       "corpus-level segment dedup: drop >2x repeated 8-token spans, rebuild"),
     Q("q132_bm25", bm25, Some(bm25Sql),
-      "BM25 retrieval scoring in exact rational form, top-20 docs"),
+      "BM25 N-query retrieval in exact rational form (DECIMAL/HUGEINT products), per-query top-10"),
     Q("q133_classifier_filter", classifierFilter, Some(classifierFilterSql),
       "hashed-BoW linear quality-classifier inference gate (integer-exact logit)"),
     Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
