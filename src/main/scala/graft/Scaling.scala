@@ -29,6 +29,8 @@ object Scaling {
     ("q48_topk_per_key", "custom TopKPerKey operator", "lineitem"),
     ("q33_dedup_exact", "hash-groupBy dedup", "documents"),
     ("q34_dedup_minhash", "MinHash LSH near-dup", "documents"),
+    ("q36_dedup_ngram", "n-gram Jaccard inverted index", "documents"),
+    ("q58_dedup_clusters", "near-dup label propagation", "documents"),
     ("q38_sim_topk", "brute-force cosine top-k", "embeddings"),
     ("q50_sim_ann_ivf", "IVF ANN", "embeddings"),
     ("q111_global_shuffle", "sharded training shuffle", "documents"),

@@ -198,26 +198,34 @@ object DedupOps {
   // ---- n-gram Jaccard over DISCRIMINATIVE shingles (df <= cap), via
   //      a counting inverted index. Ultra-common grams are dropped
   //      before pairing — the standard corpus-scale trick that (a)
-  //      bounds every posting list, so the self-join is O(cap²) per
+  //      bounds every posting list, so pair generation is O(cap²) per
   //      gram, and (b) stops boilerplate grams from linking unrelated
-  //      docs. Intersection size is COUNTED from shared postings
-  //      (groupBy(a,b)), never materialized as arrays: the previous
-  //      array_intersect rescore allocated two ~50-element arrays per
-  //      candidate pair (millions at sf0.1) and its GC pressure
-  //      dominated the benchmark. Set sizes join back from a per-doc
-  //      count — only longs ever shuffle. ----
+  //      docs. Candidate pairs are emitted IN PLACE from each gram's
+  //      sorted, df-capped posting list with a combinations HOF
+  //      (exactly C(df,2) structs, a < b by construction): one shuffle
+  //      of the index by gram replaces the former index self-join —
+  //      no second exchange, no join hash table, and run-to-run
+  //      variance from the join build drops with it. Intersection size
+  //      is COUNTED from shared postings (groupBy(a,b)), never
+  //      materialized as arrays. Set sizes join back from a per-doc
+  //      count — only longs and cap-bounded lists ever shuffle. ----
   private val DfCap = 50
 
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
     val idx = base.select(col("doc_id"), explode(col("sh")).as("g"))
-    val kept = idx.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("g")
-    val idx2 = idx.join(kept, "g").persist()
-    val sizes = idx2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = idx2.as("x").join(idx2.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val posts = idx.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= DfCap)
+      .persist()
+    val sizes = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairCol = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val inter = posts.filter(size(col("ds")) >= 2)
+      .select(explode(pairCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     val result = inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
@@ -228,7 +236,7 @@ object DedupOps {
       .filter(col("jaccard") >= 0.6)
       .orderBy("a", "b")
       .localCheckpoint(true)
-    idx2.unpersist(false)
+    posts.unpersist(false)
     base.unpersist(false)
     result
   }
