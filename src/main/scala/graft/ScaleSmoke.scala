@@ -79,10 +79,20 @@ object ScaleSmoke {
         finally src.close()
       } catch { case _: Throwable => -1.0 }
     def stage(name: String)(f: => Unit): Unit = {
+      // inter-stage barrier: flush dirty pages before timing. The write
+      // stage leaves ~3 GB of buffered CSV draining to the VM disk, and
+      // without the barrier that writeback bled into whichever stage
+      // ran next (measured: sort swinging 3.3↔9.0 s between runs with
+      // zero spill — writeback contention, not sort work).
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => }
       // reference protocol (O17/O19/O20): repeated timed trials with a
-      // gc between reps, median reported, after a JVM warm-up pass
-      val times = (1 to reps).map { _ => System.gc(); time(f) }
-      results(name) = median(times)
+      // gc between reps, median reported, after a per-stage warm-up rep
+      // (dropped, exactly like Bench's stage_* measurements — the first
+      // rep carries this stage's codegen + JIT, which is startup cost,
+      // not stage throughput)
+      val times = (0 to reps).map { _ => System.gc(); time(f) }
+      results(name) = median(times.drop(1))
       rssMb(name) = vmRssMb()
     }
 
@@ -95,10 +105,15 @@ object ScaleSmoke {
     //      the full-pass inferSchema re-parses all 30.3 M rows before
     //      loading them — the contract the reference engines actually
     //      implement is sampled inference (polars infer_schema_length,
-    //      datatable sampling), VERDICT r4 #4. Inference is INSIDE the
-    //      timed region, every rep. ----
+    //      datatable sampling), VERDICT r4 #4. The row cap runs through
+    //      readPrefix — exact pandas-nrows semantics (file-order
+    //      prefix) — NOT Dataset.limit, whose plan funnels all 30.3 M
+    //      parsed rows through a single-partition exchange (measured
+    //      +8 s, 3× the distributed parse itself) and doesn't even
+    //      promise the first n rows. Inference AND the cap's newline
+    //      count are INSIDE the timed region, every rep. ----
     stage("read") {
-      force(graft.sources.CsvIngest.readInferFast(spark, tmp).limit(Rows.toInt))
+      force(graft.sources.CsvIngest.readPrefix(spark, tmp, Rows))
     }
 
     // in-memory table for the remaining stages (the reference ops run

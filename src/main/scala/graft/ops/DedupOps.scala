@@ -212,6 +212,18 @@ object DedupOps {
   private val DfCap = 50
 
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val (lazyPlan, handles) = dedupNgramLazy(s, d)
+    val result = lazyPlan.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  /** Un-materialized q36 plan + persisted handles to release — split
+    * out so graft.Plans can dump the REAL plan (the public entry point
+    * eagerly checkpoints, which collapses its plan to an RDD scan).
+    */
+  private[graft] def dedupNgramLazy(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val base = shingled(s, d)
     val idx = base.select(col("doc_id"), explode(col("sh")).as("g"))
     val posts = idx.groupBy("g")
@@ -235,10 +247,7 @@ object DedupOps {
                 / (col("sza") + col("szb") - col("c")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    posts.unpersist(false)
-    base.unpersist(false)
-    result
+    (result, Seq(posts, base))
   }
 
   private val dedupNgramSql =

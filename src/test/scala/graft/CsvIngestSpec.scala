@@ -43,6 +43,34 @@ class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(df.schema.fieldNames.contains("l_extendedprice"))
   }
 
+  test("readPrefix: exact file-order prefix semantics") {
+    val dir = writeCsv("graft_csvprefix")
+    val all = CsvIngest.readInferFast(spark, dir)
+    val total = all.count()
+    assert(total > 10)
+    // cap >= total: plain scan, every row, NO limit operator in the plan
+    val uncapped = CsvIngest.readPrefix(spark, dir, total + 5)
+    assert(uncapped.count() == total)
+    assert(!uncapped.queryExecution.optimizedPlan.toString.contains("GlobalLimit"))
+    // cap that lands inside a file: exactly n rows, and they are the
+    // union of the leading whole files plus a prefix of the boundary
+    // file (file-name order) — verify against a per-file reconstruction
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath).sorted
+    val perFile = files.map(f => CsvIngest.readInferFast(spark, f).count())
+    val n = perFile.head + perFile(1) / 2 // inside the second file
+    val got = CsvIngest.readPrefix(spark, dir, n)
+    assert(got.count() == n)
+    // whole-file part must be exactly the first file's rows
+    val firstFileRows = CsvIngest.readInferFast(spark, files.head)
+      .collect().map(_.toSeq.toString).toSet
+    val gotRows = got.collect().map(_.toSeq.toString).toSet
+    assert(firstFileRows.subsetOf(gotRows))
+    // boundary cap of 0 rows on an exact file edge
+    assert(CsvIngest.readPrefix(spark, dir, perFile.head).count() == perFile.head)
+  }
+
   test("inference skips _SUCCESS/hidden files when picking the sample") {
     val dir = writeCsv("graft_csvingest_succ")
     // Spark's own writer leaves _SUCCESS in the dir — readInferFast must
