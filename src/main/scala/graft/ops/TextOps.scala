@@ -356,6 +356,48 @@ object TextOps {
        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
        |FROM r GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  // ---- context-window chunking: stride-overlapped fixed token
+  //      windows — the step that turns curated documents into
+  //      training-context candidates (pretraining packing and RAG
+  //      indexing both start here). Chunk count is
+  //      1 + ceil(max(0, n_tok − W) / S): chunk i covers tokens
+  //      [i·S+1, i·S+W], the trailing window is short but never empty,
+  //      and no window starts past the last token (so a doc shorter
+  //      than W yields exactly one chunk). Pure per-row HOF pipeline —
+  //      embarrassingly parallel, no shuffle except the presentation
+  //      sort; each chunk carries an md5-derived fingerprint of its
+  //      joined text so both engines prove identical chunk CONTENT,
+  //      not just identical counts. ----
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, (greatest(0, size(toks) - $ChunkW) + ${ChunkS - 1}) div $ChunkS),
+           |  i -> slice(toks, CAST(i * $ChunkS + 1 AS INT), $ChunkW))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"),
+              col("chunk_idx").cast("long").as("chunk_idx"),
+              size(col("chunk")).cast("long").as("chunk_len"),
+              hash64(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val chunkWindowsSql =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |        unnest(range(0, 2 + (greatest(0, len(toks) - $ChunkW) + ${ChunkS - 1}) // $ChunkS)) AS chunk_idx,
+       |        toks
+       |      FROM t)
+       |SELECT doc_id, chunk_idx,
+       |  len(toks[(chunk_idx * $ChunkS + 1):(chunk_idx * $ChunkS + $ChunkW)]) AS chunk_len,
+       |  ${hash64Sql(s"array_to_string(toks[(chunk_idx * $ChunkS + 1):(chunk_idx * $ChunkS + $ChunkW)], ' ')")} AS chunk_fp
+       |FROM c
+       |WHERE chunk_idx <= (greatest(0, len(toks) - $ChunkW) + ${ChunkS - 1}) // $ChunkS
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- data mixing: per-source quotas under a deterministic shuffle.
   //      Mixture weights are the other half of dataset curation (dedup
   //      removes, mixing re-balances): each source contributes at most
