@@ -303,6 +303,81 @@ object CoreOps {
        | strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q136: multi-file CSV file-order prefix (CsvIngest.readPrefix)
+  //      with the cap landing MID-FILE — the oracle proves the
+  //      boundary-file path takes exactly the FIRST remaining rows of
+  //      the boundary file, not an arbitrary subset (the r6 ADVICE
+  //      gap: Dataset.limit carries no order contract over file
+  //      splits). Fixture: three single-file CSVs part-b0 < part-b1 <
+  //      part-b2 (name order = read order), each the l_orderkey%3
+  //      bucket sorted by (l_orderkey, l_linenumber), so "file-order
+  //      prefix" is reconstructible in pure SQL as bucket offset +
+  //      within-bucket row_number. The cap n = |b0| + |b1|/2 is
+  //      derived from the data identically in both engines and lands
+  //      mid-way through the second file by construction. ----
+  private def csvPrefixFixture(s: SparkSession, d: String): String = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvp_${math.abs(d.hashCode)}"
+    val dir = new java.io.File(tmp)
+    val marker = new java.io.File(dir, "_FIXTURE_READY")
+    if (!marker.exists()) {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      if (dir.exists()) rmrf(dir)
+      dir.mkdirs()
+      (0 until 3).foreach { b =>
+        val stage = s"$tmp/_stage_b$b"
+        li(s, d).filter(expr(s"l_orderkey % 3 = $b"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .repartition(1)
+          .sortWithinPartitions("l_orderkey", "l_linenumber")
+          .write.mode("overwrite").option("header", "true").csv(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+        require(part.renameTo(new java.io.File(dir, s"part-b$b.csv")),
+          s"fixture rename failed for bucket $b")
+        rmrf(new java.io.File(stage))
+      }
+      marker.createNewFile()
+    }
+    tmp
+  }
+
+  def csvPrefix(s: SparkSession, d: String): DataFrame = {
+    val tmp = csvPrefixFixture(s, d)
+    val sizes = li(s, d).groupBy(expr("CAST(l_orderkey % 3 AS BIGINT)").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = sizes(0L) + sizes(1L) / 2
+    graft.sources.CsvIngest.readPrefix(s, tmp, n)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_orderkey")).cast("long").as("key_checksum"))
+      .orderBy("l_returnflag")
+  }
+
+  private val csvPrefixSql =
+    s"""WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+       |             l_orderkey % 3 AS b FROM lineitem),
+       |sz AS (SELECT b, COUNT(*) AS c FROM t GROUP BY b),
+       |cap AS (SELECT (SELECT c FROM sz WHERE b = 0)
+       |          + (SELECT c FROM sz WHERE b = 1) // 2 AS n),
+       |r AS (SELECT t.*,
+       |        CASE WHEN b = 0 THEN 0
+       |             WHEN b = 1 THEN (SELECT c FROM sz WHERE b = 0)
+       |             ELSE (SELECT c FROM sz WHERE b = 0)
+       |                    + (SELECT c FROM sz WHERE b = 1) END
+       |          + row_number() OVER (PARTITION BY b
+       |              ORDER BY l_orderkey, l_linenumber) AS pos
+       |      FROM t)
+       |SELECT l_returnflag, COUNT(*) AS n_rows,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+       |FROM r, cap WHERE pos <= n
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- O24: CSV read straight off a URL (graft.sources.UrlIngest —
   //      driver-side stream-to-spool, then the normal distributed CSV
   //      lane). The sandbox has zero egress, so the registry entry
@@ -550,6 +625,8 @@ object CoreOps {
       "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
     Q("q130_url_csv", urlCsvRead, Some(urlCsvReadSql),
       "O24 URL CSV fetch: stream-to-spool + distributed parse (file:// in-sandbox)"),
+    Q("q136_csv_prefix", csvPrefix, Some(csvPrefixSql),
+      "O4 multi-file CSV file-order prefix with a mid-file cap (readPrefix boundary path)"),
     Q("q60_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql),
       "ORC sink+source roundtrip with scan-pushed filter"),
     Q("q71_corrupt_read", corruptTolerantRead, Some(corruptTolerantReadSql),

@@ -321,9 +321,17 @@ object SimilarityOps {
   //      all-pairs cosine becomes Σ over cells of O(|cell|²), and the
   //      candidate generator is a plain equi-join on the cell id that
   //      shuffles each vector once. The cell count is DERIVED FROM THE
-  //      CORPUS — k = ceil(n / target-cell-size) — so per-cell pair
-  //      work stays bounded as the corpus grows (the paper's regime:
-  //      ~50k clusters at LAION scale). Centroids are the first k
+  //      CORPUS — k = min(50k, ceil(n / target-cell-size)) — the cap is
+  //      the paper's own regime (~50k clusters at LAION scale) and it
+  //      is what keeps the OTHER stage linear: assignment computes n·k
+  //      dot products, so an uncapped k ∝ n would make assignment
+  //      O(n²/64) and grow the centroid broadcast without bound. With
+  //      the cap, assignment is O(n·k_max) and the broadcast tops out
+  //      at k_max×(dim+2) doubles ≈ 26 MB — cluster-viable. Past the
+  //      cap, cells grow beyond 64 members; per-cell pair work is then
+  //      bounded by the cosine threshold density, not the cell size,
+  //      which matches the paper (fixed k, growing cells). Centroids
+  //      are the first k
   //      vectors refined by ONE Lloyd step (the q64 update: quantized-
   //      exact per-(cell,dim) means, identical in both engines), and
   //      assignment is a BROADCAST-JOIN argmin (see [[assignCells]]) —
@@ -337,13 +345,17 @@ object SimilarityOps {
   private val SemTau = 0.40
   private val SemCellTarget = 64L // target members per cell
   private val SemMinCells = 16L
+  private val SemKMax = 50000L // the paper's LAION regime; caps assignment at O(n·k_max)
 
-  /** Corpus-derived cell count: k = max(16, ceil(n / 64)). The count
-    * is a parquet footer-metadata read, not a data scan.
+  /** Corpus-derived cell count: k = min(50k, max(16, ceil(n / 64))).
+    * The count is a parquet footer-metadata read, not a data scan. The
+    * upper cap is load-bearing at scale: it bounds the assignment
+    * stage's n·k dot products to O(n·k_max) and the centroid broadcast
+    * to k_max×(dim+2) doubles.
     */
   private def semCellCount(s: SparkSession, d: String): Long = {
     val n = Tables.embeddings(s, d).count()
-    math.max(SemMinCells, (n + SemCellTarget - 1) / SemCellTarget)
+    math.min(SemKMax, math.max(SemMinCells, (n + SemCellTarget - 1) / SemCellTarget))
   }
 
   /** Seed centroids: the first k vectors by id, double-widened so the
@@ -357,7 +369,8 @@ object SimilarityOps {
 
   /** Broadcast-join argmin assignment: every vector meets every
     * centroid through a broadcast nested-loop join (centroids are
-    * metadata-sized — k × dim doubles), `min(struct(negsim, cid))`
+    * bounded by the k cap — at most k_max × dim doubles ≈ 26 MB,
+    * comfortably broadcastable), `min(struct(negsim, cid))`
     * picks the nearest cell with a deterministic cid tie-break, and a
     * map-side-combined hash aggregate collapses the n×k candidate rows
     * back to n before the (single) shuffle. This survives k in the
@@ -379,8 +392,8 @@ object SimilarityOps {
   /** One Lloyd refinement — the q64 update step feeding back into
     * assignment: per-(cell, dim) quantized-exact means (floor(x·1e6)
     * longs, so both engines agree bit-for-bit), reassembled into
-    * per-cell centroid vectors + norms. Output is k×(dim+2) — always
-    * broadcastable.
+    * per-cell centroid vectors + norms. Output is k×(dim+2) with
+    * k ≤ [[SemKMax]], so the broadcast stays MB-scale by construction.
     */
   private def lloydRefine(assigned: DataFrame): DataFrame =
     assigned
@@ -471,8 +484,8 @@ object SimilarityOps {
     */
   private val semCoreCte =
     s"""$baseCte,
-       |params AS (SELECT GREATEST($SemMinCells,
-       |    CAST(CEIL(COUNT(*) / $SemCellTarget.0) AS BIGINT)) AS k
+       |params AS (SELECT LEAST($SemKMax, GREATEST($SemMinCells,
+       |    CAST(CEIL(COUNT(*) / $SemCellTarget.0) AS BIGINT))) AS k
        |  FROM embeddings),
        |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n, params
        |          WHERE vec_id < k),

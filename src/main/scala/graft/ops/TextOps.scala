@@ -710,19 +710,38 @@ object TextOps {
   //      engines, so floor(num/den·1e6) is bit-identical, and the
   //      per-(query,doc) score is a SUM of longs: no float-summation-
   //      order drift.
-  //      Plan shape: tf/dl are per-row HOFs (no postings explode — the
-  //      corpus never shuffles token rows); only docs×|terms| matched
-  //      rows carry on; query terms, df and the corpus stats are tiny
-  //      broadcast sides; the per-query top-10 is the row_number≤k
-  //      idiom TopKRankPushdown plans through TopKPerKey. ----
+  //      Plan shape: at the registered term count, tf/dl are per-row
+  //      HOFs (no postings explode — the corpus never shuffles token
+  //      rows); above Bm25PostingsThreshold total terms the SAME
+  //      relation switches to a postings shape (explode → broadcast
+  //      hash join on the term set → map-combined count) so cost stays
+  //      O(total tokens) for realistic query loads. Either way only
+  //      docs×|terms| matched rows carry on; query terms, df and the
+  //      corpus stats are tiny broadcast sides; the per-query top-10
+  //      is the row_number≤k idiom TopKRankPushdown plans through
+  //      TopKPerKey. ----
   private val Bm25NQueries = 3
   private val Bm25TermsPerQ = 4
   private val Bm25TopK = 10
 
+  /** Above this many total query terms the per-term HOF scan (one
+    * `filter(toks, …)` pass over every doc's token array PER TERM —
+    * linear in |terms|) loses to the postings shape: explode tokens →
+    * broadcast hash join against the term set (O(1) probe per token)
+    * → map-side-combined count per (doc, term). The registered q132
+    * sits at 12 terms, well under the switch; the threshold is static
+    * so the plan shape is data-independent.
+    */
+  private val Bm25PostingsThreshold = 64
+
   /** Lazy variant for plan dumps: the ranking BEFORE the eager
     * checkpoint, plus the persisted handle the caller must release.
     */
-  private[graft] def bm25Lazy(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def bm25Lazy(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bm25Lazy(s, d, Bm25NQueries * Bm25TermsPerQ > Bm25PostingsThreshold)
+
+  private[graft] def bm25Lazy(s: SparkSession, d: String,
+                              usePostings: Boolean): (DataFrame, DataFrame) = {
     // bind toks before the lambdas consume it (the q112 CSE trap); the
     // repartition doubles as the single-file parallelism barrier
     val toks = docs(s, d)
@@ -738,12 +757,24 @@ object TextOps {
                 filter(col("toks"), t => length(t) >= 4))), 1, Bm25TermsPerQ))
                 .as("term"))
     val terms = qterms.select(col("term")).distinct()
-    val perTerm = toks
-      .crossJoin(broadcast(terms))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-              col("term"),
-              size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
-      .filter(col("tf") > 0)
+    // same (doc_id, dl, term, tf>0) relation, two physical shapes —
+    // see [[Bm25PostingsThreshold]] for the trade
+    val perTerm =
+      if (usePostings)
+        toks
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+                  explode(col("toks")).as("term"))
+          .join(broadcast(terms), "term")
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      else
+        toks
+          .crossJoin(broadcast(terms))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+                  col("term"),
+                  size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
+          .filter(col("tf") > 0)
     val dfs = perTerm.groupBy("term").agg(count(lit(1)).as("df"))
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     val num = d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
@@ -904,5 +935,7 @@ object TextOps {
     Q("q133_classifier_filter", classifierFilter, Some(classifierFilterSql),
       "hashed-BoW linear quality-classifier inference gate (integer-exact logit)"),
     Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
-      "deterministic size-weighted sampling via integer hash priorities"))
+      "deterministic size-weighted sampling via integer hash priorities"),
+    Q("q135_chunk_windows", chunkWindows, Some(chunkWindowsSql),
+      "stride-overlapped context-window chunking, fingerprint-verified content"))
 }

@@ -86,8 +86,15 @@ object CsvIngest {
     *      field parsing — ~¼ the cost of a typed parse pass);
     *   2. takes whole files while they fit under the cap — these parse
     *      fully parallel, no limit operator anywhere in their plan;
-    *   3. applies `limit(remaining)` to the ONE boundary file, so the
-    *      single-partition funnel carries at most one file's rows;
+    *   3. takes the FIRST `remaining` rows of the ONE boundary file in
+    *      true within-file order: rows are keyed by
+    *      (`input_file_block_start`, `monotonically_increasing_id`) —
+    *      the block offset pins each split's position in the file and
+    *      the id is monotone within a split, so `orderBy(...).limit(r)`
+    *      plans as a TakeOrdered over just that file's splits and is
+    *      EXACT regardless of how Spark bin-packs the splits into
+    *      partitions (a bare `Dataset.limit` would take an arbitrary
+    *      `r` rows — file splits carry no order contract);
     *   4. never touches files past the boundary (a prefix cap at 100 TB
     *      should prune the scan, not read-then-drop).
     * If the cap covers the whole dataset (the benchmark's case — and
@@ -97,7 +104,8 @@ object CsvIngest {
   def readPrefix(spark: SparkSession, path: String, n: Long,
                  header: Boolean = true,
                  samplingRatio: Double = 0.05): DataFrame = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, count, input_file_block_start,
+      input_file_name, lit, monotonically_increasing_id}
     val schema = spark.read
       .option("header", header.toString)
       .option("inferSchema", "true")
@@ -108,15 +116,21 @@ object CsvIngest {
       .option("header", header.toString).schema(schema).csv(files: _*)
     val files = dataFiles(spark, path)
     val headerRows = if (header) 1L else 0L
+    // input_file_name URIs are URL-encoded and listStatus paths are
+    // not (file:/ vs file:///, %20 vs space) — normalize both sides to
+    // a decoded FS path before matching, and fail LOUD if a listed
+    // file has no line-count entry (a silent 0 would make the prefix
+    // over-read past n)
+    def normPath(u: String): String =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(u)).toUri.getPath
+      catch { case _: Exception => new org.apache.hadoop.fs.Path(u).toUri.getPath }
     val lineCounts: Map[String, Long] = spark.read.textFile(files: _*)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // input_file_name URIs and listStatus paths can differ in scheme
-    // rendering (file:/ vs file:///) — match on the path suffix
+      .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
     def rowsOf(f: String): Long = {
-      val c = lineCounts.collectFirst {
-        case (k, v) if k == f || k.endsWith(f.stripPrefix("file:")) => v
-      }.getOrElse(0L)
+      val c = lineCounts.getOrElse(normPath(f), throw new IllegalStateException(
+        s"readPrefix: no line count for listed file $f " +
+          s"(have: ${lineCounts.keys.take(3).mkString(", ")}…)"))
       math.max(0L, c - headerRows)
     }
     val cum = files.scanLeft(0L)((acc, f) => acc + rowsOf(f))
@@ -126,7 +140,18 @@ object CsvIngest {
       val whole = files.take(nWhole)
       val boundary = files(nWhole)
       val rest = n - cum(nWhole)
-      val capped = read(Seq(boundary)).limit(rest.toInt)
+      // rest < the boundary file's row count, which a newline scan just
+      // counted into a Long — but limit() takes an Int, so make the
+      // narrowing loud instead of letting toInt wrap
+      require(rest <= Int.MaxValue.toLong,
+        s"readPrefix: boundary-file remainder $rest exceeds Int.MaxValue; " +
+          "re-layout the export with smaller files")
+      val capped = read(Seq(boundary))
+        .withColumn("__bs", input_file_block_start())
+        .withColumn("__id", monotonically_increasing_id())
+        .orderBy(col("__bs"), col("__id"))
+        .limit(rest.toInt)
+        .drop("__bs", "__id")
       if (whole.isEmpty) capped else read(whole).unionAll(capped)
     }
   }

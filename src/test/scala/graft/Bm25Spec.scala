@@ -52,6 +52,24 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(result.toSeq == expected.toSeq)
   }
 
+  test("postings path and HOF path produce identical rankings, different plan shapes") {
+    def run(usePostings: Boolean) = {
+      val (lazyResult, toks) = ops.TextOps.bm25Lazy(spark, sf, usePostings)
+      val plan = lazyResult.queryExecution.optimizedPlan.toString
+      val rows = lazyResult.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      toks.unpersist(false)
+      (rows.toSeq, plan)
+    }
+    val (hofRows, hofPlan) = run(usePostings = false)
+    val (postRows, postPlan) = run(usePostings = true)
+    assert(postRows == hofRows)
+    // the postings path must actually explode token rows; the HOF path
+    // must not (its per-term tf is an array scan, no Generate over toks)
+    assert(postPlan.contains("Generate explode(toks"))
+    assert(!hofPlan.contains("Generate explode(toks"))
+  }
+
   test("per-query ranking behaves like a retrieval primitive") {
     val byQ = result.groupBy(_._1)
     assert(byQ.keySet == Set(0L, 1L, 2L))

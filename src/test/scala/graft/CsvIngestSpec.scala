@@ -71,6 +71,34 @@ class CsvIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(CsvIngest.readPrefix(spark, dir, perFile.head).count() == perFile.head)
   }
 
+  test("readPrefix: boundary file yields its FIRST rows even when split") {
+    // Pin the exact-prefix contract (r6 ADVICE): the boundary file's
+    // remainder must be its leading rows in within-file order, not an
+    // arbitrary `limit` pick. Force the boundary file into many splits
+    // so a bare Dataset.limit WOULD be free to take rows from any
+    // split, then check the taken rows against the file's true head.
+    val out = java.nio.file.Files.createTempDirectory("graft_csvpfx_split").toString
+    // one sorted single-file csv: file order == l_orderkey order
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384") // ~16 KB splits
+      val n = 1234L
+      val key = Seq(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+      val got = CsvIngest.readPrefix(spark, out, n)
+        .select(key: _*).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == n.toInt)
+      val expected = Tables.lineitem(spark, sf)
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(key: _*).limit(n.toInt).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sortBy(identity).toSeq == expected.sortBy(identity).toSeq)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("inference skips _SUCCESS/hidden files when picking the sample") {
     val dir = writeCsv("graft_csvingest_succ")
     // Spark's own writer leaves _SUCCESS in the dir — readInferFast must
