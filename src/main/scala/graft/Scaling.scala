@@ -49,7 +49,12 @@ object Scaling {
     ("q127_stream_stream_join", "stream-stream interval join", "events"),
     ("q128_lm_score", "n-gram LM quality scoring", "documents"),
     ("q131_semdedup", "SemDeDup cluster-bucketed near-dup", "embeddings"),
-    ("q132_bm25", "BM25 exact-rational retrieval", "documents"))
+    ("q132_bm25", "BM25 exact-rational retrieval", "documents"),
+    // r7 additions: the kept-id lane and the queries registered this
+    // round (VERDICT r6 #3: every dedup/retrieval query gets a row)
+    ("q134_semdedup_kept", "SemDeDup kept-id lane", "embeddings"),
+    ("q135_chunk_windows", "context-window chunking", "documents"),
+    ("q136_csv_prefix", "multi-file CSV prefix, mid-file cap", "lineitem"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
