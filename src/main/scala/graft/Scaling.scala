@@ -54,7 +54,8 @@ object Scaling {
     // round (VERDICT r6 #3: every dedup/retrieval query gets a row)
     ("q134_semdedup_kept", "SemDeDup kept-id lane", "embeddings"),
     ("q135_chunk_windows", "context-window chunking", "documents"),
-    ("q136_csv_prefix", "multi-file CSV prefix, mid-file cap", "lineitem"))
+    ("q136_csv_prefix", "multi-file CSV prefix, mid-file cap", "lineitem"),
+    ("q137_dedup_incremental", "delta-vs-corpus incremental dedup", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

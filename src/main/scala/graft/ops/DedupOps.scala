@@ -150,6 +150,104 @@ object DedupOps {
        |WHERE est_j >= 0.5 ORDER BY a, b""".stripMargin
   }
 
+  // ---- q137: INCREMENTAL near-dup dedup — the daily-ingest shape.
+  //      A real curation pipeline does not re-dedup the corpus when a
+  //      new batch lands: the corpus's banded MinHash index is a
+  //      materialized table, and only DELTA×CORPUS candidates are
+  //      generated (delta-delta pairs belong to the next full pass;
+  //      corpus-corpus pairs were settled when those docs arrived).
+  //      That asymmetry is the scale story: per ingest the join cost
+  //      is |delta_bands| probing the corpus index — linear in the
+  //      batch, NOT in the corpus — and the corpus side shuffles only
+  //      its (band, key) index rows, never re-pairing itself. Here the
+  //      "new batch" is the deterministic 20% slice doc_id % 5 = 4
+  //      (sf-stable, identical in both engines); candidates come from
+  //      the same banded equi-join as q34 with delta/corpus predicates
+  //      pushed to the two sides, rescored by exact Jaccard. Output is
+  //      the per-delta-doc verdict the ingest job writes: kept flag,
+  //      best-matching corpus doc (max Jaccard, min-id tie-break), all
+  //      delta docs present (sub-3-token docs have no shingles and are
+  //      trivially kept). ----
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val (result, sh) = dedupIncrementalLazy(s, d)
+    val out = result.localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
+  private[graft] def dedupIncrementalLazy(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sh = shingled(s, d)
+    val base = sh.withColumn("sig",
+      graft.expressions.MinHashSig.minhashSig(col("sh")))
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    val banded = base.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band", "key")))
+    val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 4
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          isDelta(col("x.doc_id")) && !isDelta(col("y.doc_id")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val joined = cands
+      .join(base.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b")), "b")
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("jac_r").desc, col("b").asc)
+    val best = joined
+      .select(col("a"), col("b"),
+              (matches.cast("double") / lit(MinhashK.toDouble)).as("est_j"),
+              round(jac, 6).as("jac_r"))
+      .filter(col("est_j") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a"), col("b").as("dup_of"), col("jac_r"))
+    val result = docs(s, d).filter(isDelta(col("doc_id")))
+      .select(col("doc_id"))
+      .join(best.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("kept"),
+              col("dup_of"), col("jac_r"))
+      .orderBy("doc_id")
+    (result, sh)
+  }
+
+  private val dedupIncrementalSql = {
+    val bands = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH $shingledCte,
+       |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
+       |banded AS ($bands),
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM banded x JOIN banded y
+       |            ON x.band = y.band AND x.key = y.key
+       |          WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4),
+       |joined AS (SELECT cands.a, cands.b, x.sig AS sig_a, y.sig AS sig_b,
+       |                  x.sh AS sh_a, y.sh AS sh_b
+       |           FROM cands JOIN sigs x ON x.doc_id = cands.a
+       |                      JOIN sigs y ON y.doc_id = cands.b),
+       |scored AS (SELECT a, b,
+       |  CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+       |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |    / ${MinhashK.toDouble} AS est_j,
+       |  round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |    / ((len(sh_a) + len(sh_b))
+       |       - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)), 6) AS jac_r
+       |  FROM joined),
+       |best AS (SELECT a, b AS dup_of, jac_r, row_number() OVER
+       |           (PARTITION BY a ORDER BY jac_r DESC, b ASC) AS rn
+       |         FROM scored WHERE est_j >= 0.5)
+       |SELECT d.doc_id, b.dup_of IS NULL AS kept, b.dup_of, b.jac_r
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- SimHash: 32-bit fingerprint, chunk-join candidates ----
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // bind token hashes to a real column first: referencing the md5
@@ -565,5 +663,7 @@ object DedupOps {
     Q("q36_dedup_ngram", dedupNgram, Some(dedupNgramSql),
       "exact 3-gram Jaccard via df-capped inverted index"),
     Q("q37_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql),
-      "embedding cosine near-dup top-20 pairs"))
+      "embedding cosine near-dup top-20 pairs"),
+    Q("q137_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql),
+      "incremental ingest dedup: delta batch vs corpus band index, corpus never self-pairs"))
 }
