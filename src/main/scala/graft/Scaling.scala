@@ -55,7 +55,8 @@ object Scaling {
     ("q134_semdedup_kept", "SemDeDup kept-id lane", "embeddings"),
     ("q135_chunk_windows", "context-window chunking", "documents"),
     ("q136_csv_prefix", "multi-file CSV prefix, mid-file cap", "lineitem"),
-    ("q137_dedup_incremental", "delta-vs-corpus incremental dedup", "documents"))
+    ("q137_dedup_incremental", "delta-vs-corpus incremental dedup", "documents"),
+    ("q138_stream_static_dedup", "stream-static incremental dedup", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -216,7 +216,9 @@ object DedupOps {
     (result, sh)
   }
 
-  private val dedupIncrementalSql = {
+  // shared with q138's streaming twin (same output contract, so the
+  // same oracle proves stream-static == batch incremental)
+  private[graft] val dedupIncrementalSql = {
     val bands = (0 until MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
       .mkString("\n UNION ALL ")

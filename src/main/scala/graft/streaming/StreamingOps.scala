@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Q, Tables}
+import graft.functions.HashFns._
 import graft.ops.EventOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -540,9 +541,98 @@ object StreamingOps {
       | CAST(SUM(floor(value * 100)) AS BIGINT) AS sum_v2
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q138: STREAM-STATIC incremental dedup — the streaming twin of
+  //      q137 and the one streaming join family the lane lacked
+  //      (q127 covers stream-stream; this is the stream-vs-reference-
+  //      table shape). The arriving batch streams in as documents; the
+  //      corpus's banded MinHash index is the STATIC side — at 100 TB
+  //      that index is a materialized table the stream probes, built
+  //      once, amortized over every micro-batch. The streaming stage is
+  //      deliberately STATELESS (shingle → sig → band explode →
+  //      stream-static equi-join → exact-Jaccard rescore → append):
+  //      no watermark, no state store, so throughput is map-side and
+  //      state is zero no matter how long the stream runs. A pair that
+  //      collides in several bands emits several identical match rows
+  //      (the batch lane dedups candidates instead); the reader's
+  //      row_number(=1) verdict reduction absorbs the multiplicity.
+  //      Output contract == q137, oracle == q137's SQL: streaming and
+  //      batch incremental dedup must agree row-for-row. ----
+  def streamStaticDedup(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_ssd_$hex"
+    // stage the arriving batch (the doc_id % 5 = 4 slice) as the
+    // file-stream landing dir; written once, marker-guarded
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_ssd_src_$hex")
+    if (!java.nio.file.Files.exists(srcDir.resolve("_STAGED"))) {
+      java.nio.file.Files.createDirectories(srcDir)
+      val part = java.nio.file.Files.createTempDirectory("graft_ssd_stage")
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        .select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.createFile(srcDir.resolve("_STAGED"))
+    }
+    def sigify(df: DataFrame, idAs: String, sigAs: String, shAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col(idAs), hashedShingles(shingles(col("toks"), 3)).as(shAs))
+        .withColumn(sigAs, graft.expressions.MinHashSig.minhashSig(col(shAs)))
+    def banded(df: DataFrame, sigCol: String): DataFrame =
+      df.select(df.columns.map(col) :+
+        posexplode(array((0 until MinhashBands).map(b => bandKey(col(sigCol), b)): _*))
+          .as(Seq("band", "key")): _*)
+    // static side: the corpus band index, materialized before the
+    // stream starts (the "already on disk" table of a real ingest)
+    val corpusIdx = banded(
+      sigify(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+               .repartition(col("doc_id")), "b", "sig_b", "sh_b"), "sig_b")
+      .persist()
+    corpusIdx.count()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    withStreamShufflePartitions(s, 2) {
+      val stream = banded(
+        sigify(s.readStream.schema(docSchema).parquet(srcDir.toString),
+               "a", "sig_a", "sh_a"), "sig_a")
+      val estJ = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _).cast("double") / lit(MinhashK.toDouble)
+      val interD = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val jac = interD / ((size(col("sh_a")) + size(col("sh_b"))) - interD)
+      val q = stream.join(corpusIdx, Seq("band", "key"))
+        .select(col("a"), col("b"), estJ.as("est_j"), round(jac, 6).as("jac_r"))
+        .filter(col("est_j") >= 0.5)
+        .select("a", "b", "jac_r")
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    corpusIdx.unpersist(false)
+    // reader-side verdict reduction over the sink (q63 pattern): best
+    // corpus match per arrived doc, every arrived doc verdicted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("jac_r").desc, col("b").asc)
+    val best = s.table(qname)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a").as("doc_id"), col("b").as("dup_of"), col("jac_r"))
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 4).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("kept"),
+              col("dup_of"), col("jac_r"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
+    Q("q138_stream_static_dedup", streamStaticDedup,
+      Some(graft.ops.DedupOps.dedupIncrementalSql),
+      "stream-static band join: arriving batch vs corpus index == batch q137"),
     Q("q129_checkpoint_recovery", checkpointRecovery, Some(checkpointRecoverySql),
       "stop/restart on one checkpoint: restored state + source log == exactly-once"),
     Q("q127_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql),
