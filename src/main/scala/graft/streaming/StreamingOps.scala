@@ -557,6 +557,11 @@ object StreamingOps {
   //      row_number(=1) verdict reduction absorbs the multiplicity.
   //      Output contract == q137, oracle == q137's SQL: streaming and
   //      batch incremental dedup must agree row-for-row. ----
+  /** Micro-batch physical plan of the most recent q138 run — streaming
+    * plans are only printable after execution, so graft.Plans reads
+    * this instead of calling explainString on an unstarted stream. */
+  @volatile private[graft] var lastSsdPlan: Option[String] = None
+
   def streamStaticDedup(s: SparkSession, d: String): DataFrame = {
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val qname = s"graft_ssd_$hex"
@@ -609,8 +614,14 @@ object StreamingOps {
         .select("a", "b", "jac_r")
         .writeStream.outputMode("append").format("memory").queryName(qname)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        // streaming physical plans only exist post-execution; capture
+        // the last micro-batch's plan for graft.Plans evidence
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+        lastSsdPlan = Some(buf.toString("UTF-8"))
+      } finally q.stop()
     }
     corpusIdx.unpersist(false)
     // reader-side verdict reduction over the sink (q63 pattern): best
