@@ -56,7 +56,9 @@ object Scaling {
     ("q135_chunk_windows", "context-window chunking", "documents"),
     ("q136_csv_prefix", "multi-file CSV prefix, mid-file cap", "lineitem"),
     ("q137_dedup_incremental", "delta-vs-corpus incremental dedup", "documents"),
-    ("q138_stream_static_dedup", "stream-static incremental dedup", "documents"))
+    ("q138_stream_static_dedup", "stream-static incremental dedup", "documents"),
+    ("q139_mix_reweight", "temperature mixture reweighting", "documents"),
+    ("q140_vocab_build", "frequency-vocab induction (top-V)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -901,6 +901,139 @@ object TextOps {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q139: temperature-resampled mixture weights — the sampling-
+  //      weight computation a multi-source pretraining mix needs
+  //      (UniMax / multilingual temperature sampling: w_i ∝ p_i^α so
+  //      low-resource sources are upsampled relative to their natural
+  //      share). α is EXACTLY 1/2, so the reweight is sqrt() — IEEE-754
+  //      correctly rounded in both engines, where a general pow()
+  //      would not be bit-stable cross-engine — and the sqrt is
+  //      quantized (floor(·×1e6) BIGINT) before normalization so every
+  //      downstream ratio derives from exact integers. Scale shape:
+  //      ONE map-side-combined groupBy(source) is the only corpus-wide
+  //      shuffle (|sources| partial rows per task); the grand totals
+  //      join back as a broadcast single row and all mixture
+  //      arithmetic runs on |sources| rows. ----
+  private val MixBudgetTok = 1000000000L // 1B-token sampling budget
+
+  /** Lazy variant for plan dumps: the mixture BEFORE the eager
+    * checkpoint, plus the persisted handle the caller must release.
+    * perSrc is persisted so the grand-total branch reads the
+    * |sources|-row aggregate instead of rescanning the corpus — ONE
+    * corpus scan total.
+    */
+  private[graft] def mixReweightLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val perSrc = docs(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // single-file input → compute parallelism
+      .select(col("source"), size(col("toks")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_mass"))
+      .withColumn("wq",
+        floor(sqrt(col("tok_mass").cast("double")) * 1000000.0).cast("long"))
+      .persist()
+    val tot = perSrc.agg(sum(col("tok_mass")).as("mass_tot"),
+                         sum(col("wq")).as("wq_tot"))
+    val result = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tok_mass"),
+        round(col("tok_mass").cast("double") / col("mass_tot"), 6).as("nat_share"),
+        round(col("wq").cast("double") / col("wq_tot"), 6).as("mix_weight"),
+        floor(lit(MixBudgetTok.toDouble) * col("wq") / col("wq_tot"))
+          .cast("long").as("alloc_tok"))
+      .withColumn("epochs",
+        round(col("alloc_tok").cast("double") / col("tok_mass"), 6))
+      .orderBy("source")
+    (result, Seq(perSrc))
+  }
+
+  def mixReweight(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = mixReweightLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  private val mixReweightSql =
+    s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS tok_mass
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT *, CAST(floor(sqrt(CAST(tok_mass AS DOUBLE)) * 1000000.0)
+       |        AS BIGINT) AS wq FROM per),
+       |tot AS (SELECT CAST(SUM(tok_mass) AS BIGINT) AS mass_tot,
+       |        CAST(SUM(wq) AS BIGINT) AS wq_tot FROM w)
+       |SELECT source, n_docs, tok_mass,
+       | round(CAST(tok_mass AS DOUBLE) / mass_tot, 6) AS nat_share,
+       | round(CAST(wq AS DOUBLE) / wq_tot, 6) AS mix_weight,
+       | CAST(floor($MixBudgetTok.0 * wq / wq_tot) AS BIGINT) AS alloc_tok,
+       | round(CAST(floor($MixBudgetTok.0 * wq / wq_tot) AS BIGINT)
+       |       / CAST(tok_mass AS DOUBLE), 6) AS epochs
+       |FROM w, tot ORDER BY source""".stripMargin
+
+  // ---- q140: frequency-vocab induction — the "train a vocab on the
+  //      corpus" step of tokenizer prep: corpus-wide token frequencies
+  //      (map-side-combined groupBy — the q112 shape), the top-V vocab
+  //      picked DISTRIBUTED via orderBy+limit (TakeOrderedAndProject:
+  //      per-partition bounded heaps, never a global sort), then rank /
+  //      coverage shares over the now-V-row vocab. The single-partition
+  //      window is bounded by construction (V = 256 rows after the
+  //      limit), and 1 − max(cum_share) is the corpus OOV rate a fixed
+  //      vocab of size V would leave. Tie-break (tf DESC, token ASC) is
+  //      total, so both engines pick the identical vocab at the
+  //      boundary. ----
+  private val VocabV = 256
+
+  /** Lazy variant for plan dumps: the vocab BEFORE the eager
+    * checkpoint, plus the persisted handle the caller must release.
+    * tf (distinct-token-sized — far smaller than the corpus, spillable
+    * under MEMORY_AND_DISK) is persisted so the top-V pick and the
+    * grand total both read it: ONE corpus scan and ONE token shuffle.
+    */
+  private[graft] def vocabBuildLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // single-file input → compute parallelism
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val tot = tf.agg(sum(col("tf")).as("tok_total"))
+    // distributed top-V (TakeOrderedAndProject), THEN the bounded
+    // V-row window for rank + running coverage
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token").asc)
+    val result = tf.orderBy(col("tf").desc, col("token").asc).limit(VocabV)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("tf_share",
+        round(col("tf").cast("double") / col("tok_total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("tf")).over(w).cast("double") / col("tok_total"), 6))
+      .select(col("rank"), col("token"), col("tf"), col("tf_share"),
+              col("cum_share"))
+      .orderBy("rank")
+    (result, Seq(tf))
+  }
+
+  def vocabBuild(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = vocabBuildLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  private val vocabBuildSql =
+    s"""WITH tok AS (SELECT unnest(${tokensSql("text")}) AS token FROM documents),
+       |tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tok_total FROM tf),
+       |top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT $VocabV),
+       |v AS (SELECT token, tf,
+       |        row_number() OVER (ORDER BY tf DESC, token) AS rank,
+       |        CAST(SUM(tf) OVER (ORDER BY tf DESC, token) AS BIGINT) AS cum
+       |      FROM top)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, tf,
+       | round(CAST(tf AS DOUBLE) / tok_total, 6) AS tf_share,
+       | round(CAST(cum AS DOUBLE) / tok_total, 6) AS cum_share
+       |FROM v, tot ORDER BY rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -937,5 +1070,9 @@ object TextOps {
     Q("q119_weighted_sample", weightedSample, Some(weightedSampleSql),
       "deterministic size-weighted sampling via integer hash priorities"),
     Q("q135_chunk_windows", chunkWindows, Some(chunkWindowsSql),
-      "stride-overlapped context-window chunking, fingerprint-verified content"))
+      "stride-overlapped context-window chunking, fingerprint-verified content"),
+    Q("q139_mix_reweight", mixReweight, Some(mixReweightSql),
+      "temperature (alpha=1/2) mixture reweighting: per-source sampling weights + token allocation under a budget"),
+    Q("q140_vocab_build", vocabBuild, Some(vocabBuildSql),
+      "frequency-vocab induction: distributed top-V token vocab with coverage/OOV shares"))
 }
