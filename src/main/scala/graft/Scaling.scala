@@ -58,7 +58,9 @@ object Scaling {
     ("q137_dedup_incremental", "delta-vs-corpus incremental dedup", "documents"),
     ("q138_stream_static_dedup", "stream-static incremental dedup", "documents"),
     ("q139_mix_reweight", "temperature mixture reweighting", "documents"),
-    ("q140_vocab_build", "frequency-vocab induction (top-V)", "documents"))
+    ("q140_vocab_build", "frequency-vocab induction (top-V)", "documents"),
+    ("q141_source_overlap", "cross-source 8-gram overlap audit", "documents"),
+    ("q142_adaptive_gate", "adaptive per-source quality gate", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.HashFns._
 import graft.functions.Stable._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (north-star: the per-doc
@@ -866,13 +867,25 @@ object TextOps {
     (0 until ClfBuckets).map(b => h15(s"clf_w_$b") % 2001L - 1000L)
   }
 
-  def classifierFilter(s: SparkSession, d: String): DataFrame = {
+  /** Hashed-BoW logit sum over a (bound) token array column — the
+    * scorer shared by the q133 fixed gate and the q142 adaptive gate.
+    */
+  private def clfLogit(toks: Column): Column = {
     val w = typedLit(clfWeights)
-    val tk = col("toks")
-    val logit = aggregate(
-      transform(tk, t =>
+    aggregate(
+      transform(toks, t =>
         element_at(w, (hash64(t) % ClfBuckets).cast("int") + 1)),
       lit(0L), _ + _)
+  }
+  private def clfLogitSql(toks: String): String = {
+    val wList = clfWeights.mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform($toks, tok -> " +
+      s"($wList)[(${hash64Sql("tok")} % $ClfBuckets) + 1])) AS BIGINT)"
+  }
+
+  def classifierFilter(s: SparkSession, d: String): DataFrame = {
+    val tk = col("toks")
+    val logit = clfLogit(tk)
     docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id")) // single-file input → compute parallelism
@@ -885,13 +898,10 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val classifierFilterSql = {
-    val wList = clfWeights.mkString("[", ", ", "]")
+  private val classifierFilterSql =
     s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
        |scored AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
-       |  CAST(list_sum(list_transform(toks, tok ->
-       |    ($wList)[(${hash64Sql("tok")} % $ClfBuckets) + 1])) AS BIGINT)
-       |    AS logit_sum
+       |  ${clfLogitSql("toks")} AS logit_sum
        |  FROM t)
        |SELECT doc_id, n_toks, logit_sum,
        |  CAST(floor(CAST(logit_sum AS DOUBLE) * 1e6 / n_toks) AS BIGINT)
@@ -899,7 +909,6 @@ object TextOps {
        |  CAST(floor(CAST(logit_sum AS DOUBLE) * 1e6 / n_toks) AS BIGINT)
        |    >= $ClfThreshold AS kept
        |FROM scored ORDER BY doc_id""".stripMargin
-  }
 
   // ---- q139: temperature-resampled mixture weights — the sampling-
   //      weight computation a multi-source pretraining mix needs
@@ -1034,6 +1043,181 @@ object TextOps {
        | round(CAST(cum AS DOUBLE) / tok_total, 6) AS cum_share
        |FROM v, tot ORDER BY rank""".stripMargin
 
+  // ---- q141: cross-source overlap audit — "how much of source A's
+  //      content also appears in source B" — the provenance question a
+  //      corpus curation run answers before mixing sources (leakage
+  //      between crawls, mirrored sites, re-hosted dumps). Keyed on
+  //      8-token shingles (the q81 decontamination unit: exact-text
+  //      dup is too strict across independently-cleaned crawls, and at
+  //      this granularity overlap is evidence of shared provenance).
+  //      Scale shape: ONE corpus-wide exchange builds the gram →
+  //      sorted-source-set index (collect_set partials merge map-side
+  //      and every set is bounded by |sources|); source pairs are
+  //      emitted IN PLACE from each set with the q36 combinations HOF
+  //      (≤ C(|sources|,2) structs per gram — never a posting-list
+  //      self-join), and everything downstream of the index is
+  //      |sources|²-sized. Per-source totals come from exploding the
+  //      SAME persisted index — the corpus is scanned exactly once. ----
+  private val OvShingleN = 8
+
+  private[graft] def sourceOverlapLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val sets = docs(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // single-file input → compute parallelism
+      .select(col("source"), explode(shingles(col("toks"), OvShingleN)).as("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .persist()
+    val sizes = sets.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    // a<b source pairs straight off each gram's sorted set (q36 idiom)
+    val pairCol = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+        struct(x.as("sa"), y.as("sb")))))
+    val shared = sets.filter(size(col("ss")) >= 2)
+      .select(explode(pairCol).as("p"))
+      .select(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+    val result = shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+                                   col("sz").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+                                   col("sz").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+              col("n_a"), col("n_b"),
+        round(col("shared").cast("double")
+              / (col("n_a") + col("n_b") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+    (result, Seq(sets))
+  }
+
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = sourceOverlapLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH t AS (SELECT source, ${tokensSql("text")} AS toks FROM documents),
+       |sh AS (SELECT DISTINCT source, g FROM
+       |        (SELECT source, unnest(${shinglesSql("toks", OvShingleN)}) AS g FROM t)),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY source),
+       |inter AS (SELECT x.source AS source_a, y.source AS source_b,
+       |            CAST(COUNT(*) AS BIGINT) AS shared
+       |          FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+       |          GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared, sa.sz AS n_a, sb.sz AS n_b,
+       | round(CAST(shared AS DOUBLE)
+       |       / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.source = source_a
+       |           JOIN sizes sb ON sb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- q142: adaptive per-source quality gate — the "keep the best
+  //      75% of EACH source" curation step (per-dump adaptive
+  //      thresholds, FineWeb-style): a single global cutoff over-drops
+  //      whole low-scoring sources, so the gate derives a per-source
+  //      p25 cutoff from the q133 classifier score and keeps docs at
+  //      or above it. The cutoff is the EXACT order statistic (least
+  //      score with cum-count ≥ ceil(0.25·n); 0.25 is dyadic so the
+  //      double product is FP-exact) found scale-correctly in TWO
+  //      histogram passes over ONE persisted (source, score_e6, bkt)
+  //      projection: pass 1 is a map-side-combined coarse histogram on
+  //      the integer logit mean (≤ |sources|×2001 rows — the rank
+  //      windows below run on THAT metadata-sized aggregate, never the
+  //      corpus) locating each source's boundary bucket; pass 2
+  //      rescans only boundary-bucket rows via a broadcast semi-filter
+  //      (≤ 1e6 distinct scores per source by construction — one
+  //      bucket spans 1e6 score quanta — independent of corpus size).
+  //      Kept counts derive from the SAME two histograms, so the
+  //      corpus is never sorted and never crosses a per-source
+  //      window. ----
+  private val GateQ = 0.25 // drop each source's bottom score quartile
+
+  private[graft] def adaptiveGateLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val tk = col("toks")
+    val scored = docs(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // single-file input → compute parallelism
+      .select(col("source"), size(tk).cast("long").as("n_toks"),
+              clfLogit(tk).as("logit_sum"))
+      .select(col("source"),
+        floor(col("logit_sum").cast("double") * 1e6 / col("n_toks"))
+          .cast("long").as("score_e6"))
+      .withColumn("bkt", floor(col("score_e6").cast("double") / 1e6).cast("long"))
+      .persist()
+    val wCum = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    // pass 1: coarse histogram → per-source boundary bucket + residual rank
+    val boundary = scored.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("k", ceil(col("n").cast("double") * GateQ))
+      .filter(col("cum") >= col("k"))
+      .groupBy("source")
+      .agg(min_by(struct(col("bkt").as("b_bkt"),
+                         (col("cum") - col("c")).as("cum_before"),
+                         col("k"), col("n")), col("bkt")).as("b"))
+      .select(col("source"), col("b.b_bkt").as("b_bkt"),
+              col("b.cum_before").as("cum_before"), col("b.k").as("k"),
+              col("b.n").as("n"))
+    // pass 2: exact score at the residual rank, boundary-bucket rows only
+    val wCumF = Window.partitionBy("source").orderBy("score_e6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val result = scored.join(broadcast(boundary), Seq("source"))
+      .filter(col("bkt") === col("b_bkt"))
+      .groupBy("source", "score_e6")
+      .agg(count(lit(1)).as("c"), first(col("cum_before")).as("cum_before"),
+           first(col("k")).as("k"), first(col("n")).as("n"))
+      .withColumn("cumw", sum(col("c")).over(wCumF))
+      .filter(col("cum_before") + col("cumw") >= col("k"))
+      .groupBy("source")
+      .agg(min_by(struct(col("score_e6").as("thr_e6"), col("n"),
+                         // kept = score ≥ thr: n − #(score < thr)
+                         (col("n") - col("cum_before") - col("cumw") + col("c"))
+                           .as("n_kept")), col("score_e6")).as("t"))
+      .select(col("source"), col("t.n").as("n_docs"),
+              col("t.thr_e6").as("thr_e6"), col("t.n_kept").as("n_kept"))
+      .withColumn("kept_share",
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+    (result, Seq(scored))
+  }
+
+  def adaptiveGate(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = adaptiveGateLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  private val adaptiveGateSql =
+    s"""WITH t AS (SELECT source, ${tokensSql("text")} AS toks FROM documents),
+       |scored AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  ${clfLogitSql("toks")} AS logit_sum
+       |  FROM t),
+       |sc AS (SELECT source,
+       |  CAST(floor(CAST(logit_sum AS DOUBLE) * 1e6 / n_toks) AS BIGINT)
+       |    AS score_e6 FROM scored),
+       |hist AS (SELECT source, score_e6, CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM sc GROUP BY 1, 2),
+       |cum AS (SELECT source, score_e6, c,
+       |  SUM(c) OVER (PARTITION BY source ORDER BY score_e6) AS cum,
+       |  SUM(c) OVER (PARTITION BY source) AS n FROM hist),
+       |thr AS (SELECT source, MIN(score_e6) AS thr_e6 FROM cum
+       |  WHERE cum >= CAST(ceil(CAST(n AS DOUBLE) * $GateQ) AS BIGINT)
+       |  GROUP BY 1)
+       |SELECT sc.source, CAST(COUNT(*) AS BIGINT) AS n_docs, thr_e6,
+       | CAST(SUM(CASE WHEN score_e6 >= thr_e6 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_kept,
+       | round(CAST(SUM(CASE WHEN score_e6 >= thr_e6 THEN 1 ELSE 0 END)
+       |   AS DOUBLE) / COUNT(*), 6) AS kept_share
+       |FROM sc JOIN thr ON thr.source = sc.source
+       |GROUP BY 1, 3 ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -1074,5 +1258,9 @@ object TextOps {
     Q("q139_mix_reweight", mixReweight, Some(mixReweightSql),
       "temperature (alpha=1/2) mixture reweighting: per-source sampling weights + token allocation under a budget"),
     Q("q140_vocab_build", vocabBuild, Some(vocabBuildSql),
-      "frequency-vocab induction: distributed top-V token vocab with coverage/OOV shares"))
+      "frequency-vocab induction: distributed top-V token vocab with coverage/OOV shares"),
+    Q("q141_source_overlap", sourceOverlap, Some(sourceOverlapSql),
+      "cross-source provenance audit: pairwise shared-8-gram counts + Jaccard per source pair"),
+    Q("q142_adaptive_gate", adaptiveGate, Some(adaptiveGateSql),
+      "adaptive per-source quality gate: exact p25 classifier-score cutoff per source via two-phase histogram selection"))
 }

@@ -55,6 +55,33 @@ class MixVocabSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q141 matches a driver-side recomputation of the source-overlap matrix") {
+    val rows = ops.TextOps.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5)))
+
+    // driver-side: per-source distinct 8-gram sets from raw text
+    val sets: Map[String, Set[String]] = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.iterator.flatMap { case (_, toks) =>
+        if (toks.length < 8) Iterator.empty
+        else toks.sliding(8).map(_.mkString(" "))
+      }.toSet
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcs = sets.keys.toSeq.sorted
+    val expected = for {
+      a <- srcs; b <- srcs if a < b
+      shared = (sets(a) & sets(b)).size.toLong if shared > 0
+    } yield (a, b, shared, sets(a).size.toLong, sets(b).size.toLong,
+             r6(shared.toDouble / (sets(a).size + sets(b).size - shared)))
+    assert(rows.toSeq == expected.sortBy(p => (p._1, p._2)))
+
+    // audit laws: a < b canonical order, jaccard in (0, 1], counts consistent
+    assert(rows.forall(p => p._1 < p._2))
+    assert(rows.forall(p => p._6 > 0.0 && p._6 <= 1.0))
+    assert(rows.forall(p => p._3 <= math.min(p._4, p._5)))
+  }
+
   test("q140 matches a driver-side top-V recomputation with coverage shares") {
     val rows = ops.TextOps.vocabBuild(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
