@@ -279,11 +279,15 @@ object CoreOps {
   //      types load the same values the parquet truth holds. ----
   def csvInferFast(s: SparkSession, d: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvi_${math.abs(d.hashCode)}"
-    val marker = new java.io.File(tmp, "_SUCCESS")
-    if (!marker.exists()) {
+    // content-aware reuse: the marker records the SOURCE parquet's
+    // size+mtime, so a driver-side testdata regeneration invalidates
+    // the fixture instead of silently feeding stale rows to the oracle
+    val marker = java.nio.file.Paths.get(tmp, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/lineitem.parquet")) {
       li(s, d).select("l_orderkey", "l_linenumber", "l_quantity",
                       "l_extendedprice", "l_shipdate", "l_returnflag")
         .write.mode("overwrite").option("header", "true").csv(tmp)
+      graft.Fixtures.writeMarker(marker, s"$d/lineitem.parquet")
     }
     graft.sources.CsvIngest.readInferFast(s, tmp)
       .groupBy("l_returnflag")
@@ -318,8 +322,10 @@ object CoreOps {
   private def csvPrefixFixture(s: SparkSession, d: String): String = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvp_${math.abs(d.hashCode)}"
     val dir = new java.io.File(tmp)
-    val marker = new java.io.File(dir, "_FIXTURE_READY")
-    if (!marker.exists()) {
+    // content-aware reuse (see csvInferFast): rebuilt when the source
+    // parquet's size+mtime fingerprint changes
+    val marker = java.nio.file.Paths.get(tmp, "_FIXTURE_READY")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/lineitem.parquet")) {
       def rmrf(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmrf)
         f.delete(); ()
@@ -339,7 +345,7 @@ object CoreOps {
           s"fixture rename failed for bucket $b")
         rmrf(new java.io.File(stage))
       }
-      marker.createNewFile()
+      graft.Fixtures.writeMarker(marker, s"$d/lineitem.parquet")
     }
     tmp
   }
@@ -385,11 +391,13 @@ object CoreOps {
   //      differs only in the socket. ----
   def urlCsvRead(s: SparkSession, d: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_urlcsv_${math.abs(d.hashCode)}"
-    val marker = new java.io.File(tmp, "_SUCCESS")
-    if (!marker.exists()) {
+    // content-aware reuse (see csvInferFast)
+    val marker = java.nio.file.Paths.get(tmp, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/lineitem.parquet")) {
       li(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .coalesce(1) // the reference's O24 fetches ONE csv file
         .write.mode("overwrite").option("header", "true").csv(tmp)
+      graft.Fixtures.writeMarker(marker, s"$d/lineitem.parquet")
     }
     val part = new java.io.File(tmp).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head

@@ -216,13 +216,19 @@ object JoinOps {
     // bench rep measure staging I/O instead of the federated read
     val csvDir = s"$tmpBase/graft_fed_csv_${math.abs(d.hashCode)}"
     val orcDir = s"$tmpBase/graft_fed_orc_${math.abs(d.hashCode)}"
-    if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
+    // content-aware reuse: fingerprint the source parquet (size+mtime)
+    // so regenerated testdata rebuilds the staged copies (VERDICT r7 #2)
+    val csvMarker = java.nio.file.Paths.get(csvDir, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(csvMarker, s"$d/lineitem.parquet")) {
       li.filter(col("l_linenumber") === 1).select(cols.map(col): _*)
         .write.mode("overwrite").option("header", "true").csv(csvDir)
+      graft.Fixtures.writeMarker(csvMarker, s"$d/lineitem.parquet")
     }
-    if (!new java.io.File(s"$orcDir/_SUCCESS").exists()) {
+    val orcMarker = java.nio.file.Paths.get(orcDir, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(orcMarker, s"$d/lineitem.parquet")) {
       li.filter(col("l_linenumber") === 2).select(cols.map(col): _*)
         .write.mode("overwrite").orc(orcDir)
+      graft.Fixtures.writeMarker(orcMarker, s"$d/lineitem.parquet")
     }
     val csvSchema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),

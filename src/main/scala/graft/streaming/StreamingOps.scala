@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.{Q, Tables}
+import graft.{Fixtures, Q, Tables}
 import graft.functions.HashFns._
 import graft.ops.EventOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,13 +28,35 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** events schema with ts as a native timestamp (TIMESTAMP(MICROS)
+    * parquet, and slices re-written by this session).
+    */
+  private val eventsMicrosSchema = StructType(eventsRawSchema.map {
+    case f if f.name == "ts" => StructField("ts", TimestampType)
+    case f => f
+  })
+
+  /** The `ts` type the events file at `path` actually carries — raw
+    * nanos Long (TIMESTAMP(NANOS) under legacy.parquet.nanosAsLong),
+    * TIMESTAMP_NTZ (un-adjusted micros), or plain TIMESTAMP. File
+    * streams need an explicit schema, so the batch reader probes the
+    * footer once per call — metadata only, no data scan. The stream is
+    * then declared with the file's native type and normalized with
+    * [[Tables.normalizeEventsTs]], the same path batch reads take.
+    */
+  private def probeTsType(s: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path).schema("ts").dataType
+  }
+
   def streamingEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file-stream source wants a *directory* it can monitor; the
     // testdata table is a single file, so stage it into a tmp dir (in
     // production this is the landing directory new files arrive in).
     // Staging is idempotent across bench reps — skip the copy when the
-    // target already matches.
+    // target already matches (size AND mtime: a regenerated testdata
+    // file of identical size must still invalidate the copy).
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -42,13 +64,18 @@ object StreamingOps {
     java.nio.file.Files.createDirectories(dir)
     val tgt = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(tgt) ||
-        java.nio.file.Files.size(tgt) != java.nio.file.Files.size(src))
+        java.nio.file.Files.size(tgt) != java.nio.file.Files.size(src) ||
+        java.nio.file.Files.getLastModifiedTime(tgt)
+          .compareTo(java.nio.file.Files.getLastModifiedTime(src)) < 0)
       java.nio.file.Files.copy(src, tgt,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    s.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    val tsType = probeTsType(s, tgt.toString)
+    val schema = StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => StructField("ts", tsType)
+      case f => f
+    })
+    Tables.normalizeEventsTs(s.readStream.schema(schema).parquet(dir.toString))
   }
 
   /** Every stateful streaming operator keeps one state-store instance
@@ -393,19 +420,18 @@ object StreamingOps {
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_${name}_$hex")
-    if (!java.nio.file.Files.exists(dir.resolve("_STAGED"))) {
+    val marker = dir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/events.parquet")) {
+      Fixtures.clearDir(dir)
       Tables.events(s, d).filter(pred)
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-      java.nio.file.Files.createFile(dir.resolve("_STAGED"))
+      Fixtures.writeMarker(marker, s"$d/events.parquet")
     }
     dir.toString
   }
 
   /** events schema for slices re-written by this session (micros ts). */
-  private val stagedSchema = StructType(eventsRawSchema.map {
-    case f if f.name == "ts" => StructField("ts", TimestampType)
-    case f => f
-  })
+  private val stagedSchema = eventsMicrosSchema
 
   // ---- q127: stream-stream interval join as a registry query — the
   //      last spec-only streaming family (VERDICT r4). For every
@@ -487,7 +513,9 @@ object StreamingOps {
     val tmp = System.getProperty("java.io.tmpdir")
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val srcDir = java.nio.file.Paths.get(tmp, s"graft_ckpt_src_$hex")
-    if (!java.nio.file.Files.exists(srcDir.resolve("_STAGED"))) {
+    val ckptMarker = srcDir.resolve("_STAGED")
+    if (!graft.Fixtures.markerCurrent(ckptMarker, s"$d/events.parquet")) {
+      graft.Fixtures.clearDir(srcDir)
       java.nio.file.Files.createDirectories(srcDir)
       def stageHalf(even: Boolean, name: String): Unit = {
         val part = java.nio.file.Files.createTempDirectory("graft_ckpt_half")
@@ -501,7 +529,7 @@ object StreamingOps {
       }
       stageHalf(even = true, "a.parquet")
       stageHalf(even = false, "b.parquet")
-      java.nio.file.Files.createFile(srcDir.resolve("_STAGED"))
+      graft.Fixtures.writeMarker(ckptMarker, s"$d/events.parquet")
     }
     // fresh checkpoint per invocation: recovery is the thing under test
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -569,7 +597,9 @@ object StreamingOps {
     // file-stream landing dir; written once, marker-guarded
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_ssd_src_$hex")
-    if (!java.nio.file.Files.exists(srcDir.resolve("_STAGED"))) {
+    val ssdMarker = srcDir.resolve("_STAGED")
+    if (!graft.Fixtures.markerCurrent(ssdMarker, s"$d/documents.parquet")) {
+      graft.Fixtures.clearDir(srcDir)
       java.nio.file.Files.createDirectories(srcDir)
       val part = java.nio.file.Files.createTempDirectory("graft_ssd_stage")
       Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
@@ -579,7 +609,7 @@ object StreamingOps {
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.createFile(srcDir.resolve("_STAGED"))
+      graft.Fixtures.writeMarker(ssdMarker, s"$d/documents.parquet")
     }
     def sigify(df: DataFrame, idAs: String, sigAs: String, shAs: String): DataFrame =
       df.select(col("doc_id").as(idAs), tokens(col("text")).as("toks"))
