@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail the whole run loudly (with a schema diff) if the testdata
+    // was regenerated in an incompatible shape — better than 140
+    // per-query analysis errors (r7's failure mode)
+    SchemaGuard.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // dev-loop subset filter (comma-separated name prefixes); the driver
     // sets no env so it always dumps everything

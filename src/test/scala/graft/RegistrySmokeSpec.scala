@@ -9,6 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RegistrySmokeSpec extends AnyFunSuite with SparkTestBase {
 
+  // fail FAST with a shape diff if the driver regenerates testdata in
+  // an incompatible form (r7: events.ts nanos -> micros broke 17
+  // components with opaque per-query analysis errors)
+  test("testdata matches the expected shape (SchemaGuard)") {
+    SchemaGuard.check(spark, sf)
+  }
+
   test("registry names are unique and contract maps are aligned") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length)
