@@ -741,8 +741,14 @@ object TextOps {
   private[graft] def bm25Lazy(s: SparkSession, d: String): (DataFrame, DataFrame) =
     bm25Lazy(s, d, Bm25NQueries * Bm25TermsPerQ > Bm25PostingsThreshold)
 
-  private[graft] def bm25Lazy(s: SparkSession, d: String,
-                              usePostings: Boolean): (DataFrame, DataFrame) = {
+  /** The shared BM25 relation: per (qid, doc_id, term) rows carrying
+    * tf, df, dl plus the broadcast corpus stats (n_docs, tt) — every
+    * scoring lane (rational-exact oracle lane, textbook double lane in
+    * Bm25FidelitySpec) derives from this one plan. Returns the scored
+    * relation and the persisted toks handle the caller must release.
+    */
+  private[graft] def bm25Relation(s: SparkSession, d: String,
+                                  usePostings: Boolean): (DataFrame, DataFrame) = {
     // bind toks before the lambdas consume it (the q112 CSE trap); the
     // repartition doubles as the single-file parallelism barrier
     val toks = docs(s, d)
@@ -777,6 +783,16 @@ object TextOps {
                   size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
           .filter(col("tf") > 0)
     val dfs = perTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val rel = perTerm
+      .join(broadcast(dfs), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+    (rel, toks)
+  }
+
+  private[graft] def bm25Lazy(s: SparkSession, d: String,
+                              usePostings: Boolean): (DataFrame, DataFrame) = {
+    val (rel, toks) = bm25Relation(s, d, usePostings)
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     val num = d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
       d38(lit(22L) * col("tf")) * d38(col("tt"))
@@ -785,10 +801,7 @@ object TextOps {
         d38(lit(9L) * col("dl")) * d38(col("n_docs")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score_e6").desc, col("doc_id").asc)
-    val result = perTerm
-      .join(broadcast(dfs), "term")
-      .join(broadcast(qterms), "term")
-      .crossJoin(broadcast(stats))
+    val result = rel
       .select(col("qid"), col("doc_id"),
               floor(num.cast("double") / den.cast("double") * 1e6)
                 .cast("long").as("contrib_e6"))
@@ -799,6 +812,38 @@ object TextOps {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("qid", "rank")
     (result, toks)
+  }
+
+  /** Fidelity lane (not oracled — float logs cannot hash-match across
+    * engines): per (qid, doc_id), BOTH the production rational-idf
+    * score and textbook Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's
+    * non-negative log(1 + (N−df+0.5)/(df+0.5)) idf) over the FULL
+    * candidate set (no top-k cut), so Bm25FidelitySpec can measure the
+    * rank correlation the COVERAGE.md divergence note claims is benign.
+    */
+  private[graft] def bm25DualScores(s: SparkSession, d: String): DataFrame = {
+    val (rel, toks) = bm25Relation(s, d,
+      Bm25NQueries * Bm25TermsPerQ > Bm25PostingsThreshold)
+    val ratIdf = (lit(2.0) * col("n_docs") - lit(2.0) * col("df") + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+    val tfPart = (col("tf") * lit(22.0) * col("tt")) /
+      (lit(10.0) * col("tt") * col("tf") + lit(3.0) * col("tt") +
+        lit(9.0) * col("dl") * col("n_docs"))
+    val logIdf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = tt/n_docs
+    val tbTf = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        col("dl") * col("n_docs") / col("tt")))
+    val result = rel
+      .select(col("qid"), col("doc_id"),
+              (ratIdf * tfPart).as("rc"), (logIdf * tbTf).as("tc"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("rc")).as("rational_score"),
+           sum(col("tc")).as("textbook_score"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
   }
 
   def bm25(s: SparkSession, d: String): DataFrame = {
