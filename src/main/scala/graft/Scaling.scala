@@ -60,7 +60,12 @@ object Scaling {
     ("q139_mix_reweight", "temperature mixture reweighting", "documents"),
     ("q140_vocab_build", "frequency-vocab induction (top-V)", "documents"),
     ("q141_source_overlap", "cross-source 8-gram overlap audit", "documents"),
-    ("q142_adaptive_gate", "adaptive per-source quality gate", "documents"))
+    ("q142_adaptive_gate", "adaptive per-source quality gate", "documents"),
+    // r8 additions (VERDICT r7 #7): the events lanes restored by the
+    // timestamp[us] ingestion fix get scale evidence too
+    ("q26_events_window", "event-time windowed aggregation", "events"),
+    ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
+    ("q94_sliding_windows", "overlapping sliding windows", "events"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
