@@ -193,6 +193,11 @@ object Bench {
     def num(v: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     val total = results.values.filter(_ >= 0).sum
+    // errored queries are excluded from `value` (they record -1), so
+    // cross-round total comparisons need the exclusion count alongside
+    // (ADVICE r7: a round with N errors understates its like-for-like
+    // total; `errors` makes that visible to any dashboard)
+    val errors = results.values.count(_ < 0)
 
     // Full-resolution detail (full query names, 4 dp) → file, for humans.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
@@ -207,7 +212,7 @@ object Bench {
     val qsReps = qRepCount.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","errors":$errors,"queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -220,7 +225,7 @@ object Bench {
       if (k.startsWith("stage_")) k else k.takeWhile(_ != '_')
     val qsShort = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","errors":$errors,"queries":$qsShort,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
