@@ -63,6 +63,8 @@ object Scaling {
     ("q142_adaptive_gate", "adaptive per-source quality gate", "documents"),
     // r8 additions (VERDICT r7 #7): the events lanes restored by the
     // timestamp[us] ingestion fix get scale evidence too
+    ("q143_leakage_split", "dedup-cluster-aware train/val split", "documents"),
+    ("q144_curriculum", "length-curriculum staging manifest", "documents"),
     ("q26_events_window", "event-time windowed aggregation", "events"),
     ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
     ("q94_sliding_windows", "overlapping sliding windows", "events"))

@@ -1263,6 +1263,104 @@ object TextOps {
        |FROM sc JOIN thr ON thr.source = sc.source
        |GROUP BY 1, 3 ORDER BY 1""".stripMargin
 
+  // ---- q143: leakage-safe train/val split — the split a curation
+  //      pipeline must ship: duplicate documents MUST land in the same
+  //      split or the eval set leaks into training. Exact-dup clusters
+  //      are keyed by md5(text); each cluster's representative is its
+  //      min doc_id (one window over the content-hash shuffle — the
+  //      standard dedup exchange, no join-back pass), and the split is
+  //      a deterministic hash bucket of the REPRESENTATIVE (q68 rule:
+  //      membership is a pure function of the key — stable under
+  //      resume/re-partition/scale-out, never rand()). 90/10 by
+  //      bucket. The id_checksum proves both engines assigned the
+  //      identical documents, not just equal counts; the no-leak
+  //      property itself is spec-asserted (LeakageSplitSpec).
+  //      100 TB: one content-hash shuffle + one small agg — the same
+  //      cost as exact dedup (q33), which any curation run pays
+  //      anyway. ----
+  private val SplitTrainPct = 90
+
+  /** Per-document assignment lane (doc_id, source, h, split) — the
+    * registry query aggregates it; LeakageSplitSpec asserts the no-leak
+    * property on it directly.
+    */
+  private[graft] def leakageSplitAssign(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    val bucket = pmod(hash64(concat(lit("split:"), col("rep").cast("string"))),
+                      lit(100))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("split",
+        when(bucket < SplitTrainPct, lit("train")).otherwise(lit("val")))
+  }
+
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    leakageSplitAssign(s, d)
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("h")).as("n_clusters"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("split", "source")
+
+  private val leakageSplitSql = {
+    val bucket = s"((${hash64Sql("'split:' || CAST(rep AS VARCHAR)")} % 100) + 100) % 100"
+    s"""WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |r AS (SELECT doc_id, source, h,
+       |        MIN(doc_id) OVER (PARTITION BY h) AS rep FROM h),
+       |sp AS (SELECT doc_id, source, h,
+       |  CASE WHEN $bucket < $SplitTrainPct THEN 'train' ELSE 'val' END AS split
+       |  FROM r)
+       |SELECT split, source, COUNT(*) AS n_docs,
+       | COUNT(DISTINCT h) AS n_clusters,
+       | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM sp GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  }
+
+  // ---- q144: curriculum staging — order the corpus into training
+  //      stages (short/simple -> long/complex, the standard length
+  //      curriculum) with ntile(4) per source over (token count,
+  //      doc_id): a total order, so stage membership is deterministic
+  //      in both engines. Output is the per-(source, stage) manifest a
+  //      trainer consumes: doc counts, token-length envelope, token
+  //      budget, id checksum.
+  //      100 TB: one shuffle by source for the window. A heavily
+  //      skewed source makes that partition hot — the production
+  //      mitigation is pre-bucketing by (source, length-band) and
+  //      computing ntile from band counts (the q142 two-pass histogram
+  //      shape); at registry scale the direct window is the honest
+  //      baseline. ----
+  private val CurriculumStages = 4
+
+  def curriculumStages(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").asc, col("doc_id").asc)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+              size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("stage", ntile(CurriculumStages).over(w).cast("long"))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+           sum(col("n_tok")).as("stage_tokens"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("source", "stage")
+  }
+
+  private val curriculumStagesSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok FROM documents),
+       |st AS (SELECT doc_id, source, n_tok,
+       |  CAST(ntile($CurriculumStages) OVER
+       |    (PARTITION BY source ORDER BY n_tok ASC, doc_id ASC) AS BIGINT)
+       |    AS stage
+       |  FROM t)
+       |SELECT source, stage, COUNT(*) AS n_docs,
+       | MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+       | CAST(SUM(n_tok) AS BIGINT) AS stage_tokens,
+       | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM st GROUP BY 1, 2 ORDER BY source, stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -1307,5 +1405,9 @@ object TextOps {
     Q("q141_source_overlap", sourceOverlap, Some(sourceOverlapSql),
       "cross-source provenance audit: pairwise shared-8-gram counts + Jaccard per source pair"),
     Q("q142_adaptive_gate", adaptiveGate, Some(adaptiveGateSql),
-      "adaptive per-source quality gate: exact p25 classifier-score cutoff per source via two-phase histogram selection"))
+      "adaptive per-source quality gate: exact p25 classifier-score cutoff per source via two-phase histogram selection"),
+    Q("q143_leakage_split", leakageSplit, Some(leakageSplitSql),
+      "leakage-safe train/val split: exact-dup clusters hash-assigned by representative, same text never spans splits"),
+    Q("q144_curriculum", curriculumStages, Some(curriculumStagesSql),
+      "length-curriculum staging: deterministic ntile per source, per-stage token manifest"))
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q143/q144 property specs — the invariants the oracle's aggregate
+  * hashes cannot see directly.
+  */
+class LeakageSplitSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q143: no text content ever spans train and val (the leak property)") {
+    val assign = ops.TextOps.leakageSplitAssign(spark, sf)
+      .select("h", "split").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(assign.nonEmpty)
+    val splitsPerHash = assign.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    val leaked = splitsPerHash.filter(_._2.size > 1)
+    assert(leaked.isEmpty, s"content hashes in BOTH splits: ${leaked.keys.take(5)}")
+  }
+
+  test("q143: split is a ~90/10 cluster partition and covers every doc") {
+    val assign = ops.TextOps.leakageSplitAssign(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(assign.length == total, "assignment must cover every document")
+    val clusterSplit = assign
+      .map(r => (r.getAs[String]("h"), r.getAs[String]("split"))).distinct
+    val trainShare = clusterSplit.count(_._2 == "train").toDouble / clusterSplit.length
+    assert(trainShare > 0.8 && trainShare < 0.98,
+      s"train cluster share $trainShare out of the hash-bucket envelope")
+  }
+
+  test("q144: stages within a source are contiguous, balanced length bands") {
+    val rows = ops.TextOps.curriculumStages(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (source, stages) =>
+      val byStage = stages.sortBy(_._2)
+      assert(byStage.map(_._2) sameElements (1L to byStage.length),
+        s"$source: stages not 1..k")
+      // ntile balance: stage sizes differ by at most 1
+      val sizes = byStage.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$source: unbalanced stages $sizes")
+      // the length bands are non-decreasing across stage boundaries
+      byStage.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 <= b._4,
+            s"$source: stage ${a._2} max_tok ${a._5} > stage ${b._2} min_tok ${b._4}")
+        case _ =>
+      }
+    }
+  }
+}
