@@ -65,6 +65,7 @@ object Scaling {
     // timestamp[us] ingestion fix get scale evidence too
     ("q143_leakage_split", "dedup-cluster-aware train/val split", "documents"),
     ("q144_curriculum", "length-curriculum staging manifest", "documents"),
+    ("q145_split_contamination", "cross-split near-dup leak audit", "documents"),
     ("q26_events_window", "event-time windowed aggregation", "events"),
     ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
     ("q94_sliding_windows", "overlapping sliding windows", "events"))

@@ -123,11 +123,15 @@ object DedupOps {
     (result, sh)
   }
 
-  private val dedupMinhashSql = {
+  /** SQL CTE chain producing `scored (a, b, est_j, jaccard)` — the
+    * full MinHash candidate+rescore pipeline, shared by the q34 oracle
+    * and q145's cross-split contamination audit.
+    */
+  private[graft] val minhashScoredCteSql: String = {
     val bands = (0 until MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
       .mkString("\n UNION ALL ")
-    s"""WITH $shingledCte,
+    s"""$shingledCte,
        |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -145,10 +149,13 @@ object DedupOps {
        |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
        |    / ((len(sh_a) + len(sh_b))
        |       - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
-       |  FROM joined)
+       |  FROM joined)""".stripMargin
+  }
+
+  private val dedupMinhashSql =
+    s"""WITH $minhashScoredCteSql
        |SELECT a, b, est_j, jaccard FROM scored
        |WHERE est_j >= 0.5 ORDER BY a, b""".stripMargin
-  }
 
   // ---- q137: INCREMENTAL near-dup dedup — the daily-ingest shape.
   //      A real curation pipeline does not re-dedup the corpus when a
@@ -647,6 +654,47 @@ object DedupOps {
        | CAST(SUM(a + b + c) AS BIGINT) AS corner_checksum
        |FROM tri""".stripMargin
 
+  // ---- q145: cross-split contamination audit — the check a curation
+  //      team runs BEFORE shipping a train/val split: q143's split is
+  //      leak-proof for EXACT duplicates by construction, but near-dup
+  //      pairs (the q34 MinHash lane) can still straddle the boundary
+  //      and leak eval content into training. Label every confirmed
+  //      near-dup pair (est_j >= 0.5) with both members' splits and
+  //      roll up pair counts + id checksums per (a_split, b_split):
+  //      the (train, val)/(val, train) rows ARE the measured leak.
+  //      100 TB: the pair set is the q34 output (band-join bounded,
+  //      never all-pairs) and the label join is two hash joins of the
+  //      tiny pair list against the assignment relation — the audit
+  //      costs one dedup pass + two equi-joins, exactly what an ingest
+  //      pipeline already pays. ----
+  def splitContamination(s: SparkSession, d: String): DataFrame = {
+    val (pairsLazy, sh) = dedupMinhashLazy(s, d)
+    val assign = TextOps.leakageSplitAssign(s, d)
+      .select(col("doc_id"), col("split"))
+    val result = pairsLazy
+      .join(assign.select(col("doc_id").as("a"), col("split").as("a_split")), "a")
+      .join(assign.select(col("doc_id").as("b"), col("split").as("b_split")), "b")
+      .groupBy("a_split", "b_split")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("a")).cast("long").as("sum_a"),
+           sum(col("b")).cast("long").as("sum_b"))
+      .orderBy("a_split", "b_split")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    result
+  }
+
+  private val splitContaminationSql =
+    s"""WITH $minhashScoredCteSql,
+       |${TextOps.leakageSplitCteSql},
+       |nd AS (SELECT a, b FROM scored WHERE est_j >= 0.5),
+       |lab AS (SELECT nd.a, nd.b, sa.split AS a_split, sb.split AS b_split
+       |        FROM nd JOIN sp sa ON sa.doc_id = nd.a
+       |                JOIN sp sb ON sb.doc_id = nd.b)
+       |SELECT a_split, b_split, COUNT(*) AS n_pairs,
+       | CAST(SUM(a) AS BIGINT) AS sum_a, CAST(SUM(b) AS BIGINT) AS sum_b
+       |FROM lab GROUP BY 1, 2 ORDER BY a_split, b_split""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
@@ -667,5 +715,7 @@ object DedupOps {
     Q("q37_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql),
       "embedding cosine near-dup top-20 pairs"),
     Q("q137_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql),
-      "incremental ingest dedup: delta batch vs corpus band index, corpus never self-pairs"))
+      "incremental ingest dedup: delta batch vs corpus band index, corpus never self-pairs"),
+    Q("q145_split_contamination", splitContamination, Some(splitContaminationSql),
+      "cross-split contamination audit: near-dup pairs labeled by q143 split, leak rows measured"))
 }

@@ -1278,7 +1278,21 @@ object TextOps {
   //      100 TB: one content-hash shuffle + one small agg — the same
   //      cost as exact dedup (q33), which any curation run pays
   //      anyway. ----
-  private val SplitTrainPct = 90
+  private[graft] val SplitTrainPct = 90
+
+  /** SQL CTE chain producing `sp (doc_id, source, h, split)` — shared
+    * by the q143 oracle and q145's cross-split contamination audit.
+    */
+  private[graft] val leakageSplitCteSql: String = {
+    val bucket =
+      s"((${hash64Sql("'split:' || CAST(rep AS VARCHAR)")} % 100) + 100) % 100"
+    s"""splith AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |splitr AS (SELECT doc_id, source, h,
+       |             MIN(doc_id) OVER (PARTITION BY h) AS rep FROM splith),
+       |sp AS (SELECT doc_id, source, h,
+       |  CASE WHEN $bucket < $SplitTrainPct THEN 'train' ELSE 'val' END AS split
+       |  FROM splitr)""".stripMargin
+  }
 
   /** Per-document assignment lane (doc_id, source, h, split) — the
     * registry query aggregates it; LeakageSplitSpec asserts the no-leak
@@ -1303,19 +1317,12 @@ object TextOps {
            sum(col("doc_id")).cast("long").as("id_checksum"))
       .orderBy("split", "source")
 
-  private val leakageSplitSql = {
-    val bucket = s"((${hash64Sql("'split:' || CAST(rep AS VARCHAR)")} % 100) + 100) % 100"
-    s"""WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
-       |r AS (SELECT doc_id, source, h,
-       |        MIN(doc_id) OVER (PARTITION BY h) AS rep FROM h),
-       |sp AS (SELECT doc_id, source, h,
-       |  CASE WHEN $bucket < $SplitTrainPct THEN 'train' ELSE 'val' END AS split
-       |  FROM r)
+  private val leakageSplitSql =
+    s"""WITH $leakageSplitCteSql
        |SELECT split, source, COUNT(*) AS n_docs,
        | COUNT(DISTINCT h) AS n_clusters,
        | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        |FROM sp GROUP BY 1, 2 ORDER BY split, source""".stripMargin
-  }
 
   // ---- q144: curriculum staging — order the corpus into training
   //      stages (short/simple -> long/complex, the standard length
