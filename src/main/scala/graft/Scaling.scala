@@ -66,6 +66,7 @@ object Scaling {
     ("q143_leakage_split", "dedup-cluster-aware train/val split", "documents"),
     ("q144_curriculum", "length-curriculum staging manifest", "documents"),
     ("q145_split_contamination", "cross-split near-dup leak audit", "documents"),
+    ("q146_dedup_weights", "1/cluster_size downweighting rollup", "documents"),
     ("q26_events_window", "event-time windowed aggregation", "events"),
     ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
     ("q94_sliding_windows", "overlapping sliding windows", "events"))

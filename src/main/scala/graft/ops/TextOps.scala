@@ -1337,6 +1337,44 @@ object TextOps {
   //      computing ntile from band counts (the q142 two-pass histogram
   //      shape); at registry scale the direct window is the honest
   //      baseline. ----
+  // ---- q146: dedup-by-downweighting — the alternative to dropping
+  //      duplicates: keep every copy but weight it 1/cluster_size so
+  //      repeated content contributes one effective copy to training
+  //      (the repetition-control lane several published pipelines use
+  //      instead of hard dedup). Weights are integer millionths
+  //      (floor(1e6 / cluster_size)) — exact integer division in both
+  //      engines, so the per-source effective-size sum is a BIGINT sum
+  //      with no float-order drift. Cluster size is GLOBAL (a dup
+  //      spanning sources still counts once overall), computed by the
+  //      same content-hash window exchange q143 pays. Output per
+  //      source: raw docs, unique contents, effective size (e6), and
+  //      the duplication inflation ratio. ----
+  def dedupWeights(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("w_e6", floor(lit(1000000L) / col("csize")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("h")).as("n_unique"),
+           sum(col("w_e6")).cast("long").as("effective_e6"))
+      .withColumn("inflation",
+        round(col("n_docs").cast("double") / col("n_unique"), 6))
+      .orderBy("source")
+  }
+
+  private val dedupWeightsSql =
+    s"""WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |cs AS (SELECT doc_id, source, h,
+       |         COUNT(*) OVER (PARTITION BY h) AS csize FROM h),
+       |ww AS (SELECT doc_id, source, h,
+       |         CAST(1000000 // csize AS BIGINT) AS w_e6 FROM cs)
+       |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+       | CAST(SUM(w_e6) AS BIGINT) AS effective_e6,
+       | round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT h), 6) AS inflation
+       |FROM ww GROUP BY 1 ORDER BY source""".stripMargin
+
   private val CurriculumStages = 4
 
   def curriculumStages(s: SparkSession, d: String): DataFrame = {
@@ -1416,5 +1454,7 @@ object TextOps {
     Q("q143_leakage_split", leakageSplit, Some(leakageSplitSql),
       "leakage-safe train/val split: exact-dup clusters hash-assigned by representative, same text never spans splits"),
     Q("q144_curriculum", curriculumStages, Some(curriculumStagesSql),
-      "length-curriculum staging: deterministic ntile per source, per-stage token manifest"))
+      "length-curriculum staging: deterministic ntile per source, per-stage token manifest"),
+    Q("q146_dedup_weights", dedupWeights, Some(dedupWeightsSql),
+      "dedup-by-downweighting: 1/cluster_size integer-exact training weights, per-source effective size + inflation"))
 }

@@ -28,6 +28,22 @@ class LeakageSplitSpec extends AnyFunSuite with SparkTestBase {
       s"train cluster share $trainShare out of the hash-bucket envelope")
   }
 
+  test("q146: downweighting conserves one effective copy per unique content") {
+    val rows = ops.TextOps.dedupWeights(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val effective = rows.map(_.getAs[Long]("effective_e6")).sum
+    // global unique clusters (per-source n_unique double-counts content
+    // shared across sources)
+    val nClusters = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct().count()
+    // per cluster, csize * floor(1e6/csize) is within (1e6 - csize, 1e6]
+    assert(effective <= nClusters * 1000000L,
+      s"effective $effective exceeds one copy per cluster ($nClusters)")
+    assert(effective > nClusters * 1000000L - nDocs,
+      s"effective $effective lost more than floor truncation allows")
+  }
+
   test("q144: stages within a source are contiguous, balanced length bands") {
     val rows = ops.TextOps.curriculumStages(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
