@@ -695,6 +695,69 @@ object DedupOps {
        | CAST(SUM(a) AS BIGINT) AS sum_a, CAST(SUM(b) AS BIGINT) AS sum_b
        |FROM lab GROUP BY 1, 2 ORDER BY a_split, b_split""".stripMargin
 
+  // ---- q147: split quarantine — the REMEDIATION after the q145
+  //      audit: for every cross-split near-dup pair, the VAL-side
+  //      member is quarantined (dropped from val) so the eval set
+  //      stays clean while training keeps its copy — evicting from
+  //      val, not train, because eval integrity is the point of the
+  //      split and training-set size barely moves. Emits the
+  //      quarantine manifest a pipeline actually applies: per source,
+  //      how many val docs are evicted and which (id checksum), plus
+  //      the surviving val count. Deterministic: quarantine membership
+  //      is a pure function of the pair set. Cost on top of q145: one
+  //      distinct + one broadcast-sized anti-join against the val
+  //      slice (the quarantine list is bounded by the near-dup pair
+  //      count, orders of magnitude smaller than the corpus). ----
+  def splitQuarantine(s: SparkSession, d: String): DataFrame = {
+    val (pairsLazy, sh) = dedupMinhashLazy(s, d)
+    val assign = TextOps.leakageSplitAssign(s, d)
+      .select(col("doc_id"), col("source"), col("split"))
+    val labeled = pairsLazy
+      .join(assign.select(col("doc_id").as("a"), col("split").as("a_split")), "a")
+      .join(assign.select(col("doc_id").as("b"), col("split").as("b_split")), "b")
+    // val-side members of cross-split pairs, either orientation
+    val quarantined = labeled
+      .filter(col("a_split") =!= col("b_split"))
+      .select(when(col("a_split") === "val", col("a")).otherwise(col("b"))
+        .as("doc_id"))
+      .distinct()
+    val valDocs = assign.filter(col("split") === "val")
+    val result = valDocs
+      .join(quarantined.withColumn("quarantined", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_val"),
+           sum(coalesce(col("quarantined"), lit(0L))).cast("long").as("n_quarantined"),
+           sum(when(col("quarantined").isNotNull, col("doc_id")).otherwise(lit(0L)))
+             .cast("long").as("quarantine_checksum"),
+           (count(lit(1)) -
+             sum(coalesce(col("quarantined"), lit(0L)))).cast("long").as("n_val_kept"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    result
+  }
+
+  private val splitQuarantineSql =
+    s"""WITH $minhashScoredCteSql,
+       |${TextOps.leakageSplitCteSql},
+       |nd AS (SELECT a, b FROM scored WHERE est_j >= 0.5),
+       |lab AS (SELECT nd.a, nd.b, sa.split AS a_split, sb.split AS b_split
+       |        FROM nd JOIN sp sa ON sa.doc_id = nd.a
+       |                JOIN sp sb ON sb.doc_id = nd.b),
+       |q AS (SELECT DISTINCT
+       |        CASE WHEN a_split = 'val' THEN a ELSE b END AS doc_id
+       |      FROM lab WHERE a_split <> b_split)
+       |SELECT sp.source, COUNT(*) AS n_val,
+       | CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_quarantined,
+       | CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN sp.doc_id ELSE 0 END)
+       |   AS BIGINT) AS quarantine_checksum,
+       | CAST(COUNT(*) - SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_val_kept
+       |FROM sp LEFT JOIN q ON q.doc_id = sp.doc_id
+       |WHERE sp.split = 'val'
+       |GROUP BY 1 ORDER BY sp.source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
@@ -717,5 +780,7 @@ object DedupOps {
     Q("q137_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql),
       "incremental ingest dedup: delta batch vs corpus band index, corpus never self-pairs"),
     Q("q145_split_contamination", splitContamination, Some(splitContaminationSql),
-      "cross-split contamination audit: near-dup pairs labeled by q143 split, leak rows measured"))
+      "cross-split contamination audit: near-dup pairs labeled by q143 split, leak rows measured"),
+    Q("q147_split_quarantine", splitQuarantine, Some(splitQuarantineSql),
+      "split remediation: val-side members of cross-split near-dup pairs quarantined, manifest per source"))
 }

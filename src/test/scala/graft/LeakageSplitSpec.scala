@@ -28,6 +28,30 @@ class LeakageSplitSpec extends AnyFunSuite with SparkTestBase {
       s"train cluster share $trainShare out of the hash-bucket envelope")
   }
 
+  test("q147: after quarantine no near-dup pair spans train and surviving val") {
+    val (pairsLazy, sh) = ops.DedupOps.dedupMinhashLazy(spark, sf)
+    val pairs = pairsLazy.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sh.unpersist(false)
+    val split = ops.TextOps.leakageSplitAssign(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quarantined = pairs.collect {
+      case (a, b) if split(a) != split(b) => if (split(a) == "val") a else b
+    }.toSet
+    val survives = pairs.filter { case (a, b) =>
+      val sa = if (split(a) == "val" && quarantined(a)) "gone" else split(a)
+      val sb = if (split(b) == "val" && quarantined(b)) "gone" else split(b)
+      Set(sa, sb) == Set("train", "val")
+    }
+    assert(survives.isEmpty, s"cross-split pairs survive quarantine: ${survives.take(5).toSeq}")
+    // and the registry query's counts agree with this recomputation
+    val reported = ops.DedupOps.splitQuarantine(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_quarantined")).sum
+    assert(reported == quarantined.size,
+      s"registry reports $reported quarantined, recomputation finds ${quarantined.size}")
+  }
+
   test("q146: downweighting conserves one effective copy per unique content") {
     val rows = ops.TextOps.dedupWeights(spark, sf).collect()
     val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
