@@ -68,6 +68,7 @@ object Scaling {
     ("q145_split_contamination", "cross-split near-dup leak audit", "documents"),
     ("q146_dedup_weights", "1/cluster_size downweighting rollup", "documents"),
     ("q147_split_quarantine", "cross-split leak remediation manifest", "documents"),
+    ("q148_ingest_gate", "delta-vs-corpus-val admission gate", "documents"),
     ("q26_events_window", "event-time windowed aggregation", "events"),
     ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
     ("q94_sliding_windows", "overlapping sliding windows", "events"))

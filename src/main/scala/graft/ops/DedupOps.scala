@@ -758,6 +758,97 @@ object DedupOps {
        |WHERE sp.split = 'val'
        |GROUP BY 1 ORDER BY sp.source""".stripMargin
 
+  // ---- q148: ingest-time contamination gate — the ADMISSION check a
+  //      live pipeline runs on every arriving batch: delta docs are
+  //      destined for training, so a delta doc that near-dups any
+  //      CORPUS doc already assigned to val would contaminate eval the
+  //      moment it lands. Candidates come from the same delta-probes-
+  //      corpus band equi-join as q137 (cost ∝ delta, corpus index
+  //      pre-materialized in production); the corpus split is the
+  //      q143 rule computed over the corpus subset only (the split
+  //      that EXISTS when the batch arrives — delta has none yet).
+  //      Output per source: arriving docs, rejected (would-contaminate)
+  //      count + id checksum, admitted count. ----
+  def incrementalContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val base = sh.withColumn("sig",
+      graft.expressions.MinHashSig.minhashSig(col("sh")))
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    val banded = base.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band", "key")))
+    val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 4
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          isDelta(col("x.doc_id")) && !isDelta(col("y.doc_id")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    val confirmed = cands
+      .join(base.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("a"), col("b"),
+              (matches.cast("double") / lit(MinhashK.toDouble)).as("est_j"))
+      .filter(col("est_j") >= 0.5)
+    // the split that already exists: q143's rule over the corpus only
+    val corpusSplit = TextOps.leakageSplitAssignDf(
+        docs(s, d).filter(!isDelta(col("doc_id"))))
+      .select(col("doc_id").as("b"), col("split"))
+    val rejected = confirmed
+      .join(corpusSplit, "b")
+      .filter(col("split") === "val")
+      .select(col("a").as("doc_id"))
+      .distinct()
+    val result = docs(s, d).filter(isDelta(col("doc_id")))
+      .select(col("doc_id"), col("source"))
+      .join(rejected.withColumn("rej", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_delta"),
+           sum(coalesce(col("rej"), lit(0L))).cast("long").as("n_rejected"),
+           sum(when(col("rej").isNotNull, col("doc_id")).otherwise(lit(0L)))
+             .cast("long").as("rejected_checksum"),
+           (count(lit(1)) - sum(coalesce(col("rej"), lit(0L)))).cast("long")
+             .as("n_admitted"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    result
+  }
+
+  private val incrementalContaminationSql = {
+    val bands = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH $shingledCte,
+       |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
+       |banded AS ($bands),
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM banded x JOIN banded y
+       |            ON x.band = y.band AND x.key = y.key
+       |          WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4),
+       |conf AS (SELECT cands.a, cands.b
+       |         FROM cands JOIN sigs x ON x.doc_id = cands.a
+       |                    JOIN sigs y ON y.doc_id = cands.b
+       |         WHERE CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+       |           i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |           / ${MinhashK.toDouble} >= 0.5),
+       |${TextOps.leakageSplitCteSqlWhere("WHERE doc_id % 5 <> 4")},
+       |rej AS (SELECT DISTINCT conf.a AS doc_id
+       |        FROM conf JOIN sp ON sp.doc_id = conf.b
+       |        WHERE sp.split = 'val')
+       |SELECT d.source, COUNT(*) AS n_delta,
+       | CAST(SUM(CASE WHEN rej.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_rejected,
+       | CAST(SUM(CASE WHEN rej.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END)
+       |   AS BIGINT) AS rejected_checksum,
+       | CAST(COUNT(*) - SUM(CASE WHEN rej.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_admitted
+       |FROM documents d LEFT JOIN rej ON rej.doc_id = d.doc_id
+       |WHERE d.doc_id % 5 = 4
+       |GROUP BY 1 ORDER BY d.source""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
@@ -782,5 +873,7 @@ object DedupOps {
     Q("q145_split_contamination", splitContamination, Some(splitContaminationSql),
       "cross-split contamination audit: near-dup pairs labeled by q143 split, leak rows measured"),
     Q("q147_split_quarantine", splitQuarantine, Some(splitQuarantineSql),
-      "split remediation: val-side members of cross-split near-dup pairs quarantined, manifest per source"))
+      "split remediation: val-side members of cross-split near-dup pairs quarantined, manifest per source"),
+    Q("q148_ingest_gate", incrementalContamination, Some(incrementalContaminationSql),
+      "ingest-time contamination gate: delta batch rejected where it near-dups corpus val, cost proportional to delta"))
 }

@@ -1283,10 +1283,13 @@ object TextOps {
   /** SQL CTE chain producing `sp (doc_id, source, h, split)` — shared
     * by the q143 oracle and q145's cross-split contamination audit.
     */
-  private[graft] val leakageSplitCteSql: String = {
+  /** Variant with a WHERE clause on the documents scan — q148 derives
+    * the corpus-only split (the delta batch has no split yet).
+    */
+  private[graft] def leakageSplitCteSqlWhere(where: String): String = {
     val bucket =
       s"((${hash64Sql("'split:' || CAST(rep AS VARCHAR)")} % 100) + 100) % 100"
-    s"""splith AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    s"""splith AS (SELECT doc_id, source, md5(text) AS h FROM documents $where),
        |splitr AS (SELECT doc_id, source, h,
        |             MIN(doc_id) OVER (PARTITION BY h) AS rep FROM splith),
        |sp AS (SELECT doc_id, source, h,
@@ -1294,20 +1297,29 @@ object TextOps {
        |  FROM splitr)""".stripMargin
   }
 
+  private[graft] val leakageSplitCteSql: String = leakageSplitCteSqlWhere("")
+
   /** Per-document assignment lane (doc_id, source, h, split) — the
     * registry query aggregates it; LeakageSplitSpec asserts the no-leak
     * property on it directly.
     */
-  private[graft] def leakageSplitAssign(s: SparkSession, d: String): DataFrame = {
+  /** Split-assignment over an arbitrary documents frame (doc_id,
+    * source, text) — q148 applies it to the CORPUS subset only (the
+    * split that already exists when a delta batch arrives).
+    */
+  private[graft] def leakageSplitAssignDf(docsDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("h")
     val bucket = pmod(hash64(concat(lit("split:"), col("rep").cast("string"))),
                       lit(100))
-    docs(s, d)
+    docsDf
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
       .withColumn("rep", min(col("doc_id")).over(w))
       .withColumn("split",
         when(bucket < SplitTrainPct, lit("train")).otherwise(lit("val")))
   }
+
+  private[graft] def leakageSplitAssign(s: SparkSession, d: String): DataFrame =
+    leakageSplitAssignDf(docs(s, d))
 
   def leakageSplit(s: SparkSession, d: String): DataFrame =
     leakageSplitAssign(s, d)

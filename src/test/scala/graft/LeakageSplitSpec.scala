@@ -52,6 +52,33 @@ class LeakageSplitSpec extends AnyFunSuite with SparkTestBase {
       s"registry reports $reported quarantined, recomputation finds ${quarantined.size}")
   }
 
+  test("q148: ingest gate rejects exactly the delta docs with a corpus-val near-dup") {
+    import org.apache.spark.sql.functions.col
+    val (pairsLazy, sh) = ops.DedupOps.dedupMinhashLazy(spark, sf)
+    val pairs = pairsLazy.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sh.unpersist(false)
+    def isDelta(id: Long) = id % 5 == 4
+    val corpusSplit = ops.TextOps.leakageSplitAssignDf(
+        Tables.documents(spark, sf).filter(col("doc_id") % 5 =!= 4))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectedRejected = pairs.flatMap { case (a, b) =>
+      if (isDelta(a) && !isDelta(b) && corpusSplit(b) == "val") Some(a)
+      else if (isDelta(b) && !isDelta(a) && corpusSplit(a) == "val") Some(b)
+      else None
+    }.toSet
+    val rows = ops.DedupOps.incrementalContamination(spark, sf).collect()
+    val reportedRejected = rows.map(_.getAs[Long]("n_rejected")).sum
+    val reportedChecksum = rows.map(_.getAs[Long]("rejected_checksum")).sum
+    assert(reportedRejected == expectedRejected.size,
+      s"gate rejected $reportedRejected, recomputation expects ${expectedRejected.size}")
+    assert(reportedChecksum == expectedRejected.sum,
+      s"rejected-id checksum mismatch: $reportedChecksum vs ${expectedRejected.sum}")
+    // the gate actually fires on this corpus (a never-firing check is untested)
+    assert(expectedRejected.nonEmpty, "expected at least one rejection at sf0.001")
+  }
+
   test("q146: downweighting conserves one effective copy per unique content") {
     val rows = ops.TextOps.dedupWeights(spark, sf).collect()
     val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
