@@ -816,11 +816,15 @@ object DedupOps {
     result
   }
 
-  private val incrementalContaminationSql = {
+  /** CTE chain producing `rej (doc_id)` — the delta docs the ingest
+    * gate rejects. Shared by the q148 rollup and q149's streaming
+    * per-doc twin.
+    */
+  private[graft] val ingestGateRejCteSql: String = {
     val bands = (0 until MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
       .mkString("\n UNION ALL ")
-    s"""WITH $shingledCte,
+    s"""$shingledCte,
        |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -836,7 +840,20 @@ object DedupOps {
        |${TextOps.leakageSplitCteSqlWhere("WHERE doc_id % 5 <> 4")},
        |rej AS (SELECT DISTINCT conf.a AS doc_id
        |        FROM conf JOIN sp ON sp.doc_id = conf.b
-       |        WHERE sp.split = 'val')
+       |        WHERE sp.split = 'val')""".stripMargin
+  }
+
+  /** Per-doc admission verdicts — the q149 streaming twin's oracle
+    * (same rejected set, per-row instead of rolled up).
+    */
+  private[graft] val ingestGatePerDocSql: String =
+    s"""WITH $ingestGateRejCteSql
+       |SELECT d.doc_id, d.source, rej.doc_id IS NULL AS admitted
+       |FROM documents d LEFT JOIN rej ON rej.doc_id = d.doc_id
+       |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin
+
+  private val incrementalContaminationSql =
+    s"""WITH $ingestGateRejCteSql
        |SELECT d.source, COUNT(*) AS n_delta,
        | CAST(SUM(CASE WHEN rej.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |   AS n_rejected,
@@ -847,7 +864,6 @@ object DedupOps {
        |FROM documents d LEFT JOIN rej ON rej.doc_id = d.doc_id
        |WHERE d.doc_id % 5 = 4
        |GROUP BY 1 ORDER BY d.source""".stripMargin
-  }
 
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),

@@ -668,6 +668,86 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  // ---- q149: the q148 ingest gate RUNNING AS A STREAM — the live
+  //      shape: arriving docs land in a file-stream directory, the
+  //      corpus's VAL-side band index is a static table materialized
+  //      before the stream starts (production: the index a curation
+  //      run maintains), and every micro-batch's stream-static band
+  //      equi-join emits rejections append-mode with ZERO state store
+  //      (stateless join against a static side — no watermark, no
+  //      state cleanup, unbounded uptime). Per-doc verdicts equal the
+  //      batch gate's rejected set (same oracle CTEs), which is the
+  //      unified-engine claim enforced for the admission lane. ----
+  def streamIngestGate(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_sig_$hex"
+    // stage the arriving batch (doc_id, source, text) as the landing dir
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_sig_src_$hex")
+    val sigMarker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(sigMarker, s"$d/documents.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val part = java.nio.file.Files.createTempDirectory("graft_sig_stage")
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        .select("doc_id", "source", "text")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fixtures.writeMarker(sigMarker, s"$d/documents.parquet")
+    }
+    def sigify(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col(idAs),
+          graft.expressions.MinHashSig.minhashSig(
+            hashedShingles(shingles(col("toks"), 3))).as(sigAs))
+    def banded(df: DataFrame, sigCol: String): DataFrame =
+      df.select(df.columns.map(col) :+
+        posexplode(array((0 until MinhashBands).map(b => bandKey(col(sigCol), b)): _*))
+          .as(Seq("band", "key")): _*)
+    // static side: ONLY the corpus docs the existing split assigns to
+    // val — the gate never needs train-side neighbors, so the index is
+    // ~10% of the corpus index
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+    val valIds = graft.ops.TextOps.leakageSplitAssignDf(corpus)
+      .filter(col("split") === "val").select(col("doc_id"))
+    val valIdx = banded(
+      sigify(corpus.join(valIds, "doc_id").repartition(col("doc_id")),
+             "b", "sig_b"), "sig_b")
+      .persist()
+    valIdx.count()
+    withStreamShufflePartitions(s, 2) {
+      val stream = banded(
+        sigify(s.readStream.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("source", StringType),
+            StructField("text", StringType))))
+          .parquet(srcDir.toString), "a", "sig_a"), "sig_a")
+      val estJ = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _).cast("double") / lit(MinhashK.toDouble)
+      val q = stream.join(valIdx, Seq("band", "key"))
+        .select(col("a"), estJ.as("est_j"))
+        .filter(col("est_j") >= 0.5)
+        .select("a")
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    valIdx.unpersist(false)
+    // reader-side verdicts: every arrived doc, admitted unless rejected
+    val rejected = s.table(qname).select(col("a").as("doc_id")).distinct()
+      .withColumn("rej", lit(1L))
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+      .select("doc_id", "source")
+      .join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("rej").isNull.as("admitted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
@@ -683,5 +763,8 @@ object StreamingOps {
     Q("q116_stream_topk", streamTopK, Some(streamTopKSql),
       "stateful streaming top-k leaderboard (bounded GroupState heap)"),
     Q("q121_stream_session", streamSession, Some(streamSessionSql),
-      "event-time-timeout sessionizer == batch gaps-and-islands oracle"))
+      "event-time-timeout sessionizer == batch gaps-and-islands oracle"),
+    Q("q149_stream_ingest_gate", streamIngestGate,
+      Some(graft.ops.DedupOps.ingestGatePerDocSql),
+      "stream-static admission gate: arriving docs vs corpus-val band index == batch q148"))
 }
