@@ -146,7 +146,7 @@ object ScaleSmoke {
       force(table.orderBy(col("Age").desc))
     }
     stage("to_np") {
-      force(table.select(array(table.columns.map(c => col(c).cast("double")): _*)
+      force(table.select(array(table.columns.toIndexedSeq.map(c => col(c).cast("double")): _*)
         .as("vec")))
     }
 

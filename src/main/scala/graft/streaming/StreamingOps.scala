@@ -617,7 +617,7 @@ object StreamingOps {
         .select(col(idAs), hashedShingles(shingles(col("toks"), 3)).as(shAs))
         .withColumn(sigAs, graft.expressions.MinHashSig.minhashSig(col(shAs)))
     def banded(df: DataFrame, sigCol: String): DataFrame =
-      df.select(df.columns.map(col) :+
+      df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until MinhashBands).map(b => bandKey(col(sigCol), b)): _*))
           .as(Seq("band", "key")): _*)
     // static side: the corpus band index, materialized before the
@@ -705,7 +705,7 @@ object StreamingOps {
           graft.expressions.MinHashSig.minhashSig(
             hashedShingles(shingles(col("toks"), 3))).as(sigAs))
     def banded(df: DataFrame, sigCol: String): DataFrame =
-      df.select(df.columns.map(col) :+
+      df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until MinhashBands).map(b => bandKey(col(sigCol), b)): _*))
           .as(Seq("band", "key")): _*)
     // static side: ONLY the corpus docs the existing split assigns to
