@@ -69,6 +69,8 @@ object Scaling {
     ("q146_dedup_weights", "1/cluster_size downweighting rollup", "documents"),
     ("q147_split_quarantine", "cross-split leak remediation manifest", "documents"),
     ("q148_ingest_gate", "delta-vs-corpus-val admission gate", "documents"),
+    ("q149_stream_ingest_gate", "streaming admission gate (stream-static)", "documents"),
+    ("q150_split_rotation", "epoch-salted re-split churn manifest", "documents"),
     ("q26_events_window", "event-time windowed aggregation", "events"),
     ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
     ("q94_sliding_windows", "overlapping sliding windows", "events"))

@@ -1387,6 +1387,73 @@ object TextOps {
        | round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT h), 6) AS inflation
        |FROM ww GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---- q150: split rotation — pipelines periodically RE-DRAW the
+  //      val set (a fixed eval set gets overfit by repeated model
+  //      selection); the rotation must stay deterministic, keep the
+  //      no-leak property per epoch (clusters move whole — rep-keyed,
+  //      like q143), and churn only the expected fraction. Epoch e's
+  //      split salts the representative hash with e; between epochs
+  //      the two assignments are independent 90/10 draws, so the
+  //      expected cluster churn is 2·0.9·0.1 = 18%. Emits the per-
+  //      source rotation manifest (epoch-0/1 train counts, moved docs
+  //      + checksum, churn share); the churn envelope and per-epoch
+  //      no-leak property are spec-asserted. One content-hash
+  //      exchange, same as q143. ----
+  private[graft] def epochSplitCol(epoch: Int): Column = {
+    val bucket = pmod(hash64(concat(lit("split:"), col("rep").cast("string"),
+                                    lit(s":$epoch"))), lit(100))
+    when(bucket < SplitTrainPct, lit("train")).otherwise(lit("val"))
+  }
+
+  private[graft] def splitRotationAssign(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("split0", epochSplitCol(0))
+      .withColumn("split1", epochSplitCol(1))
+  }
+
+  def splitRotation(s: SparkSession, d: String): DataFrame =
+    splitRotationAssign(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("split0") === "train", 1L).otherwise(0L)).cast("long")
+             .as("n_train_e0"),
+           sum(when(col("split1") === "train", 1L).otherwise(0L)).cast("long")
+             .as("n_train_e1"),
+           sum(when(col("split0") =!= col("split1"), 1L).otherwise(0L)).cast("long")
+             .as("n_moved"),
+           sum(when(col("split0") =!= col("split1"), col("doc_id")).otherwise(0L))
+             .cast("long").as("moved_checksum"))
+      .withColumn("churn",
+        round(col("n_moved").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+
+  private val splitRotationSql = {
+    def bucket(e: Int) =
+      s"((${hash64Sql(s"'split:' || CAST(rep AS VARCHAR) || ':$e'")} % 100) + 100) % 100"
+    s"""WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |r AS (SELECT doc_id, source, h,
+       |        MIN(doc_id) OVER (PARTITION BY h) AS rep FROM h),
+       |sp AS (SELECT doc_id, source,
+       |  CASE WHEN ${bucket(0)} < $SplitTrainPct THEN 'train' ELSE 'val' END AS split0,
+       |  CASE WHEN ${bucket(1)} < $SplitTrainPct THEN 'train' ELSE 'val' END AS split1
+       |  FROM r)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN split0 = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_train_e0,
+       | CAST(SUM(CASE WHEN split1 = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_train_e1,
+       | CAST(SUM(CASE WHEN split0 <> split1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_moved,
+       | CAST(SUM(CASE WHEN split0 <> split1 THEN doc_id ELSE 0 END) AS BIGINT)
+       |   AS moved_checksum,
+       | round(CAST(SUM(CASE WHEN split0 <> split1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / COUNT(*), 6) AS churn
+       |FROM sp GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   private val CurriculumStages = 4
 
   def curriculumStages(s: SparkSession, d: String): DataFrame = {
@@ -1468,5 +1535,7 @@ object TextOps {
     Q("q144_curriculum", curriculumStages, Some(curriculumStagesSql),
       "length-curriculum staging: deterministic ntile per source, per-stage token manifest"),
     Q("q146_dedup_weights", dedupWeights, Some(dedupWeightsSql),
-      "dedup-by-downweighting: 1/cluster_size integer-exact training weights, per-source effective size + inflation"))
+      "dedup-by-downweighting: 1/cluster_size integer-exact training weights, per-source effective size + inflation"),
+    Q("q150_split_rotation", splitRotation, Some(splitRotationSql),
+      "epoch-salted eval-set rotation: deterministic re-split with measured per-source churn"))
 }

@@ -52,6 +52,20 @@ class LeakageSplitSpec extends AnyFunSuite with SparkTestBase {
       s"registry reports $reported quarantined, recomputation finds ${quarantined.size}")
   }
 
+  test("q150: rotation churns whole clusters within the expected envelope, no-leak per epoch") {
+    val rows = ops.TextOps.splitRotationAssign(spark, sf)
+      .select("h", "split0", "split1").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // clusters move whole: each content hash has ONE (split0, split1)
+    val perHash = rows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).distinct)
+    assert(perHash.forall(_._2.size == 1), "a cluster straddles splits within an epoch")
+    // independent 90/10 draws -> expected cluster churn 2*.9*.1 = 18%
+    val clusters = perHash.values.map(_.head).toSeq
+    val churn = clusters.count(t => t._1 != t._2).toDouble / clusters.size
+    assert(churn > 0.05 && churn < 0.35,
+      s"cluster churn $churn outside the 18% +/- envelope")
+  }
+
   test("q148: ingest gate rejects exactly the delta docs with a corpus-val near-dup") {
     import org.apache.spark.sql.functions.col
     val (pairsLazy, sh) = ops.DedupOps.dedupMinhashLazy(spark, sf)
