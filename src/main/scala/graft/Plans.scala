@@ -47,7 +47,10 @@ object Plans {
       "q44_sketch" -> "sketch error-envelope: HLL + approx-p50 share one scan; the p50 rank band comes from a mergeable integer-bucket histogram (hash agg + bucket-table window), NOT an exact percentile — no single-partition hold-all-values aggregate anywhere",
       "q122_refresh_stream" -> "TPC-H refresh analogue: RF1/RF2 MERGE round-trip — broadcast change batch, base never shuffles",
       "q135_chunk_windows" -> "context-window chunking: pure per-row HOF pipeline (sequence/slice/hash inside whole-stage codegen), embarrassingly parallel — the only exchange is the presentation sort",
-      "q136_csv_prefix" -> "multi-file CSV file-order prefix: whole files scan fully parallel with no limit operator; the ONE boundary file funnels through a TakeOrdered keyed by (block start, row id) — exact first-n rows, files past the boundary never read")
+      "q136_csv_prefix" -> "multi-file CSV file-order prefix: whole files scan fully parallel with no limit operator; the ONE boundary file funnels through a TakeOrdered keyed by (block start, row id) — exact first-n rows, files past the boundary never read",
+      "q143_leakage_split" -> "leakage-safe split: ONE content-hash exchange (the same exchange exact dedup pays) feeds the rep window; split assignment is pure map-side hash arithmetic; distinct-cluster counts partial-aggregate before the final exchange",
+      "q144_curriculum" -> "curriculum staging: one exchange by source, the ntile window and the per-(source, stage) aggregate both reuse that partitioning — no second exchange before the presentation sort",
+      "q146_dedup_weights" -> "dedup-by-downweighting: content-hash window for global cluster size, per-source rollup partial-aggregates before its exchange; scan prunes to (text, source) — doc_id never read")
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder
