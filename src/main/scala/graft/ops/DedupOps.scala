@@ -865,6 +865,81 @@ object DedupOps {
        |WHERE d.doc_id % 5 = 4
        |GROUP BY 1 ORDER BY d.source""".stripMargin
 
+  // ---- exact-substring dedup (q151) ----
+  // The "deduplicating training data makes LMs better" lane: find doc
+  // pairs sharing an EXACT run of >= SpanN consecutive tokens, and the
+  // length of the longest such run. Unlike q36 (set-Jaccard over
+  // distinct 3-grams) this is positional: every occurrence of every
+  // 8-token span is indexed with its offset, candidate matches come
+  // from a df-capped posting list per span (the cap drops boilerplate
+  // spans exactly like production substring-dedup drops hot n-grams),
+  // and runs are recovered per pair along position diagonals
+  // (pa - pb = const) with the classic gaps-and-islands grouping —
+  // len consecutive matching 8-gram starts = one exact common run of
+  // len + 7 tokens. One exchange by span hash + one by pair; no
+  // suffix array, no all-pairs.
+  private[graft] val SpanN = 8
+  private[graft] val SpanDfCap = 10
+
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    val spans = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanN)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (SpanN - 1)),
+        i => hash64(concat_ws(" ",
+          (0 until SpanN).map(o => element_at(col("toks"), i + o)): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val posts = spans.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("p")))).as("es"))
+      .filter(size(col("es")).between(2, SpanDfCap))
+    val pairCol = flatten(transform(col("es"), (x, i) =>
+      transform(slice(col("es"), i + lit(2), size(col("es"))), y =>
+        struct(x.getField("doc_id").as("a"), x.getField("p").as("pa"),
+               y.getField("doc_id").as("b"), y.getField("p").as("pb")))))
+    val cand = posts.select(explode(pairCol).as("c"))
+      .select(col("c.a").as("a"), col("c.pa").as("pa"),
+              col("c.b").as("b"), col("c.pb").as("pb"))
+      .filter(col("a") < col("b"))
+    val runs = cand
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("a", "b", "diag", "grp")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("a", "b")
+      .agg(sum(col("len")).as("n_matches"),
+           (max(col("len")) + lit(SpanN - 1).cast("long")).as("max_run_tokens"))
+      .orderBy("a", "b")
+  }
+
+  private val substringDedupSql = {
+    val gramE = (0 until SpanN).map(o => s"toks[p + $o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $SpanN),
+       |pp AS (SELECT doc_id, unnest(range(1, len(toks) - ${SpanN - 2})) AS p, toks
+       |       FROM tt),
+       |sp AS (SELECT doc_id, p, ${hash64Sql(s"($gramE)")} AS g FROM pp),
+       |ok AS (SELECT g FROM sp GROUP BY g
+       |       HAVING COUNT(*) BETWEEN 2 AND $SpanDfCap),
+       |cand AS (SELECT s1.doc_id AS a, s1.p AS pa, s2.doc_id AS b, s2.p AS pb
+       |         FROM (SELECT sp.* FROM sp JOIN ok USING (g)) s1
+       |         JOIN (SELECT sp.* FROM sp JOIN ok USING (g)) s2 USING (g)
+       |         WHERE s1.doc_id < s2.doc_id),
+       |runs AS (SELECT a, b, pa,
+       |           pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb
+       |                                   ORDER BY pa) AS grp,
+       |           pa - pb AS diag
+       |         FROM cand),
+       |rl AS (SELECT a, b, COUNT(*) AS len
+       |       FROM runs GROUP BY a, b, diag, grp)
+       |SELECT a, b, CAST(SUM(len) AS BIGINT) AS n_matches,
+       |       CAST(MAX(len) + ${SpanN - 1} AS BIGINT) AS max_run_tokens
+       |FROM rl GROUP BY a, b ORDER BY a, b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
@@ -891,5 +966,7 @@ object DedupOps {
     Q("q147_split_quarantine", splitQuarantine, Some(splitQuarantineSql),
       "split remediation: val-side members of cross-split near-dup pairs quarantined, manifest per source"),
     Q("q148_ingest_gate", incrementalContamination, Some(incrementalContaminationSql),
-      "ingest-time contamination gate: delta batch rejected where it near-dups corpus val, cost proportional to delta"))
+      "ingest-time contamination gate: delta batch rejected where it near-dups corpus val, cost proportional to delta"),
+    Q("q151_substring_dedup", substringDedup, Some(substringDedupSql),
+      "exact-substring dedup: positional 8-token span index, df-capped, longest common run via diagonal gaps-and-islands"))
 }

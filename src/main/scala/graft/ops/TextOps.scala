@@ -1485,6 +1485,113 @@ object TextOps {
        | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        |FROM st GROUP BY 1, 2 ORDER BY source, stage""".stripMargin
 
+  // ---- DSIR importance-resampling weights (q152) ----
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every corpus doc by how much its hashed n-gram feature profile
+  // looks like a target domain (here: the lang='en' slice). Features
+  // are unigrams + bigrams WITH multiplicity, hashed into DsirB
+  // buckets; the target and raw bucket histograms are tiny (DsirB
+  // rows) and broadcast, so scoring is one map-side join + one per-doc
+  // agg — the corpus is scanned once and never reshuffled by feature.
+  // The per-gram importance ratio is the Laplace-smoothed
+  // (tgt[b]+1)/(raw[b]+1), kept integer-exact as
+  // ((tgt[b]+1)*1e6) div (raw[b]+1) so Spark and DuckDB agree
+  // bit-for-bit (the repo's exact-rational precedent, cf. q132 BM25 /
+  // q133 logit). The doc weight is the MEAN per-gram ratio (integer
+  // div by n_grams): the un-normalized sum is dominated by doc length
+  // (measured Spearman -0.999 vs log-DSIR), the mean tracks the
+  // textbook log-ratio weight at Spearman +0.998 (DsirFidelitySpec
+  // asserts the bound).
+  private[graft] val DsirB = 256
+
+  /** Per-doc hashed feature buckets (unigrams + bigrams, with
+    * multiplicity). hash64 is non-negative (60-bit), so plain `%` is
+    * already a bucket id in [0, DsirB) on both engines.
+    */
+  private def dsirGrams(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(toks, bigrams)).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        (hash64(col("gram")) % DsirB).as("bkt"))
+  }
+
+  /** Gram-level scored relation: every (doc, bucket) occurrence joined
+    * to the broadcast histograms with its integer importance ratio.
+    * Returns the persisted gram handle so callers can release it after
+    * materializing their aggregate.
+    */
+  private def dsirScoredGrams(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val grams = dsirGrams(s, d).persist()
+    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("rawc"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("tgtc"))
+    val hist = raw.join(tgt, Seq("bkt"), "left")
+      .na.fill(0L, Seq("tgtc"))
+    val joined = grams
+      .join(broadcast(hist), Seq("bkt"))
+      .withColumn("r", expr("((tgtc + 1) * 1000000) div (rawc + 1)"))
+    (joined, grams)
+  }
+
+  def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    val (joined, grams) = dsirScoredGrams(s, d)
+    val scored = joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           expr("sum(r) div count(1)").as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+    val out = scored.localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
+  /** Dual-lane DSIR scores (test support): the production integer-mean
+    * ratio next to the textbook mean log-ratio, from the SAME gram
+    * relation so only the scoring arithmetic differs —
+    * DsirFidelitySpec asserts the measured rank agreement.
+    */
+  private[graft] def dsirDualScores(s: SparkSession, d: String): DataFrame = {
+    val (joined, grams) = dsirScoredGrams(s, d)
+    val out = joined
+      .withColumn("lr", log((col("tgtc") + 1).cast("double")
+        / (col("rawc") + 1).cast("double")))
+      .groupBy("doc_id")
+      .agg(expr("sum(r) div count(1)").as("weight"),
+           avg(col("lr")).as("logw"))
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
+  private val dsirWeightSql =
+    s"""WITH t AS (SELECT doc_id, lang, ${tokensSql("text")} AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, lang, list_concat(toks,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           list_transform(range(1, len(toks)),
+       |                          i -> toks[i] || ' ' || toks[i + 1])
+       |         ELSE [] END) AS gs FROM t),
+       |g AS (SELECT doc_id, lang, unnest(gs) AS gram FROM g0),
+       |gb AS (SELECT doc_id, lang, ${hash64Sql("gram")} % $DsirB AS bkt FROM g),
+       |raw AS (SELECT bkt, COUNT(*) AS rawc FROM gb GROUP BY bkt),
+       |tgt AS (SELECT bkt, COUNT(*) AS tgtc FROM gb
+       |        WHERE lang = 'en' GROUP BY bkt),
+       |hist AS (SELECT raw.bkt, rawc, COALESCE(tgtc, 0) AS tgtc
+       |         FROM raw LEFT JOIN tgt USING (bkt)),
+       |sc AS (SELECT doc_id, ((tgtc + 1) * 1000000) // (rawc + 1) AS r
+       |       FROM gb JOIN hist USING (bkt))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(CAST(SUM(r) AS BIGINT) // COUNT(*) AS BIGINT) AS weight
+       |FROM sc GROUP BY doc_id ORDER BY weight DESC, doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
@@ -1537,5 +1644,7 @@ object TextOps {
     Q("q146_dedup_weights", dedupWeights, Some(dedupWeightsSql),
       "dedup-by-downweighting: 1/cluster_size integer-exact training weights, per-source effective size + inflation"),
     Q("q150_split_rotation", splitRotation, Some(splitRotationSql),
-      "epoch-salted eval-set rotation: deterministic re-split with measured per-source churn"))
+      "epoch-salted eval-set rotation: deterministic re-split with measured per-source churn"),
+    Q("q152_dsir_weight", dsirWeight, Some(dsirWeightSql),
+      "DSIR importance-resampling weights: hashed unigram+bigram features, broadcast target/raw histograms, integer-exact mean ratio"))
 }
