@@ -50,7 +50,8 @@ object Plans {
       "q136_csv_prefix" -> "multi-file CSV file-order prefix: whole files scan fully parallel with no limit operator; the ONE boundary file funnels through a TakeOrdered keyed by (block start, row id) — exact first-n rows, files past the boundary never read",
       "q143_leakage_split" -> "leakage-safe split: ONE content-hash exchange (the same exchange exact dedup pays) feeds the rep window; split assignment is pure map-side hash arithmetic; distinct-cluster counts partial-aggregate before the final exchange",
       "q144_curriculum" -> "curriculum staging: one exchange by source, the ntile window and the per-(source, stage) aggregate both reuse that partitioning — no second exchange before the presentation sort",
-      "q146_dedup_weights" -> "dedup-by-downweighting: content-hash window for global cluster size, per-source rollup partial-aggregates before its exchange; scan prunes to (text, source) — doc_id never read")
+      "q146_dedup_weights" -> "dedup-by-downweighting: content-hash window for global cluster size, per-source rollup partial-aggregates before its exchange; scan prunes to (text, source) — doc_id never read",
+      "q151_substring_dedup" -> "exact-substring dedup: span hashing + posting-list combinations all inside whole-stage codegen; one exchange by span hash, one by pair for the diagonal run window — no suffix array, no all-pairs join")
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder
@@ -88,6 +89,18 @@ object Plans {
       sb.append(s"\n## q34_dedup_minhash (pre-materialization)\n\n" +
         "LSH band equi-join candidate generation (no cross join), " +
         "native minhash_sig kernel\n\n```\n" + plan + "```\n")
+    }
+    // q152 pre-materialization plan (the registry entry checkpoints)
+    locally {
+      val (lazyPlan, handles) = ops.TextOps.dsirWeightLazy(spark, d)
+      val plan = lazyPlan.queryExecution.explainString(SimpleMode)
+      handles.foreach(_.unpersist(false))
+      sb.append("\n## q152_dsir_weight (pre-materialization)\n\n" +
+        "DSIR importance weights: hashed-feature bucketing inside " +
+        "whole-stage codegen, 256-row target/raw histograms broadcast " +
+        "to a map-side BroadcastHashJoin — the corpus shuffles ONCE " +
+        "(per-doc agg); no feature-keyed corpus exchange anywhere\n\n```\n" +
+        plan + "```\n")
     }
     // q123 pre-materialization plan (the registry entry checkpoints
     // eagerly inside its conf scope, so its plan prints as an RDD scan)

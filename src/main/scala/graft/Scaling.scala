@@ -73,7 +73,12 @@ object Scaling {
     ("q150_split_rotation", "epoch-salted re-split churn manifest", "documents"),
     ("q26_events_window", "event-time windowed aggregation", "events"),
     ("q65_moving_window", "lag deltas + sliding ROWS frames", "events"),
-    ("q94_sliding_windows", "overlapping sliding windows", "events"))
+    ("q94_sliding_windows", "overlapping sliding windows", "events"),
+    // r8 session-2 additions
+    ("q151_substring_dedup", "exact-substring dedup (positional spans)", "documents"),
+    ("q152_dsir_weight", "DSIR importance-resampling weights", "documents"),
+    ("q153_lsh_eval", "LSH candidate recall/precision eval", "documents"),
+    ("q154_stream_dsir_gate", "streaming DSIR scoring gate", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -940,6 +940,103 @@ object DedupOps {
        |FROM rl GROUP BY a, b ORDER BY a, b""".stripMargin
   }
 
+  // ---- LSH candidate-generation eval (q153) ----
+  // "Measure, don't guess" for the approximate dedup path: how much of
+  // the exact-Jaccard truth does the q34 MinHash band join actually
+  // surface, and how much junk rides along? Truth = pairs with exact
+  // 3-gram Jaccard >= 0.5 computed the scale-feasible way (the q36
+  // df-capped posting lists — the only truth a 100 TB corpus can
+  // afford; pairs whose every shared gram is df-capped are outside the
+  // measurement by the same boilerplate-drop rule the production lane
+  // uses). Candidates = the q34 banded equi-join BEFORE the est_j
+  // filter. One full-outer join of two bounded pair lists; recall and
+  // precision reported integer-exact in millionths.
+  def lshEval(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    // truth lane (q36 machinery, threshold 0.5)
+    val idx = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val posts = idx.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= DfCap)
+      .persist()
+    val sizes = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairCol = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val inter = posts.filter(size(col("ds")) >= 2)
+      .select(explode(pairCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .filter(col("c").cast("double")
+        / (col("sza") + col("szb") - col("c")).cast("double") >= 0.5)
+      .select(col("a"), col("b"), lit(1L).as("t"))
+    // candidate lane (q34 band join, pre-rescore)
+    val base = sh.withColumn("sig",
+      graft.expressions.MinHashSig.minhashSig(col("sh")))
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    val banded = base.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .withColumn("cd", lit(1L))
+    val u = truth.join(cand, Seq("a", "b"), "full")
+      .select(coalesce(col("t"), lit(0L)).as("t"),
+              coalesce(col("cd"), lit(0L)).as("cd"))
+    val result = u.agg(
+      sum(col("t")).as("n_truth"),
+      sum(col("cd")).as("n_cand"),
+      sum(col("t") * col("cd")).as("n_hit"),
+      expr("(sum(t * cd) * 1000000) div sum(t)").as("recall_millionths"),
+      expr("(sum(t * cd) * 1000000) div sum(cd)").as("precision_millionths"))
+    val out = result.localCheckpoint(true)
+    posts.unpersist(false)
+    sh.unpersist(false)
+    out
+  }
+
+  private val lshEvalSql = {
+    val bands = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH $shingledCte,
+       |idx AS (SELECT doc_id, unnest(sh) AS g FROM s2),
+       |kept AS (SELECT g FROM idx GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |idx2 AS (SELECT idx.doc_id, idx.g FROM idx JOIN kept USING (g)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx2 GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+       |          FROM idx2 x JOIN idx2 y
+       |            ON x.g = y.g AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT a, b, 1 AS t
+       |          FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+       |                     JOIN sizes sb ON sb.doc_id = inter.b
+       |          WHERE CAST(c AS DOUBLE)
+       |            / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
+       |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, 1 AS cd
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.key = y.key
+       |          AND x.doc_id < y.doc_id),
+       |u AS (SELECT COALESCE(t, 0) AS t, COALESCE(cd, 0) AS cd
+       |      FROM truth FULL JOIN cand USING (a, b))
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       |       CAST(SUM(cd) AS BIGINT) AS n_cand,
+       |       CAST(SUM(t * cd) AS BIGINT) AS n_hit,
+       |       (CAST(SUM(t * cd) AS BIGINT) * 1000000) // CAST(SUM(t) AS BIGINT)
+       |         AS recall_millionths,
+       |       (CAST(SUM(t * cd) AS BIGINT) * 1000000) // CAST(SUM(cd) AS BIGINT)
+       |         AS precision_millionths
+       |FROM u""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
@@ -968,5 +1065,7 @@ object DedupOps {
     Q("q148_ingest_gate", incrementalContamination, Some(incrementalContaminationSql),
       "ingest-time contamination gate: delta batch rejected where it near-dups corpus val, cost proportional to delta"),
     Q("q151_substring_dedup", substringDedup, Some(substringDedupSql),
-      "exact-substring dedup: positional 8-token span index, df-capped, longest common run via diagonal gaps-and-islands"))
+      "exact-substring dedup: positional 8-token span index, df-capped, longest common run via diagonal gaps-and-islands"),
+    Q("q153_lsh_eval", lshEval, Some(lshEvalSql),
+      "LSH candidate-generation eval: recall/precision of the q34 band join vs exact-Jaccard truth, integer millionths"))
 }

@@ -1508,7 +1508,7 @@ object TextOps {
     * multiplicity). hash64 is non-negative (60-bit), so plain `%` is
     * already a bucket id in [0, DsirB) on both engines.
     */
-  private def dsirGrams(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dsirGrams(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
@@ -1541,15 +1541,25 @@ object TextOps {
     (joined, grams)
   }
 
-  def dsirWeight(s: SparkSession, d: String): DataFrame = {
+  /** Un-materialized q152 plan + persisted handle to release — split
+    * out so graft.Plans can dump the real plan (the public entry
+    * eagerly checkpoints, which collapses it to an RDD scan).
+    */
+  private[graft] def dsirWeightLazy(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val (joined, grams) = dsirScoredGrams(s, d)
     val scored = joined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
            expr("sum(r) div count(1)").as("weight"))
       .orderBy(col("weight").desc, col("doc_id"))
-    val out = scored.localCheckpoint(true)
-    grams.unpersist(false)
+    (scored, Seq(grams))
+  }
+
+  def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    val (lazyPlan, handles) = dsirWeightLazy(s, d)
+    val out = lazyPlan.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
     out
   }
 

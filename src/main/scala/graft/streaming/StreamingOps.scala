@@ -748,6 +748,121 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  // ---- q154: DSIR admission gate RUNNING AS A STREAM — the scoring
+  //      counterpart of q149's dedup gate. The static side is not a
+  //      band index but a 256-row histogram pair collapsed to a
+  //      LITERAL per-bucket ratio array plus one scalar cutoff (the
+  //      corpus-gram-weighted mean ratio — scale-invariant where an
+  //      absolute cutoff is not: measured 52/51/52% admission across
+  //      sf0.001/0.01/0.1 vs 0/51/0% for any fixed absolute cut). The
+  //      stream side is PURE per-row expression work — tokenize, hash,
+  //      bucket, array lookup, integer mean — stateless append mode,
+  //      zero state store, zero stream-side shuffle; at cluster scale
+  //      the 2 KB ratio array rides the plan exactly like a broadcast
+  //      histogram. Driver-side collect is the 256-row histogram:
+  //      bounded metadata (the IVF-centroid precedent). BIGINT cut
+  //      arithmetic holds to ~9e18 ratio-weighted gram mass (~1e13
+  //      grams); past that the rollup needs DECIMAL — noted, not hit.
+  def streamDsirGate(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_sdg_$hex"
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_sdg_src_$hex")
+    val sdgMarker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(sdgMarker, s"$d/documents.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val part = java.nio.file.Files.createTempDirectory("graft_sdg_stage")
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        .select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fixtures.writeMarker(sdgMarker, s"$d/documents.parquet")
+    }
+    // static prep: corpus-slice histograms -> ratio array + cutoff
+    val B = graft.ops.TextOps.DsirB
+    val corpusGrams = graft.ops.TextOps.dsirGrams(s, d)
+      .filter(col("doc_id") % 5 =!= 4)
+    val raw = corpusGrams.groupBy("bkt").agg(count(lit(1)).as("rawc"))
+    val tgt = corpusGrams.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("tgtc"))
+    val hist = raw.join(tgt, Seq("bkt"), "left").na.fill(0L, Seq("tgtc"))
+      .select("bkt", "rawc", "tgtc").collect()
+    // empty bucket default (0+1)*1e6 div (0+1) — matches the oracle's
+    // COALESCE on the left join, so engines agree BY CONSTRUCTION even
+    // for delta grams whose bucket the corpus never saw
+    val ratios = Array.fill(B)(1000000L)
+    hist.foreach { r =>
+      ratios(r.getLong(0).toInt) =
+        ((r.getLong(2) + 1) * 1000000L) / (r.getLong(1) + 1)
+    }
+    val cut = {
+      val num = hist.map(r =>
+        BigInt(((r.getLong(2) + 1) * 1000000L) / (r.getLong(1) + 1)) * r.getLong(1)).sum
+      val den = hist.map(r => BigInt(r.getLong(1))).sum
+      (num / den).toLong
+    }
+    val ratioArr = array(ratios.toIndexedSeq.map(lit): _*)
+    withStreamShufflePartitions(s, 2) {
+      val toks = tokens(col("text"))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val grams = concat(toks, bigrams)
+      val rsum = aggregate(grams, lit(0L),
+        (acc, g) => acc + element_at(ratioArr, (hash64(g) % B).cast("int") + 1))
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(srcDir.toString)
+        .select(col("doc_id"), rsum.as("rsum"),
+                size(grams).cast("long").as("n_grams"))
+        .withColumn("weight", expr("rsum div n_grams"))
+        .select(col("doc_id"), col("n_grams"), col("weight"),
+                (col("weight") >= cut).as("admitted"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  private val streamDsirGateSql = {
+    val B = graft.ops.TextOps.DsirB
+    s"""WITH t AS (SELECT doc_id, lang, ${tokensSql("text")} AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, lang, list_concat(toks,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           list_transform(range(1, len(toks)),
+       |                          i -> toks[i] || ' ' || toks[i + 1])
+       |         ELSE [] END) AS gs FROM t),
+       |g AS (SELECT doc_id, lang, unnest(gs) AS gram FROM g0),
+       |gb AS (SELECT doc_id, lang, ${hash64Sql("gram")} % $B AS bkt FROM g),
+       |corpus AS (SELECT * FROM gb WHERE doc_id % 5 <> 4),
+       |raw AS (SELECT bkt, COUNT(*) AS rawc FROM corpus GROUP BY bkt),
+       |tgt AS (SELECT bkt, COUNT(*) AS tgtc FROM corpus
+       |        WHERE lang = 'en' GROUP BY bkt),
+       |hist AS (SELECT raw.bkt, rawc, COALESCE(tgtc, 0) AS tgtc
+       |         FROM raw LEFT JOIN tgt USING (bkt)),
+       |thr AS (SELECT CAST(CAST(SUM(((tgtc + 1) * 1000000) // (rawc + 1)
+       |                             * rawc) AS BIGINT)
+       |                    // CAST(SUM(rawc) AS BIGINT) AS BIGINT) AS cut
+       |        FROM hist),
+       |delta AS (SELECT gb.doc_id,
+       |            COALESCE(((tgtc + 1) * 1000000) // (rawc + 1), 1000000) AS r
+       |          FROM gb LEFT JOIN hist USING (bkt) WHERE gb.doc_id % 5 = 4),
+       |w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |        CAST(CAST(SUM(r) AS BIGINT) // COUNT(*) AS BIGINT) AS weight
+       |      FROM delta GROUP BY doc_id)
+       |SELECT doc_id, n_grams, weight,
+       |       weight >= (SELECT cut FROM thr) AS admitted
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
@@ -766,5 +881,7 @@ object StreamingOps {
       "event-time-timeout sessionizer == batch gaps-and-islands oracle"),
     Q("q149_stream_ingest_gate", streamIngestGate,
       Some(graft.ops.DedupOps.ingestGatePerDocSql),
-      "stream-static admission gate: arriving docs vs corpus-val band index == batch q148"))
+      "stream-static admission gate: arriving docs vs corpus-val band index == batch q148"),
+    Q("q154_stream_dsir_gate", streamDsirGate, Some(streamDsirGateSql),
+      "streaming DSIR scoring gate: literal ratio-array histogram, per-row integer mean weight, relative cutoff — stateless append"))
 }
