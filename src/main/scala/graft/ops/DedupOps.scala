@@ -882,8 +882,16 @@ object DedupOps {
   private[graft] val SpanDfCap = 10
 
   def substringDedup(s: SparkSession, d: String): DataFrame = {
+    // window partitions by (a, b) ONLY, ordered (diag, pa): pa - rn is
+    // still constant exactly on each diagonal's consecutive run (both
+    // advance by 1 inside a run, and grp is only ever compared within
+    // one diag by the grouping key), while hashpartitioning(a, b) now
+    // satisfies BOTH downstream aggregates — the run-length groupBy and
+    // the per-pair rollup run exchange-free on the window's shuffle
+    // (plan-verified: PLANS.md shows one exchange by span hash + one by
+    // pair + the presentation sort, nothing else)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+      .partitionBy(col("a"), col("b")).orderBy(col("diag"), col("pa"))
     val spans = docs(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
