@@ -51,7 +51,8 @@ object Plans {
       "q143_leakage_split" -> "leakage-safe split: ONE content-hash exchange (the same exchange exact dedup pays) feeds the rep window; split assignment is pure map-side hash arithmetic; distinct-cluster counts partial-aggregate before the final exchange",
       "q144_curriculum" -> "curriculum staging: one exchange by source, the ntile window and the per-(source, stage) aggregate both reuse that partitioning — no second exchange before the presentation sort",
       "q146_dedup_weights" -> "dedup-by-downweighting: content-hash window for global cluster size, per-source rollup partial-aggregates before its exchange; scan prunes to (text, source) — doc_id never read",
-      "q151_substring_dedup" -> "exact-substring dedup: span hashing + posting-list combinations all inside whole-stage codegen; one exchange by span hash, one by pair for the diagonal run window — no suffix array, no all-pairs join")
+      "q151_substring_dedup" -> "exact-substring dedup: span hashing + posting-list combinations all inside whole-stage codegen; one exchange by span hash, one by pair for the diagonal run window — no suffix array, no all-pairs join",
+      "q155_pq_codes" -> "product quantization: 8x16 literal codebooks, map-side argmin over explicit squared-L2 chains — the only exchanges are the input repartition and the presentation sort")
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder
@@ -101,6 +102,19 @@ object Plans {
         "to a map-side BroadcastHashJoin — the corpus shuffles ONCE " +
         "(per-doc agg); no feature-keyed corpus exchange anywhere\n\n```\n" +
         plan + "```\n")
+    }
+    // q156 pre-materialization plan (the registry entry checkpoints)
+    locally {
+      val (lazyPlan, handles) = ops.DedupOps.intraRepeatLazy(spark, d)
+      val plan = lazyPlan.queryExecution.explainString(SimpleMode)
+      handles.foreach(_.unpersist(false))
+      sb.append("\n## q156_intra_repeat (pre-materialization)\n\n" +
+        "intra-doc repeated spans: every exchange is by doc_id — the " +
+        "input repartition feeds the (doc, gram) groupBy exchange-free, " +
+        "one re-cluster after the cached pair explode (the persist " +
+        "boundary hides partitioning) feeds window + both rollups, the " +
+        "n_dup rollup joins by broadcast — work is independent per doc " +
+        "at any corpus size\n\n```\n" + plan + "```\n")
     }
     // q123 pre-materialization plan (the registry entry checkpoints
     // eagerly inside its conf scope, so its plan prints as an RDD scan)

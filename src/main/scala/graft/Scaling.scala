@@ -78,7 +78,9 @@ object Scaling {
     ("q151_substring_dedup", "exact-substring dedup (positional spans)", "documents"),
     ("q152_dsir_weight", "DSIR importance-resampling weights", "documents"),
     ("q153_lsh_eval", "LSH candidate recall/precision eval", "documents"),
-    ("q154_stream_dsir_gate", "streaming DSIR scoring gate", "documents"))
+    ("q154_stream_dsir_gate", "streaming DSIR scoring gate", "documents"),
+    ("q155_pq_codes", "product-quantization codes (map-side argmin)", "embeddings"),
+    ("q156_intra_repeat", "intra-doc repeated spans (self-diagonals)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

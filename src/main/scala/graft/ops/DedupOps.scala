@@ -948,6 +948,100 @@ object DedupOps {
        |FROM rl GROUP BY a, b ORDER BY a, b""".stripMargin
   }
 
+  // ---- intra-doc repeated spans (q156) ----
+  // The within-document half of repetition filtering (the cross-doc
+  // half is q151): find every document whose text repeats an exact
+  // RepeatN-token span, with the count of excess span occurrences and
+  // the longest repeated run, recovered with the same positional
+  // diagonal machinery as q151 applied to SELF-pairs (pa < pb inside
+  // one doc; diag = pb - pa is the repeat offset). RepeatN = 3 because
+  // that is this corpus's repetition scale (27 docs repeat a 3-token
+  // span at sf0.01; none repeats 5+) — production long-doc corpora
+  // raise it. Per-gram occurrence cap bounds pair fan-out exactly like
+  // q151's df-cap. Every exchange keys on doc_id (the input
+  // repartition feeds the (doc, gram) groupBy exchange-free; one
+  // re-cluster after the cached pair explode feeds the window and both
+  // rollups; the n_dup join broadcasts) — at 100 TB each doc's work is
+  // independent: embarrassingly parallel.
+  private[graft] val RepeatN = 3
+  private val RepeatOccCap = 10
+
+  def intraRepeat(s: SparkSession, d: String): DataFrame = {
+    val (lazyPlan, handles) = intraRepeatLazy(s, d)
+    val out = lazyPlan.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Un-materialized q156 plan + persisted handle to release (the
+    * public entry checkpoints, collapsing its plan to an RDD scan).
+    */
+  private[graft] def intraRepeatLazy(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("diag"), col("pa"))
+    val spans = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= RepeatN)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (RepeatN - 1)),
+        i => hash64(concat_ws(" ",
+          (0 until RepeatN).map(o => element_at(col("toks"), i + o)): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val reps = spans.groupBy("doc_id", "g")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .filter(size(col("ps")).between(2, RepeatOccCap))
+      .persist()
+    val nDup = reps
+      .select(col("doc_id"), (size(col("ps")) - 1).cast("long").as("extra"))
+      .groupBy("doc_id").agg(sum(col("extra")).as("n_dup_spans"))
+    val pairCol = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+        struct(x.as("pa"), y.as("pb")))))
+    val cand = reps.select(col("doc_id"), explode(pairCol).as("c"))
+      .select(col("doc_id"), col("c.pa").as("pa"), col("c.pb").as("pb"))
+    val runs = cand
+      .withColumn("diag", col("pb") - col("pa"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("doc_id", "diag", "grp")
+      .agg(count(lit(1)).as("len"))
+    val result = runs.groupBy("doc_id")
+      .agg((max(col("len")) + lit(RepeatN - 1).cast("long")).as("max_repeat_run"))
+      .join(nDup, "doc_id")
+      .select(col("doc_id"), col("n_dup_spans"), col("max_repeat_run"))
+      .orderBy("doc_id")
+    (result, Seq(reps))
+  }
+
+  private val intraRepeatSql = {
+    val gramE = (0 until RepeatN).map(o => s"toks[p + $o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $RepeatN),
+       |pp AS (SELECT doc_id, unnest(range(1, len(toks) - ${RepeatN - 2})) AS p,
+       |       toks FROM tt),
+       |sp AS (SELECT doc_id, p, ${hash64Sql(s"($gramE)")} AS g FROM pp),
+       |occ AS (SELECT doc_id, g, COUNT(*) AS cnt FROM sp GROUP BY doc_id, g
+       |        HAVING COUNT(*) BETWEEN 2 AND $RepeatOccCap),
+       |ndup AS (SELECT doc_id, CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_spans
+       |         FROM occ GROUP BY doc_id),
+       |spk AS (SELECT sp.doc_id, sp.p, sp.g FROM sp
+       |        JOIN occ ON occ.doc_id = sp.doc_id AND occ.g = sp.g),
+       |cand AS (SELECT s1.doc_id, s1.p AS pa, s2.p AS pb
+       |         FROM spk s1 JOIN spk s2
+       |           ON s1.doc_id = s2.doc_id AND s1.g = s2.g AND s1.p < s2.p),
+       |runs AS (SELECT doc_id, pb - pa AS diag,
+       |           pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa
+       |                                   ORDER BY pa) AS grp
+       |         FROM cand),
+       |rl AS (SELECT doc_id, COUNT(*) AS len FROM runs
+       |       GROUP BY doc_id, diag, grp),
+       |mx AS (SELECT doc_id, CAST(MAX(len) + ${RepeatN - 1} AS BIGINT)
+       |         AS max_repeat_run FROM rl GROUP BY doc_id)
+       |SELECT doc_id, n_dup_spans, max_repeat_run
+       |FROM mx JOIN ndup USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   // ---- LSH candidate-generation eval (q153) ----
   // "Measure, don't guess" for the approximate dedup path: how much of
   // the exact-Jaccard truth does the q34 MinHash band join actually
@@ -1075,5 +1169,7 @@ object DedupOps {
     Q("q151_substring_dedup", substringDedup, Some(substringDedupSql),
       "exact-substring dedup: positional 8-token span index, df-capped, longest common run via diagonal gaps-and-islands"),
     Q("q153_lsh_eval", lshEval, Some(lshEvalSql),
-      "LSH candidate-generation eval: recall/precision of the q34 band join vs exact-Jaccard truth, integer millionths"))
+      "LSH candidate-generation eval: recall/precision of the q34 band join vs exact-Jaccard truth, integer millionths"),
+    Q("q156_intra_repeat", intraRepeat, Some(intraRepeatSql),
+      "intra-doc repeated spans: positional self-pairs per doc, occurrence-capped, longest repeat run via diagonals"))
 }

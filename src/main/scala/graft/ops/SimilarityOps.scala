@@ -573,6 +573,72 @@ object SimilarityOps {
        |WHERE d.vec_id IS NULL
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- q155: product quantization codes — the compression step real
+  //      billion-vector ANN serving runs on (PQ: subspace codebooks,
+  //      1 byte per subspace instead of 4·Dim bytes). Dim=64 splits
+  //      into PqM=8 subspaces of PqSub=8 dims; each subspace's PqK=16
+  //      "codebook" is the deterministic q64-style seed set (the first
+  //      16 vectors' sub-vectors, collected once — metadata-scale —
+  //      and inlined as literals), so assignment is a pure map-side
+  //      argmin over 8×16 explicit squared-L2 chains: zero shuffle
+  //      except the presentation sort, scan-shaped at any corpus size.
+  //      The one-assignment pass is the primitive (q64's note applies:
+  //      real PQ training iterates Lloyd per subspace — each iteration
+  //      is exactly this pass plus q64's centroid update). Both
+  //      engines fold the 8-term distance chains left-to-right over
+  //      identically float→double-widened values, so codes, errors and
+  //      tie-breaks agree bit-for-bit.
+  private val PqM = 8
+  private val PqSub = Dim / PqM
+  private val PqK = 16
+
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val cents: Array[(Long, Array[Double])] =
+      all.filter(col("vec_id") < PqK).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+    def sqDist(sIdx: Int, cv: Array[Double]): Column =
+      (0 until PqSub).map { j =>
+        val dcol = element_at(col("v"), sIdx * PqSub + j + 1).cast("double") -
+          lit(cv(sIdx * PqSub + j))
+        dcol * dcol
+      }.reduceLeft(_ + _)
+    val subStructs: Seq[Column] = (0 until PqM).map { sIdx =>
+      sort_array(array(cents.map { case (cid, cv) =>
+        struct(sqDist(sIdx, cv).as("dist"), lit(cid).as("cid"))
+      }.toIndexedSeq: _*)).getItem(0)
+    }
+    all.select(col("vec_id"), posexplode(array(subStructs: _*)).as(Seq("s", "c")))
+      .select(col("vec_id"), col("s").cast("long").as("s"),
+              col("c.cid").as("code"),
+              floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+      .orderBy("vec_id", "s")
+  }
+
+  private val pqCodesSql = {
+    def distSql(sIdx: Int): String =
+      (0 until PqSub).map { j =>
+        val i = sIdx * PqSub + j + 1
+        s"((n.v[$i] - c.cv[$i]) * (n.v[$i] - c.cv[$i]))"
+      }.mkString(" + ")
+    val distCols = (0 until PqM).map(sI => s"${distSql(sI)} AS dist_$sI").mkString(",\n  ")
+    val caseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN dist_$sI").mkString(" ")
+    s"""WITH $baseCte,
+       |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $PqK),
+       |a AS (SELECT n.vec_id, c.cid,
+       |  $distCols
+       |  FROM n CROSS JOIN c),
+       |u AS (SELECT vec_id, cid, t.i - 1 AS s,
+       |        CASE t.i $caseArms END AS dist
+       |      FROM a, range(1, ${PqM + 1}) t(i)),
+       |r AS (SELECT vec_id, s, cid, dist, row_number() OVER
+       |  (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS crn FROM u)
+       |SELECT vec_id, CAST(s AS BIGINT) AS s, cid AS code,
+       |       CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6
+       |FROM r WHERE crn = 1 ORDER BY vec_id, s""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
@@ -587,5 +653,7 @@ object SimilarityOps {
     Q("q131_semdedup", semDedup, Some(semDedupSql),
       "SemDeDup: derived-k clustered semantic near-dup removal audit"),
     Q("q134_semdedup_kept", semDedupKept, Some(semDedupKeptSql),
-      "SemDeDup kept-id lane: surviving vec_ids under the same drop policy"))
+      "SemDeDup kept-id lane: surviving vec_ids under the same drop policy"),
+    Q("q155_pq_codes", pqCodes, Some(pqCodesSql),
+      "product quantization: 8x16 literal subspace codebooks, map-side argmin codes + reconstruction error"))
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q155 product-quantization properties verified against a driver-side
+  * recomputation: every (vector, subspace) code is the true argmin over
+  * the 16 sub-centroids (squared L2, cid tie-break), the reported error
+  * matches, and total reconstruction error is therefore no worse than
+  * any fixed single-centroid assignment.
+  */
+class PqCodesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q155 codes are per-subspace argmins with exact errors") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cents = vecs.filter(_._1 < 16).toArray.sortBy(_._1)
+    val rows = ops.SimilarityOps.pqCodes(spark, sf).collect()
+    assert(rows.length == vecs.size * 8)
+
+    rows.foreach { r =>
+      val (id, s, code, errE6) =
+        (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))
+      val v = vecs(id)
+      val dists = cents.map { case (cid, cv) =>
+        var acc = 0.0
+        for (j <- 0 until 8) {
+          val d = v(s * 8 + j) - cv(s * 8 + j); acc += d * d
+        }
+        (acc, cid)
+      }
+      val (bestD, bestC) = dists.minBy(identity)
+      assert(code == bestC, s"vec $id sub $s: code $code, argmin $bestC")
+      assert(errE6 == math.floor(bestD * 1e6).toLong,
+        s"vec $id sub $s: err $errE6 vs ${math.floor(bestD * 1e6).toLong}")
+    }
+  }
+}
