@@ -80,7 +80,8 @@ object Scaling {
     ("q153_lsh_eval", "LSH candidate recall/precision eval", "documents"),
     ("q154_stream_dsir_gate", "streaming DSIR scoring gate", "documents"),
     ("q155_pq_codes", "product-quantization codes (map-side argmin)", "embeddings"),
-    ("q156_intra_repeat", "intra-doc repeated spans (self-diagonals)", "documents"))
+    ("q156_intra_repeat", "intra-doc repeated spans (self-diagonals)", "documents"),
+    ("q157_pq_search", "ADC top-k over PQ codes (integer LUT)", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

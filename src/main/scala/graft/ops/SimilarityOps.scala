@@ -592,12 +592,20 @@ object SimilarityOps {
   private val PqSub = Dim / PqM
   private val PqK = 16
 
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val all = base(s, d)
-    val cents: Array[(Long, Array[Double])] =
-      all.filter(col("vec_id") < PqK).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-        .sortBy(_._1)
+  /** Literal PQ codebooks: the first PqK vectors' sub-vectors,
+    * float→double widened (metadata-scale collect, q64 precedent).
+    */
+  private def pqCents(all: DataFrame): Array[(Long, Array[Double])] =
+    all.filter(col("vec_id") < PqK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+  /** Long-form PQ assignment (vec_id, s, code, dist) — map-side argmin
+    * over 8×16 explicit squared-L2 chains against the literal
+    * codebooks; shared by q155 (codes) and q157 (ADC search).
+    */
+  private def pqAssign(
+      all: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
     def sqDist(sIdx: Int, cv: Array[Double]): Column =
       (0 until PqSub).map { j =>
         val dcol = element_at(col("v"), sIdx * PqSub + j + 1).cast("double") -
@@ -611,21 +619,34 @@ object SimilarityOps {
     }
     all.select(col("vec_id"), posexplode(array(subStructs: _*)).as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("long").as("s"),
-              col("c.cid").as("code"),
-              floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+              col("c.cid").as("code"), col("c.dist").as("dist"))
+  }
+
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    pqAssign(all, pqCents(all))
+      .select(col("vec_id"), col("s"), col("code"),
+              floor(col("dist") * 1000000.0).cast("long").as("err_e6"))
       .orderBy("vec_id", "s")
   }
 
-  private val pqCodesSql = {
-    def distSql(sIdx: Int): String =
-      (0 until PqSub).map { j =>
-        val i = sIdx * PqSub + j + 1
-        s"((n.v[$i] - c.cv[$i]) * (n.v[$i] - c.cv[$i]))"
-      }.mkString(" + ")
-    val distCols = (0 until PqM).map(sI => s"${distSql(sI)} AS dist_$sI").mkString(",\n  ")
+  /** Squared-L2 chain between `a`'s and `b`'s subspace sIdx, explicit
+    * left-to-right — the shared SQL distance text for codes and LUT.
+    */
+  private def pqSubDistSql(sIdx: Int, a: String, b: String): String =
+    (0 until PqSub).map { j =>
+      val i = sIdx * PqSub + j + 1
+      s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"
+    }.mkString(" + ")
+
+  /** CTE chain ending in `codes (vec_id, s BIGINT, cid, dist)` — the
+    * SQL twin of [[pqAssign]], shared by q155 and q157.
+    */
+  private val pqCodesCteSql = {
+    val distCols = (0 until PqM)
+      .map(sI => s"${pqSubDistSql(sI, "n.v", "c.cv")} AS dist_$sI").mkString(",\n  ")
     val caseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN dist_$sI").mkString(" ")
-    s"""WITH $baseCte,
-       |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $PqK),
+    s"""c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $PqK),
        |a AS (SELECT n.vec_id, c.cid,
        |  $distCols
        |  FROM n CROSS JOIN c),
@@ -633,10 +654,108 @@ object SimilarityOps {
        |        CASE t.i $caseArms END AS dist
        |      FROM a, range(1, ${PqM + 1}) t(i)),
        |r AS (SELECT vec_id, s, cid, dist, row_number() OVER
-       |  (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS crn FROM u)
-       |SELECT vec_id, CAST(s AS BIGINT) AS s, cid AS code,
+       |  (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS crn FROM u),
+       |codes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, cid, dist
+       |          FROM r WHERE crn = 1)""".stripMargin
+  }
+
+  private val pqCodesSql =
+    s"""WITH $baseCte,
+       |$pqCodesCteSql
+       |SELECT vec_id, s, cid AS code,
        |       CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6
-       |FROM r WHERE crn = 1 ORDER BY vec_id, s""".stripMargin
+       |FROM codes ORDER BY vec_id, s""".stripMargin
+
+  // ---- q157: ADC top-k search over the PQ codes, with measured
+  //      recall — the lookup-table search PQ exists for: per query the
+  //      8×16 subspace distances to every codebook entry are
+  //      precomputed ONCE (driver-side constants — query × codebook is
+  //      metadata-scale) and broadcast as a 640-row LUT, so scoring a
+  //      corpus vector is 8 integer lookups + a sum: no float vector
+  //      math per candidate at all, the shape that makes PQ serve
+  //      billion-vector indexes from RAM. LUT entries are floor-e6
+  //      INTEGERS so the 8-way sum is order-independent (a float sum's
+  //      accumulation order would be engine-dependent); exact-L2 truth
+  //      is computed in the same query (v·v − 2·q·v + q·q via the
+  //      native vec_dot kernel — identical fold both engines) and
+  //      per-query top-10 overlap reported integer-exact. Like q153,
+  //      the approximate path's quality ships as data.
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val cents = pqCents(all)
+    val codes = pqAssign(all, cents).select(col("vec_id"), col("s"), col("code"))
+    val queries = cents.take(NQueries) // vec_id < NQueries ⊂ codebook set
+    val lutRows: Seq[(Long, Long, Long, Long)] = for {
+      (qid, qv) <- queries.toSeq
+      sIdx <- 0 until PqM
+      (cid, cv) <- cents.toSeq
+    } yield {
+      var acc = 0.0
+      for (j <- 0 until PqSub) {
+        val dd = qv(sIdx * PqSub + j) - cv(sIdx * PqSub + j); acc += dd * dd
+      }
+      (qid, sIdx.toLong, cid, math.floor(acc * 1000000.0).toLong)
+    }
+    import s.implicits._
+    val lut = lutRows.toDF("qid", "ls", "lcid", "dlut")
+    val adc = codes
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("qv"), col("v"))
+          + vecDot(col("qv"), col("qv")), 6).as("d_r"))
+    val we = Window.partitionBy("qid").orderBy(col("d_r").asc, col("vec_id").asc)
+    val wa = Window.partitionBy("qid").orderBy(col("adc_e6").asc, col("vec_id").asc)
+    val topExact = exact.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= TopK).select("qid", "vec_id")
+    val topAdc = adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= TopK).select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    topExact.join(topAdc, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+           expr(s"(sum(coalesce(hit, 0)) * 1000000) div $TopK").as("recall_millionths"))
+      .orderBy("qid")
+  }
+
+  private val pqSearchSql = {
+    val lutDistCols = (0 until PqM)
+      .map(sI => s"${pqSubDistSql(sI, "q.qv", "c.cv")} AS ld_$sI").mkString(",\n  ")
+    val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
+    s"""WITH $baseCte,
+       |$pqCodesCteSql,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
+       |l0 AS (SELECT q.qid, c.cid,
+       |  $lutDistCols
+       |  FROM q CROSS JOIN c),
+       |lut AS (SELECT qid, cid, CAST(t.i - 1 AS BIGINT) AS s,
+       |          CAST(floor((CASE t.i $lutCaseArms END) * 1000000.0) AS BIGINT)
+       |            AS dlut
+       |        FROM l0, range(1, ${PqM + 1}) t(i)),
+       |adc AS (SELECT lut.qid, codes.vec_id,
+       |          CAST(SUM(dlut) AS BIGINT) AS adc_e6
+       |        FROM codes JOIN lut ON lut.s = codes.s AND lut.cid = codes.cid
+       |        WHERE codes.vec_id <> lut.qid
+       |        GROUP BY lut.qid, codes.vec_id),
+       |exact AS (SELECT q.qid, n.vec_id,
+       |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("q.qv", "n.v")}
+       |    + ${dotFoldSql("q.qv", "q.qv")}, 6) AS d_r
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |te AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
+       |  (PARTITION BY qid ORDER BY d_r ASC, vec_id ASC) AS rn FROM exact)
+       |  WHERE rn <= $TopK),
+       |ta AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC)
+       |    AS rn FROM adc) WHERE rn <= $TopK)
+       |SELECT qid, CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_overlap,
+       |       (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
+       |         AS recall_millionths
+       |FROM te LEFT JOIN ta USING (qid, vec_id)
+       |GROUP BY qid ORDER BY qid""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -655,5 +774,7 @@ object SimilarityOps {
     Q("q134_semdedup_kept", semDedupKept, Some(semDedupKeptSql),
       "SemDeDup kept-id lane: surviving vec_ids under the same drop policy"),
     Q("q155_pq_codes", pqCodes, Some(pqCodesSql),
-      "product quantization: 8x16 literal subspace codebooks, map-side argmin codes + reconstruction error"))
+      "product quantization: 8x16 literal subspace codebooks, map-side argmin codes + reconstruction error"),
+    Q("q157_pq_search", pqSearch, Some(pqSearchSql),
+      "ADC top-k over PQ codes: broadcast 640-row integer LUT, 8 lookups + sum per candidate, measured recall vs exact L2"))
 }

@@ -36,4 +36,21 @@ class PqCodesSpec extends AnyFunSuite with SparkTestBase {
         s"vec $id sub $s: err $errE6 vs ${math.floor(bestD * 1e6).toLong}")
     }
   }
+
+  test("q157 ADC recall beats chance and clears per-query floors") {
+    val rows = ops.SimilarityOps.pqSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5)
+    val n = Tables.embeddings(spark, sf).count()
+    // expected chance overlap of two independent 10-sets from n
+    val chance = 10.0 * 10.0 / n
+    rows.foreach { case (qid, overlap, recall) =>
+      assert(overlap >= 1L, s"qid=$qid: ADC top-10 missed the exact top-10 entirely")
+      assert(recall == overlap * 100000L)
+    }
+    val mean = rows.map(_._2).sum.toDouble / rows.length
+    info(f"mean ADC top-10 overlap $mean%.1f vs chance $chance%.2f (n=$n)")
+    assert(mean >= 2.0, f"mean overlap $mean%.1f below floor 2.0")
+    assert(mean > 4 * chance, "ADC not convincingly above chance")
+  }
 }
