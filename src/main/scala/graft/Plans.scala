@@ -52,7 +52,8 @@ object Plans {
       "q144_curriculum" -> "curriculum staging: one exchange by source, the ntile window and the per-(source, stage) aggregate both reuse that partitioning — no second exchange before the presentation sort",
       "q146_dedup_weights" -> "dedup-by-downweighting: content-hash window for global cluster size, per-source rollup partial-aggregates before its exchange; scan prunes to (text, source) — doc_id never read",
       "q151_substring_dedup" -> "exact-substring dedup: span hashing + posting-list combinations all inside whole-stage codegen; one exchange by span hash, one by pair for the diagonal run window — no suffix array, no all-pairs join",
-      "q155_pq_codes" -> "product quantization: 8x16 literal codebooks, map-side argmin over explicit squared-L2 chains — the only exchanges are the input repartition and the presentation sort")
+      "q155_pq_codes" -> "product quantization: 8x16 literal codebooks, map-side argmin over explicit squared-L2 chains — the only exchanges are the input repartition and the presentation sort",
+      "q157_pq_search" -> "ADC search: 640-row integer LUT broadcast to a hash join over the code stream, integer sums, TopKPerKey under both rank filters — the corpus pays lookups, never per-candidate vector math")
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder

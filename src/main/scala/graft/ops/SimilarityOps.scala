@@ -601,20 +601,28 @@ object SimilarityOps {
       .sortBy(_._1)
 
   /** Long-form PQ assignment (vec_id, s, code, dist) — map-side argmin
-    * over 8×16 explicit squared-L2 chains against the literal
-    * codebooks; shared by q155 (codes) and q157 (ADC search).
+    * against the literal codebooks, shared by q155 (codes) and q157
+    * (ADC search). Distance is the Cauchy expansion
+    * v·v − 2·v·c + c·c on subspace slices through the native vec_dot
+    * kernel: 8×16 explicit (x−c)² expression chains codegen into
+    * megamorphic methods (measured 5–9 s flat across sfs — compile
+    * cost, not data cost), while the loop kernel stays compact. The
+    * SQL twin uses product chains folded in the same order
+    * (0.0 + x == x bit-for-bit, the q39 argument), and c·c is
+    * driver-side constant here vs runtime chain there — same ops,
+    * same order, same doubles.
     */
   private def pqAssign(
       all: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
-    def sqDist(sIdx: Int, cv: Array[Double]): Column =
-      (0 until PqSub).map { j =>
-        val dcol = element_at(col("v"), sIdx * PqSub + j + 1).cast("double") -
-          lit(cv(sIdx * PqSub + j))
-        dcol * dcol
-      }.reduceLeft(_ + _)
     val subStructs: Seq[Column] = (0 until PqM).map { sIdx =>
+      val vSub = slice(col("v"), sIdx * PqSub + 1, PqSub)
+      val vv = vecDot(vSub, vSub)
       sort_array(array(cents.map { case (cid, cv) =>
-        struct(sqDist(sIdx, cv).as("dist"), lit(cid).as("cid"))
+        val cSub = cv.slice(sIdx * PqSub, sIdx * PqSub + PqSub)
+        val cc = cSub.map(x => x * x).reduceLeft(_ + _)
+        struct((vv - lit(2.0) * vecDot(vSub, typedLit(cSub.toSeq)) + lit(cc))
+                 .as("dist"),
+               lit(cid).as("cid"))
       }.toIndexedSeq: _*)).getItem(0)
     }
     all.select(col("vec_id"), posexplode(array(subStructs: _*)).as(Seq("s", "c")))
@@ -639,12 +647,24 @@ object SimilarityOps {
       s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"
     }.mkString(" + ")
 
+  /** Product chain Σ a[i]·b[i] over subspace sIdx, explicit
+    * left-to-right — the SQL text of the native vec_dot fold.
+    */
+  private def pqSubDotSql(sIdx: Int, a: String, b: String): String =
+    (0 until PqSub).map { j =>
+      val i = sIdx * PqSub + j + 1
+      s"($a[$i] * $b[$i])"
+    }.mkString(" + ")
+
   /** CTE chain ending in `codes (vec_id, s BIGINT, cid, dist)` — the
-    * SQL twin of [[pqAssign]], shared by q155 and q157.
+    * SQL twin of [[pqAssign]] (same Cauchy-expansion distance, same
+    * fold order), shared by q155 and q157.
     */
   private val pqCodesCteSql = {
     val distCols = (0 until PqM)
-      .map(sI => s"${pqSubDistSql(sI, "n.v", "c.cv")} AS dist_$sI").mkString(",\n  ")
+      .map(sI => s"((${pqSubDotSql(sI, "n.v", "n.v")}) " +
+        s"- 2.0 * (${pqSubDotSql(sI, "n.v", "c.cv")}) " +
+        s"+ (${pqSubDotSql(sI, "c.cv", "c.cv")})) AS dist_$sI").mkString(",\n  ")
     val caseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN dist_$sI").mkString(" ")
     s"""c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $PqK),
        |a AS (SELECT n.vec_id, c.cid,

@@ -23,12 +23,14 @@ class PqCodesSpec extends AnyFunSuite with SparkTestBase {
       val (id, s, code, errE6) =
         (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))
       val v = vecs(id)
+      // the production Cauchy-expansion form, same fold order
       val dists = cents.map { case (cid, cv) =>
-        var acc = 0.0
+        var vv = 0.0; var vc = 0.0; var cc = 0.0
         for (j <- 0 until 8) {
-          val d = v(s * 8 + j) - cv(s * 8 + j); acc += d * d
+          val x = v(s * 8 + j); val c = cv(s * 8 + j)
+          vv += x * x; vc += x * c; cc += c * c
         }
-        (acc, cid)
+        (vv - 2.0 * vc + cc, cid)
       }
       val (bestD, bestC) = dists.minBy(identity)
       assert(code == bestC, s"vec $id sub $s: code $code, argmin $bestC")
