@@ -53,7 +53,8 @@ object Plans {
       "q146_dedup_weights" -> "dedup-by-downweighting: content-hash window for global cluster size, per-source rollup partial-aggregates before its exchange; scan prunes to (text, source) — doc_id never read",
       "q151_substring_dedup" -> "exact-substring dedup: span hashing + posting-list combinations all inside whole-stage codegen; one exchange by span hash, one by pair for the diagonal run window — no suffix array, no all-pairs join",
       "q155_pq_codes" -> "product quantization: 8x16 literal codebooks, map-side argmin over explicit squared-L2 chains — the only exchanges are the input repartition and the presentation sort",
-      "q157_pq_search" -> "ADC search: 640-row integer LUT broadcast to a hash join over the code stream, integer sums, TopKPerKey under both rank filters — the corpus pays lookups, never per-candidate vector math")
+      "q157_pq_search" -> "ADC search: 640-row integer LUT broadcast to a hash join over the code stream, integer sums, TopKPerKey under both rank filters — the corpus pays lookups, never per-candidate vector math",
+      "q159_domain_cap" -> "per-domain quota cap: under-cap sources admitted via broadcast semi-join on the |sources|-row count relation; only over-cap sources pay the rank, and the rk<=cap filter plans through WindowGroupLimit — a hot domain costs one partition-local top-K, never a corpus-wide rank")
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder
@@ -116,6 +117,20 @@ object Plans {
         "boundary hides partitioning) feeds window + both rollups, the " +
         "n_dup rollup joins by broadcast — work is independent per doc " +
         "at any corpus size\n\n```\n" + plan + "```\n")
+    }
+    // q158 pre-materialization plan (the registry entry checkpoints)
+    locally {
+      val (lazyPlan, toks) = ops.TextOps.hybridRrfLazy(spark, d)
+      val plan = lazyPlan.queryExecution.explainString(SimpleMode)
+      toks.unpersist(false)
+      sb.append("\n## q158_hybrid_rrf (pre-materialization)\n\n" +
+        "hybrid RRF fusion: both inputs are per-query top-K relations " +
+        "(lexical BM25 posting ranks, dense broadcast-query cosine " +
+        "ranks through the native vec_dot kernel), so the full-outer " +
+        "fusion join and the fused re-rank window touch O(queries*K) " +
+        "rows — the corpus-sized work stays in the upstream retrieval " +
+        "lanes and is never re-shuffled for fusion\n\n```\n" +
+        plan + "```\n")
     }
     // q123 pre-materialization plan (the registry entry checkpoints
     // eagerly inside its conf scope, so its plan prints as an RDD scan)

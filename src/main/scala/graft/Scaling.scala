@@ -81,7 +81,9 @@ object Scaling {
     ("q154_stream_dsir_gate", "streaming DSIR scoring gate", "documents"),
     ("q155_pq_codes", "product-quantization codes (map-side argmin)", "embeddings"),
     ("q156_intra_repeat", "intra-doc repeated spans (self-diagonals)", "documents"),
-    ("q157_pq_search", "ADC top-k over PQ codes (integer LUT)", "embeddings"))
+    ("q157_pq_search", "ADC top-k over PQ codes (integer LUT)", "embeddings"),
+    ("q158_hybrid_rrf", "hybrid BM25+dense RRF fusion", "documents"),
+    ("q159_domain_cap", "per-domain quota cap (partial top-k)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

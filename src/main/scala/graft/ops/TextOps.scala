@@ -1,8 +1,10 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.expressions.VecDot.vecDot
 import graft.functions.HashFns._
 import graft.functions.Stable._
+import graft.functions.VectorFns.{dotFoldSql, normSql, toDoubleSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -853,8 +855,12 @@ object TextOps {
     result
   }
 
-  private val bm25Sql =
-    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+  /** The bm25 ranking CTE chain (through `r`), shared verbatim by the
+    * q132 oracle and the q158 hybrid-fusion oracle so the lexical side
+    * of both twins is textually the same plan.
+    */
+  private val bm25Cte =
+    s"""t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS tt
        |          FROM t),
        |qt AS (SELECT doc_id AS qid, unnest(list_sort(list_distinct(
@@ -879,9 +885,164 @@ object TextOps {
        |      FROM scored GROUP BY qid, doc_id),
        |r AS (SELECT qid, doc_id, n_terms, score_e6, row_number() OVER
        |        (PARTITION BY qid ORDER BY score_e6 DESC, doc_id ASC) AS rank
-       |      FROM g)
+       |      FROM g)""".stripMargin
+
+  private val bm25Sql =
+    s"""WITH $bm25Cte
        |SELECT qid, doc_id, n_terms, score_e6, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= $Bm25TopK ORDER BY qid, rank""".stripMargin
+
+  // ---- q158: hybrid retrieval — reciprocal rank fusion (RRF) of the
+  //      q132 BM25 lexical ranking and a dense cosine ranking over the
+  //      id-aligned `embeddings` table (doc_id == vec_id; reference:
+  //      notebook retrieval cells + Cormack & Clarke, SIGIR'09:
+  //      score(d) = Σ_lists 1/(k + rank_list(d)), k = 60). Contributions
+  //      are floor-scaled integers (1e9 DIV (k + rank)) so fusion,
+  //      re-ranking and the oracle hash-match with zero float tolerance.
+  //
+  //      Scale shape (100 TB): the corpus-sized work lives entirely in
+  //      the two upstream retrieval lanes (posting-list BM25, broadcast-
+  //      query dense scan — both already bounded per-query top-K); the
+  //      fusion itself joins two ≤|queries|·K-row relations, so it is
+  //      O(queries · K) regardless of corpus size and never shuffles the
+  //      corpus again.
+  private val RrfK = 60L
+  private val RrfScale = 1000000000L
+  private val HybridTopK = 10
+
+  /** Dense top-K per query: broadcast query vectors, stream the corpus,
+    * per-query row_number bounded by K (WindowGroupLimit-eligible).
+    * Mirrors SimilarityOps.simTopK but keeps the query row itself (the
+    * lexical list also contains it, so fusion sees symmetric lists).
+    */
+  private def denseRanked(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .repartition(col("vec_id")) // single-file input → force compute parallelism
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val q = all.filter(col("vec_id") < Bm25NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("doc_id").asc)
+    all.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+      .withColumn("r_dense", row_number().over(w))
+      .filter(col("r_dense") <= Bm25TopK)
+      .select(col("qid"), col("doc_id"), col("r_dense").cast("long").as("r_dense"))
+  }
+
+  private[graft] def hybridRrfLazy(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (lex, toks) = bm25Lazy(s, d)
+    val lexRanks = lex.select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
+    val dense = denseRanked(s, d)
+    val w = Window.partitionBy("qid").orderBy(col("rrf_e9").desc, col("doc_id").asc)
+    // integer division: double-divide is unsafe only near integer
+    // boundaries; here both operands are ≤ 1e9 and the quotient is
+    // floor'd via DIV semantics in BOTH engines (see hybridRrfSql)
+    val fused = lexRanks.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+              (expr(s"CAST($RrfScale AS BIGINT) DIV (${RrfK}L + coalesce(r_lex, ${RrfScale}L))") +
+                expr(s"CAST($RrfScale AS BIGINT) DIV (${RrfK}L + coalesce(r_dense, ${RrfScale}L))"))
+                .as("rrf_e9"),
+              (when(col("r_lex").isNotNull, 1L).otherwise(0L) +
+                when(col("r_dense").isNotNull, 1L).otherwise(0L)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HybridTopK)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("qid", "rank")
+    (fused, toks)
+  }
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, toks) = hybridRrfLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
+  private val hybridRrfSql =
+    s"""WITH $bm25Cte,
+       |lex AS (SELECT qid, doc_id, rank AS r_lex FROM r WHERE rank <= $Bm25TopK),
+       |e AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+       |dq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |       WHERE vec_id < $Bm25NQueries),
+       |ds AS (SELECT dq.qid, n.vec_id AS doc_id,
+       |  round(${dotFoldSql("dq.qv", "n.v")} / (dq.qn * n.nrm), 6) AS cos_r
+       |  FROM n CROSS JOIN dq),
+       |dr AS (SELECT qid, doc_id, r_dense FROM (
+       |  SELECT qid, doc_id, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos_r DESC, doc_id ASC) AS r_dense
+       |  FROM ds) WHERE r_dense <= $Bm25TopK),
+       |f AS (SELECT COALESCE(lex.qid, dr.qid) AS qid,
+       |  COALESCE(lex.doc_id, dr.doc_id) AS doc_id,
+       |  CAST($RrfScale // ($RrfK + COALESCE(r_lex, $RrfScale))
+       |     + $RrfScale // ($RrfK + COALESCE(r_dense, $RrfScale)) AS BIGINT)
+       |    AS rrf_e9,
+       |  CAST((r_lex IS NOT NULL)::INT + (r_dense IS NOT NULL)::INT AS BIGINT)
+       |    AS n_lists
+       |  FROM lex FULL OUTER JOIN dr
+       |    ON lex.qid = dr.qid AND lex.doc_id = dr.doc_id),
+       |fr AS (SELECT qid, doc_id, rrf_e9, n_lists, row_number() OVER
+       |  (PARTITION BY qid ORDER BY rrf_e9 DESC, doc_id ASC) AS rank FROM f)
+       |SELECT qid, doc_id, rrf_e9, n_lists, CAST(rank AS BIGINT) AS rank
+       |FROM fr WHERE rank <= $HybridTopK ORDER BY qid, rank""".stripMargin
+
+  // ---- q159: per-domain quota cap — the RefinedWeb/CCNet "no domain
+  //      dominates" admission rule (`source` stands in for the URL
+  //      domain). Docs are admitted per source in deterministic hash-
+  //      priority order until the cap; output is the per-source
+  //      admission audit (totals, kept, dropped, kept-id checksum).
+  //
+  //      Scale shape (100 TB): per-source counts are one exchange;
+  //      ONLY over-cap sources pay the rank — under-cap sources are
+  //      admitted wholesale via a broadcast semi-join on the (tiny,
+  //      |sources|-row) count relation, so a hot domain costs a single
+  //      partition-local top-K (the rk <= cap filter sits directly on
+  //      the row_number, WindowGroupLimit-eligible) instead of ranking
+  //      the whole corpus.
+  private val DomainCap = 20L
+
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"), col("source"))
+      .withColumn("pri", hash64(concat(lit("cap:"), col("doc_id").cast("string"))))
+    val counts = dd.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val keptUnder = dd.join(
+      broadcast(counts.filter(col("n_total") <= DomainCap).select("source")),
+      "source")
+    val w = Window.partitionBy("source").orderBy(col("pri").asc, col("doc_id").asc)
+    val keptOver = dd.join(
+        broadcast(counts.filter(col("n_total") > DomainCap).select("source")),
+        "source")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DomainCap)
+      .drop("rk")
+    keptUnder.unionByName(keptOver)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+              (col("n_total") - col("n_kept")).as("n_dropped"),
+              col("id_checksum"))
+      .orderBy("source")
+  }
+
+  private val domainCapSql =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  ${hash64Sql("'cap:' || CAST(doc_id AS VARCHAR)")} AS pri
+       |  FROM documents),
+       |c AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY source),
+       |k AS (SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER
+       |    (PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS rk FROM d)
+       |  WHERE rk <= $DomainCap),
+       |g AS (SELECT source, COUNT(*) AS n_kept,
+       |        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |      FROM k GROUP BY source)
+       |SELECT c.source, n_total, n_kept, n_total - n_kept AS n_dropped,
+       |  id_checksum
+       |FROM c JOIN g USING (source) ORDER BY source""".stripMargin
 
   // ---- q133: quality-classifier inference filtering — the
   //      fastText-style linear-model gate (DCLM / FineWeb-Edu shape)
@@ -1656,5 +1817,9 @@ object TextOps {
     Q("q150_split_rotation", splitRotation, Some(splitRotationSql),
       "epoch-salted eval-set rotation: deterministic re-split with measured per-source churn"),
     Q("q152_dsir_weight", dsirWeight, Some(dsirWeightSql),
-      "DSIR importance-resampling weights: hashed unigram+bigram features, broadcast target/raw histograms, integer-exact mean ratio"))
+      "DSIR importance-resampling weights: hashed unigram+bigram features, broadcast target/raw histograms, integer-exact mean ratio"),
+    Q("q158_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
+      "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 lexical and dense cosine top-K lists, integer-exact contributions"),
+    Q("q159_domain_cap", domainCap, Some(domainCapSql),
+      "per-domain quota cap: hash-priority admission until cap per source, broadcast under/over-cap split, per-source audit"))
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
@@ -63,13 +63,33 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+/** Physical per-key top-k. Planned as a PARTIAL/FINAL pair (like hash
+  * aggregation): the partial instance runs map-side with no
+  * distribution requirement, pruning each input partition to ≤ k rows
+  * per locally-seen key BEFORE the exchange, so the shuffle carries
+  * O(keys·k) rows per map partition instead of the whole child. The
+  * final instance requires the key clustering and produces the exact
+  * per-key top-k. Partial pruning is sound for row_number semantics: a
+  * row outside its partition-local top-k is dominated by k rows that
+  * travel to the same reducer, so it can never enter the global top-k.
+  *
+  * Partial degrade: when the heap budget trips map-side, sorting would
+  * be pure overhead — the partial instance just PASSES THROUGH the
+  * remaining input (a superset stays correct; only the shuffle-volume
+  * optimization is lost), leaving the spillable external sort to the
+  * final instance. The final instance keeps the r3 degrade path.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numDegradedPartitions" -> SQLMetrics.createMetric(sparkContext,
@@ -77,11 +97,12 @@ case class TopKPerKeyExec(
     "externalSortedRows" -> SQLMetrics.createMetric(sparkContext,
       "external sorted rows"))
 
-  /** All rows of a key must meet in one partition — Spark's
-    * EnsureRequirements inserts the (single) hash shuffle.
+  /** All rows of a key must meet in one partition for the FINAL
+    * instance — Spark's EnsureRequirements inserts the (single) hash
+    * shuffle above the partial instance, which accepts any layout.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(keys)) :: Nil
 
   /** Row pruning keeps the child's partitioning intact — without this
     * override the default UnknownPartitioning makes EnsureRequirements
@@ -102,8 +123,12 @@ case class TopKPerKeyExec(
       .getConfString(TopKPerKey.MaxHeldRowsKey, TopKPerKey.MaxHeldRowsDefault.toString)
       .toLong
     // degrade needs a total order on the key columns; map-typed keys are
-    // groupable but not orderable and keep the pure heap path
-    val degradable = keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
+    // groupable but not orderable and keep the pure heap path. The
+    // partial instance degrades by passing through (no sort), so it is
+    // always degradable.
+    val isPartial = partial
+    val degradable = isPartial ||
+      keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
     val fullOrder = keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder
     val pageSize = SparkEnv.get.memoryManager.pageSizeBytes
     val numDegraded = longMetric("numDegradedPartitions")
@@ -141,6 +166,15 @@ case class TopKPerKeyExec(
           java.util.Arrays.sort(arr, ordering)
           arr.iterator
         }
+      } else if (isPartial) {
+        // map-side budget tripped: pruning here is only a shuffle-volume
+        // optimization, so hand everything (held rows + the rest of the
+        // input) to the final instance unsorted — no external sort paid
+        // on the map side
+        numDegraded.add(1)
+        import scala.jdk.CollectionConverters._
+        heaps.values().iterator().asScala
+          .flatMap(_.iterator().asScala) ++ iter
       } else {
         numDegraded.add(1)
         // Spill path: sort (key, order) externally — UnsafeExternalRowSorter
@@ -223,7 +257,12 @@ object GraftStrategies extends SparkStrategy {
       // nodes (ADVICE r4: byte-distinct-but-ordering-equal keys could
       // interleave in the sorted run and over-emit per key).
       val normKeys = keys.map(org.apache.spark.sql.graftbridge.normalizeFloats)
-      TopKPerKeyExec(normKeys, order, k, planLater(child)) :: Nil
+      // partial/final pair: EnsureRequirements places the key exchange
+      // between them, so the shuffle carries each map partition's local
+      // top-k per key instead of the whole child
+      TopKPerKeyExec(normKeys, order, k, partial = false,
+        TopKPerKeyExec(normKeys, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -258,4 +258,89 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
       else spark.conf.set("spark.sql.optimizer.excludedRules", savedExcl)
     }
   }
+
+  private def collectExecs(p: SparkPlan): Seq[TopKPerKeyExec] = {
+    val self = p match {
+      case t: TopKPerKeyExec => Seq(t)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(collectExecs)
+  }
+
+  test("partial/final pair: map-side instance sits below the exchange " +
+       "and prunes the shuffle to ~keys*k rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nRows = 8000
+    val nKeys = 25
+    val k = 3
+    val df = (0 until nRows)
+      .map(i => (rnd.nextInt(nKeys).toLong, i, rnd.nextDouble()))
+      .toDF("key", "id", "v").repartition(4)
+    val topped = TopKPerKey.topKPerKey(df, Seq(col("key")),
+      Seq(col("v").desc, col("id").asc), k)
+    val rows = topped.collect()
+    assert(rows.length == nKeys * k)
+    val execs = collectExecs(topped.queryExecution.executedPlan)
+    assert(execs.count(_.partial) == 1 && execs.count(!_.partial) == 1,
+      s"expected a partial+final pair:\n${topped.queryExecution.executedPlan}")
+    // the KEY exchange must sit between them: the partial subtree may
+    // contain the test input's round-robin repartition, but never the
+    // hash shuffle on the key
+    val partialPlan = execs.find(_.partial).get.toString
+    assert(!partialPlan.contains("Exchange hashpartitioning(key"),
+      s"partial instance must run before the key shuffle:\n$partialPlan")
+    // shuffle volume: at most 4 map partitions * 25 keys * 3 rows
+    val written = collectMetric(topped.queryExecution.executedPlan,
+      "recordswritten")
+    assert(written.exists(v => v > 0 && v <= 4L * nKeys * k),
+      s"expected map-side pruning to bound shuffle records, got $written")
+  }
+
+  /** All positive values of metrics whose KEY contains `name`
+    * (case-insensitive), anywhere in the executed plan.
+    */
+  private def collectMetric(p: SparkPlan, name: String): Seq[Long] = {
+    val here = p.metrics.collect {
+      case (key, m) if key.toLowerCase.contains(name) && m.value > 0 => m.value
+    }.toSeq
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectMetric(_, name))
+  }
+
+  test("partial degrade passes through unsorted; final still exact " +
+       "(tiny budget, duplicates present)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 3000)
+      .map(i => (rnd.nextInt(30).toLong, i, rnd.nextInt(4).toDouble))
+      .toDF("key", "id", "v").repartition(4)
+    val keys = Seq(col("key"))
+    val ord = Seq(col("v").desc, col("id").asc)
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    withMaxHeldRows(8) { // trips map-side AND reduce-side budgets
+      val topped = TopKPerKey.topKPerKey(df, keys, ord, 2)
+      val got = topped.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected)
+      val execs = collectExecs(topped.queryExecution.executedPlan)
+      val partialExec = execs.find(_.partial).get
+      assert(partialExec.metrics("numDegradedPartitions").value > 0,
+        "expected the map-side budget to trip")
+      // pass-through must NOT pay the external sort on the map side
+      assert(partialExec.metrics("externalSortedRows").value == 0,
+        "partial degrade must not external-sort")
+    }
+  }
 }
