@@ -612,9 +612,11 @@ object SimilarityOps {
     * driver-side constant here vs runtime chain there — same ops,
     * same order, same doubles.
     */
-  private def pqAssign(
-      all: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
-    val subStructs: Seq[Column] = (0 until PqM).map { sIdx =>
+  /** Per-subspace argmin `struct(dist, cid)` columns against literal
+    * codebooks — the shared map-side assignment kernel (q155/q157/q160).
+    */
+  private def pqArgmins(cents: Array[(Long, Array[Double])]): Seq[Column] =
+    (0 until PqM).map { sIdx =>
       val vSub = slice(col("v"), sIdx * PqSub + 1, PqSub)
       val vv = vecDot(vSub, vSub)
       sort_array(array(cents.map { case (cid, cv) =>
@@ -625,7 +627,10 @@ object SimilarityOps {
                lit(cid).as("cid"))
       }.toIndexedSeq: _*)).getItem(0)
     }
-    all.select(col("vec_id"), posexplode(array(subStructs: _*)).as(Seq("s", "c")))
+
+  private def pqAssign(
+      all: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    all.select(col("vec_id"), posexplode(array(pqArgmins(cents): _*)).as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("long").as("s"),
               col("c.cid").as("code"), col("c.dist").as("dist"))
   }
@@ -778,6 +783,116 @@ object SimilarityOps {
        |GROUP BY qid ORDER BY qid""".stripMargin
   }
 
+  // ---- q160: one Lloyd refinement of the PQ codebooks — the training
+  //      step q155/q157 document as "the knob" for ADC recall. Pass 1
+  //      is ONE corpus scan: each vector's 8 argmin codes are a pure
+  //      map-side expression (the q155 kernel), elements explode to
+  //      (s, code, j) rows and a single map-side-combined hash
+  //      aggregate emits 8×16×8 partial rows per task — at 100 TB the
+  //      shuffle carries 1 024 partial sums per map task, never data.
+  //      Element sums are floor(x·1e6) integer-quantized so the
+  //      cross-engine mean is exact (q64's trick); the j=0 slice of the
+  //      same aggregate doubles as the old-assignment audit (count +
+  //      floor-e6 error sum), so the update pays zero extra passes.
+  //      Pass 2 re-assigns against the refined books: the ≤128-row
+  //      codebook relation is broadcast, each (vector, subspace) scores
+  //      16 candidates through the native vec_dot Cauchy form, and a
+  //      partial+final min(struct(dist, code)) collapses candidates
+  //      before the exchange. Dead codebook entries (zero members)
+  //      drop out exactly like real Lloyd; the full-outer audit keeps
+  //      their old-side row. Lloyd monotonicity (total err_new ≤
+  //      err_old up to the 1e-6 quantization) and the measured ADC
+  //      recall gain are asserted in PqRefineSpec. ----
+  def pqRefine(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val cents = pqCents(all)
+    val withCw = all.withColumn("cw", array(pqArgmins(cents): _*))
+    val elems = withCw
+      .select(col("cw"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(expr(s"CAST(i div $PqSub AS BIGINT)").as("s"),
+              expr(s"CAST(i % $PqSub AS BIGINT)").as("j"),
+              col("x").cast("double").as("x"), col("cw"))
+      .select(col("s"), col("j"), col("x"),
+              element_at(col("cw"), (col("s") + 1).cast("int"))
+                .getField("cid").as("code"),
+              element_at(col("cw"), (col("s") + 1).cast("int"))
+                .getField("dist").as("dist"))
+    val upd = elems.groupBy("s", "code", "j")
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("x") * lit(1000000.0)).cast("long")).as("qx"),
+           sum(floor(col("dist") * lit(1000000.0)).cast("long")).as("qd"))
+    // j=0 carries exactly one row per assigned (vector, subspace)
+    val oldStats = upd.filter(col("j") === 0)
+      .select(col("s"), col("code"), col("n").as("n_old"), col("qd").as("err_old_e6"))
+    val newcb = upd.groupBy("s", "code")
+      .agg(transform(
+             array_sort(collect_list(struct(col("j"),
+               ((col("qx").cast("double") / lit(1000000.0)) / col("n")).as("c")))),
+             e => e.getField("c")).as("cv"))
+    val vsubs = all.select(col("vec_id"),
+        posexplode(array((0 until PqM)
+          .map(sI => slice(col("v"), sI * PqSub + 1, PqSub)): _*)).as(Seq("si", "vs")))
+      .select(col("vec_id"), col("si").cast("long").as("s"), col("vs"))
+    val nd = vsubs.join(broadcast(newcb), Seq("s"))
+      .select(col("vec_id"), col("s"), col("code"),
+              (vecDot(col("vs"), col("vs")) - lit(2.0) * vecDot(col("vs"), col("cv"))
+                + vecDot(col("cv"), col("cv"))).as("dist"))
+    val newStats = nd.groupBy("vec_id", "s")
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("s"), col("m.code").as("code"), col("m.dist").as("dist"))
+      .groupBy("s", "code")
+      .agg(count(lit(1)).as("n_new"),
+           sum(floor(col("dist") * lit(1000000.0)).cast("long")).as("err_new_e6"))
+    oldStats.join(newStats, Seq("s", "code"), "full_outer")
+      .select(col("s"), col("code"),
+              coalesce(col("n_old"), lit(0L)).as("n_old"),
+              coalesce(col("err_old_e6"), lit(0L)).as("err_old_e6"),
+              coalesce(col("n_new"), lit(0L)).as("n_new"),
+              coalesce(col("err_new_e6"), lit(0L)).as("err_new_e6"))
+      .orderBy("s", "code")
+  }
+
+  private val pqRefineSql = {
+    def sliceSql = s"list_slice(n.v, CAST(b.s * $PqSub + 1 AS BIGINT), " +
+      s"CAST(b.s * $PqSub + $PqSub AS BIGINT))"
+    s"""WITH $baseCte,
+       |$pqCodesCteSql,
+       |oldst AS (SELECT s, cid AS code, COUNT(*) AS n_old,
+       |            CAST(SUM(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT)
+       |              AS err_old_e6
+       |          FROM codes GROUP BY s, cid),
+       |elems AS (SELECT vec_id, CAST((t.i - 1) // $PqSub AS BIGINT) AS s,
+       |            CAST((t.i - 1) % $PqSub AS BIGINT) AS j, v[t.i] AS x
+       |          FROM n, range(1, ${Dim + 1}) t(i)),
+       |je AS (SELECT e.s, c2.cid AS code, e.j, e.x
+       |       FROM elems e JOIN codes c2 ON e.vec_id = c2.vec_id AND e.s = c2.s),
+       |newc AS (SELECT s, code, j,
+       |           ((CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |             / 1000000.0) / COUNT(*)) AS c
+       |         FROM je GROUP BY s, code, j),
+       |newcb AS (SELECT s, code, list(c ORDER BY j) AS cv
+       |          FROM newc GROUP BY s, code),
+       |nd AS (SELECT n.vec_id, b.s, b.code,
+       |         (${dotFoldSql(sliceSql, sliceSql)}
+       |          - 2.0 * ${dotFoldSql(sliceSql, "b.cv")}
+       |          + ${dotFoldSql("b.cv", "b.cv")}) AS dist
+       |       FROM n CROSS JOIN newcb b),
+       |ra AS (SELECT vec_id, s, code, dist, row_number() OVER
+       |         (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+       |       FROM nd),
+       |newst AS (SELECT s, code, COUNT(*) AS n_new,
+       |            CAST(SUM(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT)
+       |              AS err_new_e6
+       |          FROM ra WHERE rn = 1 GROUP BY s, code)
+       |SELECT COALESCE(o.s, nw.s) AS s, COALESCE(o.code, nw.code) AS code,
+       |       CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+       |       CAST(COALESCE(o.err_old_e6, 0) AS BIGINT) AS err_old_e6,
+       |       CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+       |       CAST(COALESCE(nw.err_new_e6, 0) AS BIGINT) AS err_new_e6
+       |FROM oldst o FULL OUTER JOIN newst nw ON o.s = nw.s AND o.code = nw.code
+       |ORDER BY s, code""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
@@ -796,5 +911,7 @@ object SimilarityOps {
     Q("q155_pq_codes", pqCodes, Some(pqCodesSql),
       "product quantization: 8x16 literal subspace codebooks, map-side argmin codes + reconstruction error"),
     Q("q157_pq_search", pqSearch, Some(pqSearchSql),
-      "ADC top-k over PQ codes: broadcast 640-row integer LUT, 8 lookups + sum per candidate, measured recall vs exact L2"))
+      "ADC top-k over PQ codes: broadcast 640-row integer LUT, 8 lookups + sum per candidate, measured recall vs exact L2"),
+    Q("q160_pq_refine", pqRefine, Some(pqRefineSql),
+      "one Lloyd refinement of the PQ codebooks: quantized-exact update in one scan, broadcast re-assignment, per-entry error audit"))
 }
