@@ -740,6 +740,85 @@ object AdvancedOps {
     }
   }
 
+  // ---- q161: Z-order (Morton) clustering audit — the multi-dimensional
+  //      data-skipping layout a 100 TB lakehouse sorts by when reads
+  //      filter on MORE than one column. A linear sort on l_partkey
+  //      gives perfect partkey skipping and ZERO suppkey skipping
+  //      (every file spans the whole suppkey domain); interleaving the
+  //      bits of both keys' 10-bit grid ranks makes each of the 64
+  //      key-range buckets a ~128×128 grid cell, so min/max pruning
+  //      works on EITHER dimension. The z-key is a pure map-side
+  //      integer expression (grid ranks from one broadcast 1-row
+  //      extent aggregate — explicit arithmetic, not repartitionByRange
+  //      sampling, so both engines assign identical buckets); the
+  //      audit groups the corpus once per layout into 64 rows carrying
+  //      the per-bucket min/max envelopes that ARE the skipping
+  //      behavior. ZOrderSpec measures it: suppkey probes touch ≤ half
+  //      the buckets under z-order vs all 64 under the linear layout,
+  //      and a full driver-side Morton recomputation matches exactly. ----
+  private val ZBits = 10
+  private val ZGrid = 1L << ZBits // 1024 grid cells per dimension
+  private val ZBuckets = 64L
+
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+    // grid ranks normalized by BOTH extents (keys are not assumed
+    // 1-based) — (x - min) is nonnegative, so div/% agree across engines
+    val ext = li.agg(min(col("p")).as("pminv"), max(col("p")).as("pmaxv"),
+                     min(col("sk")).as("sminv"), max(col("sk")).as("smaxv"))
+    val zexpr = (0 until ZBits).map { b =>
+      s"(((pb div ${1L << b}) % 2) * ${1L << (2 * b + 1)}) + " +
+        s"(((sb div ${1L << b}) % 2) * ${1L << (2 * b)})"
+    }.mkString(" + ")
+    val graded = li.join(broadcast(ext))
+      .withColumn("pb",
+        expr(s"CAST(((p - pminv) * $ZGrid) div (pmaxv - pminv + 1) AS BIGINT)"))
+      .withColumn("sb",
+        expr(s"CAST(((sk - sminv) * $ZGrid) div (smaxv - sminv + 1) AS BIGINT)"))
+      .withColumn("zkey", expr(zexpr))
+    def audit(tag: String, bucket: org.apache.spark.sql.Column): DataFrame =
+      graded.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+             min(col("sk")).as("smin"), max(col("sk")).as("smax"))
+        .select(lit(tag).as("layout"), col("bucket"), col("n_rows"),
+                col("pmin"), col("pmax"), col("smin"), col("smax"))
+    val z = audit("zorder",
+      expr(s"CAST(zkey div ${(ZGrid * ZGrid) / ZBuckets} AS BIGINT)"))
+    val lin = audit("linear", expr(s"CAST(pb div ${ZGrid / ZBuckets} AS BIGINT)"))
+    z.unionByName(lin).orderBy("layout", "bucket")
+  }
+
+  private val zorderLayoutSql = {
+    val zexpr = (0 until ZBits).map { b =>
+      s"(((pb // ${1L << b}) % 2) * ${1L << (2 * b + 1)}) + " +
+        s"(((sb // ${1L << b}) % 2) * ${1L << (2 * b)})"
+    }.mkString(" + ")
+    s"""WITH ext AS (SELECT MIN(l_partkey) AS pminv, MAX(l_partkey) AS pmaxv,
+       |                    MIN(l_suppkey) AS sminv, MAX(l_suppkey) AS smaxv
+       |             FROM lineitem),
+       |b AS (SELECT l_partkey AS p, l_suppkey AS sk,
+       |        CAST(((l_partkey - pminv) * $ZGrid) // (pmaxv - pminv + 1)
+       |          AS BIGINT) AS pb,
+       |        CAST(((l_suppkey - sminv) * $ZGrid) // (smaxv - sminv + 1)
+       |          AS BIGINT) AS sb
+       |      FROM lineitem CROSS JOIN ext),
+       |z AS (SELECT p, sk, pb, sb, CAST($zexpr AS BIGINT) AS zkey FROM b),
+       |za AS (SELECT 'zorder' AS layout,
+       |         CAST(zkey // ${(ZGrid * ZGrid) / ZBuckets} AS BIGINT) AS bucket,
+       |         COUNT(*) AS n_rows, MIN(p) AS pmin, MAX(p) AS pmax,
+       |         MIN(sk) AS smin, MAX(sk) AS smax
+       |       FROM z GROUP BY 2),
+       |la AS (SELECT 'linear' AS layout,
+       |         CAST(pb // ${ZGrid / ZBuckets} AS BIGINT) AS bucket,
+       |         COUNT(*) AS n_rows, MIN(p) AS pmin, MAX(p) AS pmax,
+       |         MIN(sk) AS smin, MAX(sk) AS smax
+       |       FROM z GROUP BY 2)
+       |SELECT * FROM (SELECT * FROM za UNION ALL SELECT * FROM la)
+       |ORDER BY layout, bucket""".stripMargin
+  }
+
   private val runtimeFilterJoinSql =
     s"""SELECT l_returnflag, COUNT(*) AS n,
        | ${dsumSql("l_extendedprice")} AS sum_price
@@ -780,5 +859,7 @@ object AdvancedOps {
     Q("q126_observe", observeMetrics, Some(observeMetricsSql),
       "Dataset.observe: scan metrics ride the one pass (no second read), emitted as rows"),
     Q("q47_asof_join", asofJoin, Some(asofJoinSql),
-      "as-of join via tagged union + window (single shuffle)"))
+      "as-of join via tagged union + window (single shuffle)"),
+    Q("q161_zorder", zorderLayout, Some(zorderLayoutSql),
+      "Z-order clustering audit: Morton-interleaved buckets vs linear sort, per-bucket min/max skipping envelopes"))
 }
