@@ -85,7 +85,8 @@ object Scaling {
     ("q158_hybrid_rrf", "hybrid BM25+dense RRF fusion", "documents"),
     ("q159_domain_cap", "per-domain quota cap (partial top-k)", "documents"),
     ("q160_pq_refine", "PQ Lloyd refinement (one-scan update)", "embeddings"),
-    ("q161_zorder", "Z-order clustering audit (Morton buckets)", "lineitem"))
+    ("q161_zorder", "Z-order clustering audit (Morton buckets)", "lineitem"),
+    ("q162_hll", "HLL register sketch (mergeable MIN registers)", "lineitem"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

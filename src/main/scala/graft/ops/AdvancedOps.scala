@@ -740,6 +740,87 @@ object AdvancedOps {
     }
   }
 
+  // ---- q162: HyperLogLog register sketch — THE practical distinct
+  //      counter at 100 TB (fixed 64 registers per group vs q120's
+  //      1024-bit bitmap, usable to billions of distinct keys). Each
+  //      value hashes once (md5 60-bit), picks register h % 64, and its
+  //      rank rho = trailing-zeros+1 of the remaining 54 bits becomes a
+  //      CONTRIBUTION 2^(cap − rho) via one CASE on (w & -w) — encoding
+  //      the rank as its final summand makes the register aggregate a
+  //      plain MIN (min contribution == max rank), so partials are
+  //      mergeable and idempotent: shard/day register relations union
+  //      with a MIN, bit-identically, exactly like production HLL
+  //      sketch stores. The harmonic-mean estimate is integer-exact
+  //      cross-engine: S = Σ 2^(cap − M_j) is an exact BIGINT, and
+  //      alpha·m²·2^cap rides as a digit-string DECIMAL(38,0)/HUGEINT
+  //      with a documented div order (÷S first, then ÷1e9). The
+  //      register checksum proves both engines hold bit-identical
+  //      registers; the exact COUNT(DISTINCT) audit + a 30% integer
+  //      error envelope ride the same relation (q44's envelope idea,
+  //      but here the sketch itself is exact, not just enveloped). ----
+  private val HllM = 64L
+  private val HllCap = 40
+  private val hllAlphaE9: Long =
+    math.floor(0.7213 / (1 + 1.079 / HllM) * 1e9).toLong
+  private val hllNum: String =
+    (BigInt(hllAlphaE9) * HllM * HllM * (BigInt(1) << HllCap)).toString
+  private val hllCaseArms: String = (0 until HllCap - 1)
+    .map(k => s"WHEN ${1L << k} THEN ${1L << (HllCap - 1 - k)}").mkString(" ")
+
+  def hllSketch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), col("l_orderkey").as("k"))
+    val regs = li
+      .withColumn("h", hash64(concat(lit("hll_"), col("k").cast("string"))))
+      .withColumn("reg", expr(s"h % $HllM"))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("cv", expr(s"CASE (w & -w) $hllCaseArms ELSE 1 END"))
+      .groupBy("grp", "reg").agg(min(col("cv")).as("c"))
+    val st = regs.groupBy("grp")
+      .agg(count(lit(1)).as("n_regs"), sum(col("c")).as("s_present"),
+           sum(expr(s"reg * ${1L << (HllCap + 1)} + c")).as("reg_checksum"))
+      .withColumn("s_sum",
+        expr(s"s_present + ($HllM - n_regs) * ${1L << HllCap}"))
+      .withColumn("est",
+        expr(s"CAST((CAST('$hllNum' AS DECIMAL(38,0)) div s_sum) " +
+          "div 1000000000 AS BIGINT)"))
+    val truth = li.groupBy("grp").agg(countDistinct(col("k")).as("n_true"))
+    st.join(truth, Seq("grp"))
+      .select(col("grp"), col("n_regs"), col("s_sum"), col("reg_checksum"),
+              col("est"), col("n_true"),
+              (abs(col("est") - col("n_true")) * 100 <= col("n_true") * 30)
+                .as("within_30pct"))
+      .orderBy("grp")
+  }
+
+  private val hllSketchSql =
+    s"""WITH v AS (SELECT l_returnflag AS grp, l_orderkey AS k,
+       |             ${hash64Sql("'hll_' || CAST(l_orderkey AS VARCHAR)")} AS h
+       |           FROM lineitem),
+       |cvt AS (SELECT grp, h % $HllM AS reg,
+       |          CASE ((h // $HllM) & -(h // $HllM)) $hllCaseArms ELSE 1 END AS cv
+       |        FROM v),
+       |regs AS (SELECT grp, reg, MIN(cv) AS c FROM cvt GROUP BY grp, reg),
+       |st AS (SELECT grp, COUNT(*) AS n_regs,
+       |         CAST(SUM(c) AS BIGINT) AS s_present,
+       |         CAST(SUM(reg * ${1L << (HllCap + 1)} + c) AS BIGINT)
+       |           AS reg_checksum
+       |       FROM regs GROUP BY grp),
+       |s2 AS (SELECT grp, n_regs,
+       |         CAST(s_present + ($HllM - n_regs) * ${1L << HllCap} AS BIGINT)
+       |           AS s_sum,
+       |         reg_checksum
+       |       FROM st),
+       |e AS (SELECT grp, n_regs, s_sum, reg_checksum,
+       |        CAST((CAST('$hllNum' AS HUGEINT) // s_sum) // 1000000000
+       |          AS BIGINT) AS est
+       |      FROM s2),
+       |t AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_true
+       |      FROM lineitem GROUP BY 1)
+       |SELECT e.grp, n_regs, s_sum, reg_checksum, est, n_true,
+       |       (abs(est - n_true) * 100 <= n_true * 30) AS within_30pct
+       |FROM e JOIN t USING (grp) ORDER BY grp""".stripMargin
+
   // ---- q161: Z-order (Morton) clustering audit — the multi-dimensional
   //      data-skipping layout a 100 TB lakehouse sorts by when reads
   //      filter on MORE than one column. A linear sort on l_partkey
@@ -861,5 +942,7 @@ object AdvancedOps {
     Q("q47_asof_join", asofJoin, Some(asofJoinSql),
       "as-of join via tagged union + window (single shuffle)"),
     Q("q161_zorder", zorderLayout, Some(zorderLayoutSql),
-      "Z-order clustering audit: Morton-interleaved buckets vs linear sort, per-bucket min/max skipping envelopes"))
+      "Z-order clustering audit: Morton-interleaved buckets vs linear sort, per-bucket min/max skipping envelopes"),
+    Q("q162_hll", hllSketch, Some(hllSketchSql),
+      "HyperLogLog register sketch: mergeable MIN registers, integer-exact harmonic estimate, checksum + exact audit"))
 }
