@@ -86,7 +86,8 @@ object Scaling {
     ("q159_domain_cap", "per-domain quota cap (partial top-k)", "documents"),
     ("q160_pq_refine", "PQ Lloyd refinement (one-scan update)", "embeddings"),
     ("q161_zorder", "Z-order clustering audit (Morton buckets)", "lineitem"),
-    ("q162_hll", "HLL register sketch (mergeable MIN registers)", "lineitem"))
+    ("q162_hll", "HLL register sketch (mergeable MIN registers)", "lineitem"),
+    ("q163_rank_metrics", "integer-exact nDCG/MRR retrieval eval", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

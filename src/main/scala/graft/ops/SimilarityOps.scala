@@ -705,8 +705,10 @@ object SimilarityOps {
   //      native vec_dot kernel — identical fold both engines) and
   //      per-query top-10 overlap reported integer-exact. Like q153,
   //      the approximate path's quality ships as data.
-  def pqSearch(s: SparkSession, d: String): DataFrame = {
-    val all = base(s, d)
+  /** (ADC top-K with ranks, exact-L2 top-K with ranks) — the shared
+    * ranked lists behind q157 (overlap) and q163 (rank metrics).
+    */
+  private def pqSearchParts(s: SparkSession, all: DataFrame): (DataFrame, DataFrame) = {
     val cents = pqCents(all)
     val codes = pqAssign(all, cents).select(col("vec_id"), col("s"), col("code"))
     val queries = cents.take(NQueries) // vec_id < NQueries ⊂ codebook set
@@ -737,10 +739,19 @@ object SimilarityOps {
     val we = Window.partitionBy("qid").orderBy(col("d_r").asc, col("vec_id").asc)
     val wa = Window.partitionBy("qid").orderBy(col("adc_e6").asc, col("vec_id").asc)
     val topExact = exact.withColumn("rn", row_number().over(we))
-      .filter(col("rn") <= TopK).select("qid", "vec_id")
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
     val topAdc = adc.withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= TopK).select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-    topExact.join(topAdc, Seq("qid", "vec_id"), "left")
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    (topAdc, topExact)
+  }
+
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val (topAdc, topExact) = pqSearchParts(s, base(s, d))
+    topExact.select("qid", "vec_id")
+      .join(topAdc.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+            Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
            expr(s"(sum(coalesce(hit, 0)) * 1000000) div $TopK").as("recall_millionths"))
@@ -893,6 +904,140 @@ object SimilarityOps {
        |ORDER BY s, code""".stripMargin
   }
 
+  // ---- q163: retrieval rank-quality metrics (nDCG@10, MRR, hits) for
+  //      the approximate ANN lanes — the "measure, don't guess" eval
+  //      q153 gives the dedup path, here for serving: each approximate
+  //      ranking (LSH-bucketed cosine; PQ-ADC) is scored against ITS
+  //      exact counterpart (brute-force cosine; exact L2), with graded
+  //      gains 11−truth_rank. The float-free trick: the log2 position
+  //      discounts are a 10-entry LITERAL LUT (floor(1e9/log2(p+1)),
+  //      computed once driver-side, inlined into both engines) and the
+  //      ideal DCG is a compile-time constant, so nDCG and MRR are
+  //      integer-exact millionths — rank metrics that hash-match. All
+  //      corpus-scale work stays in the bounded upstream retrieval
+  //      lanes; the metric join touches O(queries·K) rows. A full
+  //      (system × query) grid keeps zero-candidate queries visible as
+  //      zero rows in both engines. ----
+  private val NdcgDisc: IndexedSeq[Long] =
+    (1 to TopK).map(p => math.floor(1e9 / (math.log(p + 1.0) / math.log(2.0))).toLong)
+  private val NdcgIdcgE9: Long =
+    (1 to TopK).map(i => (TopK + 1 - i) * NdcgDisc(i - 1)).sum
+
+  def rankMetrics(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val (topAdc, topL2) = pqSearchParts(s, all)
+    val sysRows = simAnnLsh(s, d)
+      .select(lit("lsh").as("sys"), col("qid"), col("vec_id"), col("rn"))
+      .unionByName(topAdc
+        .select(lit("adc").as("sys"), col("qid"), col("vec_id"), col("rn")))
+    val gains = simTopK(s, d)
+      .select(lit("lsh").as("sys"), col("qid"), col("vec_id"),
+              (lit(TopK + 1L) - col("rn")).as("gain"))
+      .unionByName(topL2
+        .select(lit("adc").as("sys"), col("qid"), col("vec_id"),
+                (lit(TopK + 1L) - col("rn")).as("gain")))
+    val discArms = (1 to TopK)
+      .map(p => s"WHEN $p THEN ${NdcgDisc(p - 1)}").mkString(" ")
+    val m = sysRows.join(gains, Seq("sys", "qid", "vec_id"), "left")
+      .withColumn("gain", coalesce(col("gain"), lit(0L)))
+      .withColumn("disc", expr(s"CASE rn $discArms ELSE 0 END"))
+      .groupBy("sys", "qid")
+      .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel0"),
+           min(when(col("gain") > 0, col("rn"))).as("frp0"),
+           sum(col("gain") * col("disc")).as("dcg0"))
+    import s.implicits._
+    val grid = Seq("adc", "lsh").toDF("sys")
+      .crossJoin(all.filter(col("vec_id") < NQueries).select(col("vec_id").as("qid")))
+    grid.join(m, Seq("sys", "qid"), "left")
+      .select(col("sys"), col("qid"),
+              coalesce(col("n_rel0"), lit(0L)).as("n_rel"),
+              coalesce(col("frp0"), lit(0L)).as("first_rel_pos"),
+              coalesce(col("dcg0"), lit(0L)).as("dcg_e9"))
+      .withColumn("mrr_e6",
+        expr("CASE WHEN first_rel_pos = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000000 div first_rel_pos END"))
+      .withColumn("ndcg_e6", expr(s"(dcg_e9 * 1000000) div $NdcgIdcgE9"))
+      .orderBy("sys", "qid")
+  }
+
+  private val rankMetricsSql = {
+    val discArms = (1 to TopK)
+      .map(p => s"WHEN $p THEN ${NdcgDisc(p - 1)}").mkString(" ")
+    val lutDistCols = (0 until PqM)
+      .map(sI => s"${pqSubDistSql(sI, "qq.qv", "c.cv")} AS ld_$sI").mkString(",\n  ")
+    val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
+    s"""WITH $baseCte,
+       |$pqCodesCteSql,
+       |qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |       WHERE vec_id < $NQueries),
+       |cs AS (SELECT qq.qid, n.vec_id,
+       |  round(${dotFoldSql("qq.qv", "n.v")} / (qq.qn * n.nrm), 6) AS cos_r
+       |  FROM n CROSS JOIN qq WHERE n.vec_id <> qq.qid),
+       |ct AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM cs)
+       |  WHERE rn <= $TopK),
+       |lb AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bkt FROM n),
+       |lq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt AS qbkt FROM lb
+       |       WHERE vec_id < $NQueries),
+       |lc AS (SELECT lq.qid, lb.vec_id,
+       |  round(${dotFoldSql("lq.qv", "lb.v")} / (lq.qn * lb.nrm), 6) AS cos_r
+       |  FROM lb JOIN lq ON lb.bkt = lq.qbkt AND lb.vec_id <> lq.qid),
+       |lr AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM lc)
+       |  WHERE rn <= $TopK),
+       |pl0 AS (SELECT qq.qid, c.cid,
+       |  $lutDistCols
+       |  FROM qq CROSS JOIN c),
+       |plut AS (SELECT qid, cid, CAST(t.i - 1 AS BIGINT) AS s,
+       |           CAST(floor((CASE t.i $lutCaseArms END) * 1000000.0) AS BIGINT)
+       |             AS dlut
+       |         FROM pl0, range(1, ${PqM + 1}) t(i)),
+       |padc AS (SELECT plut.qid, codes.vec_id,
+       |           CAST(SUM(dlut) AS BIGINT) AS adc_e6
+       |         FROM codes JOIN plut ON plut.s = codes.s AND plut.cid = codes.cid
+       |         WHERE codes.vec_id <> plut.qid
+       |         GROUP BY plut.qid, codes.vec_id),
+       |pex AS (SELECT qq.qid, n.vec_id,
+       |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("qq.qv", "n.v")}
+       |    + ${dotFoldSql("qq.qv", "qq.qv")}, 6) AS d_r
+       |  FROM n CROSS JOIN qq WHERE n.vec_id <> qq.qid),
+       |pet AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY d_r ASC, vec_id ASC) AS rn FROM pex)
+       |  WHERE rn <= $TopK),
+       |pat AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC) AS rn FROM padc)
+       |  WHERE rn <= $TopK),
+       |sys AS (SELECT 'lsh' AS sys, qid, vec_id, CAST(rn AS BIGINT) AS rn FROM lr
+       |        UNION ALL
+       |        SELECT 'adc', qid, vec_id, CAST(rn AS BIGINT) FROM pat),
+       |g AS (SELECT 'lsh' AS sys, qid, vec_id,
+       |        CAST(${TopK + 1} - rn AS BIGINT) AS gain FROM ct
+       |      UNION ALL
+       |      SELECT 'adc', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet),
+       |j AS (SELECT s.sys, s.qid, s.rn, COALESCE(g.gain, 0) AS gain
+       |      FROM sys s LEFT JOIN g
+       |        ON g.sys = s.sys AND g.qid = s.qid AND g.vec_id = s.vec_id),
+       |m AS (SELECT sys, qid,
+       |        CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |        MIN(CASE WHEN gain > 0 THEN rn END) AS frp0,
+       |        CAST(SUM(gain * CASE rn $discArms ELSE 0 END) AS BIGINT) AS dcg_e9
+       |      FROM j GROUP BY sys, qid),
+       |grid AS (SELECT sys, qid FROM
+       |           (SELECT 'adc' AS sys UNION ALL SELECT 'lsh') CROSS JOIN
+       |           (SELECT vec_id AS qid FROM n WHERE vec_id < $NQueries)),
+       |f AS (SELECT grid.sys, grid.qid,
+       |        CAST(COALESCE(m.n_rel, 0) AS BIGINT) AS n_rel,
+       |        CAST(COALESCE(m.frp0, 0) AS BIGINT) AS first_rel_pos,
+       |        CAST(COALESCE(m.dcg_e9, 0) AS BIGINT) AS dcg_e9
+       |      FROM grid LEFT JOIN m ON m.sys = grid.sys AND m.qid = grid.qid)
+       |SELECT sys, qid, n_rel, first_rel_pos,
+       |  CAST(CASE WHEN first_rel_pos = 0 THEN 0
+       |       ELSE 1000000 // first_rel_pos END AS BIGINT) AS mrr_e6,
+       |  dcg_e9,
+       |  CAST((dcg_e9 * 1000000) // $NdcgIdcgE9 AS BIGINT) AS ndcg_e6
+       |FROM f ORDER BY sys, qid""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q38_sim_topk", simTopK, Some(simTopKSql),
       "exact brute-force cosine top-k, broadcast query set"),
@@ -913,5 +1058,7 @@ object SimilarityOps {
     Q("q157_pq_search", pqSearch, Some(pqSearchSql),
       "ADC top-k over PQ codes: broadcast 640-row integer LUT, 8 lookups + sum per candidate, measured recall vs exact L2"),
     Q("q160_pq_refine", pqRefine, Some(pqRefineSql),
-      "one Lloyd refinement of the PQ codebooks: quantized-exact update in one scan, broadcast re-assignment, per-entry error audit"))
+      "one Lloyd refinement of the PQ codebooks: quantized-exact update in one scan, broadcast re-assignment, per-entry error audit"),
+    Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
+      "integer-exact nDCG@10/MRR for the LSH and PQ-ADC lanes vs their exact counterparts (literal log2-discount LUT)"))
 }

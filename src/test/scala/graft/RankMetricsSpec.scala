@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q163 rank-metric properties:
+  *  1. the integer metrics are recomputed exactly from the ranked lists
+  *     the other registry lanes emit (q39 LSH, q38 exact cosine, the PQ
+  *     pair) using the same literal discount LUT;
+  *  2. the integer nDCG tracks textbook float nDCG within the LUT
+  *     quantization (< 1e-4);
+  *  3. sanity floors: ADC (whose candidate set is the whole corpus)
+  *     scores well above zero; all metrics live in [0, 1e6].
+  */
+class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val K = 10
+  private val disc: IndexedSeq[Long] =
+    (1 to K).map(p => math.floor(1e9 / (math.log(p + 1.0) / math.log(2.0))).toLong)
+  private val idcgE9: Long = (1 to K).map(i => (K + 1 - i) * disc(i - 1)).sum
+
+  test("q163 metrics match a recomputation from the ranked lanes") {
+    val got = ops.SimilarityOps.rankMetrics(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+                 // (n_rel, first_rel_pos, dcg_e9, mrr_e6, ndcg_e6)
+                 (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+
+    // ranked lists from the sibling registry lanes
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long)]] =
+      df.select("qid", "vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, vs) =>
+          (q, vs.sortBy(_._3).map(t => (t._2, t._3)).toSeq)
+        }
+    val lsh = ranked(ops.SimilarityOps.simAnnLsh(spark, sf))
+    val cosT = ranked(ops.SimilarityOps.simTopK(spark, sf))
+
+    def check(sys: String, sysList: Map[Long, Seq[(Long, Long)]],
+              truth: Map[Long, Seq[(Long, Long)]]): Unit =
+      truth.keys.foreach { q =>
+        val gains = truth(q).map { case (id, rn) => (id, K + 1L - rn) }.toMap
+        val list = sysList.getOrElse(q, Seq.empty)
+        val nRel = list.count { case (id, _) => gains.contains(id) }
+        val frp = list.collect { case (id, rn) if gains.contains(id) => rn }
+          .minOption.getOrElse(0L)
+        val dcg = list.map { case (id, rn) =>
+          gains.getOrElse(id, 0L) * disc(rn.toInt - 1)
+        }.sum
+        val (gN, gF, gD, gM, gNd) = got((sys, q))
+        assert(gN == nRel && gF == frp && gD == dcg, s"$sys q$q counters")
+        assert(gM == (if (frp == 0) 0L else 1000000L / frp), s"$sys q$q mrr")
+        assert(gNd == dcg * 1000000L / idcgE9, s"$sys q$q ndcg")
+        // integer nDCG tracks textbook float nDCG within LUT quantization
+        val fDcg = list.map { case (id, rn) =>
+          gains.getOrElse(id, 0L).toDouble / (math.log(rn + 1.0) / math.log(2.0))
+        }.sum
+        val fIdcg = (1 to K).map(i =>
+          (K + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0))).sum
+        assert(math.abs(gNd / 1e6 - fDcg / fIdcg) < 1e-4, s"$sys q$q float ndcg drift")
+      }
+
+    check("lsh", lsh, cosT)
+    // metric ranges + ADC floor (its candidate set is the whole corpus)
+    got.values.foreach { case (_, _, _, mrr, nd) =>
+      assert(mrr >= 0 && mrr <= 1000000 && nd >= 0 && nd <= 1000000)
+    }
+    val adcNd = got.collect { case ((s, _), v) if s == "adc" => v._5 }
+    assert(adcNd.sum.toDouble / adcNd.size / 1e6 > 0.15,
+      s"mean ADC nDCG suspiciously low: ${adcNd.mkString(",")}")
+  }
+}
