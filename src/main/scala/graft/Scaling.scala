@@ -87,7 +87,8 @@ object Scaling {
     ("q160_pq_refine", "PQ Lloyd refinement (one-scan update)", "embeddings"),
     ("q161_zorder", "Z-order clustering audit (Morton buckets)", "lineitem"),
     ("q162_hll", "HLL register sketch (mergeable MIN registers)", "lineitem"),
-    ("q163_rank_metrics", "integer-exact nDCG/MRR retrieval eval", "embeddings"))
+    ("q163_rank_metrics", "integer-exact nDCG/MRR retrieval eval", "embeddings"),
+    ("q164_ann_multilsh", "multi-table LSH ANN (4x5 planes)", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

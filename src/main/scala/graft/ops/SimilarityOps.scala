@@ -139,6 +139,95 @@ object SimilarityOps {
        |SELECT qid, vec_id, cos_r, rn FROM ranked
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  // ---- q164: multi-table LSH — the standard recall fix for q39 that
+  //      q163's eval demands (single-table 6-plane LSH measures near
+  //      zero top-10 agreement at small corpus scale): T=4 independent
+  //      tables of 5 hyperplanes each; a pair collides if ANY table
+  //      buckets it together, so the miss probability multiplies
+  //      across tables (1−(1−p^k)^T). Cost model at 100 TB: the index
+  //      stores T entries per vector and probes T buckets per query —
+  //      the classic recall-for-space trade, here measured rather than
+  //      asserted (q163 scores this lane as 'mlsh' next to 'lsh' and
+  //      'adc'). Duplicate candidates from multiple tables collapse
+  //      via a (qid, vec_id) MAX aggregate BEFORE ranking (scores of
+  //      duplicates are identical doubles, so MAX is a dedup, not a
+  //      choice). Same seeded-md5 plane recipe as q39, seeded per
+  //      table — both engines derive identical buckets. ----
+  private val MtTables = 4
+  private val MtPlanes = 5
+
+  private[graft] val mtPlaneInt: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h15(sck: String): Long = {
+      val hex = mdig.digest(sck.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until MtTables).map(t => (0 until MtPlanes).map(p =>
+      (0 until Dim).map(j => h15(s"mt_${t}_${p}_$j") % 2001L - 1000L)))
+  }
+
+  private def mtBucket(v: Column, t: Int): Column =
+    (0 until MtPlanes).map { p =>
+      when(vecDot(v, typedLit(mtPlaneInt(t)(p).map(_ / 1000.0))) > 0,
+           lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  private def mtBucketSql(vE: String, t: Int): String =
+    (0 until MtPlanes).map { p =>
+      val chain = (0 until Dim)
+        .map(j => s"($vE)[${j + 1}] * (${mtPlaneInt(t)(p)(j)} / 1000.0)")
+        .mkString(" + ")
+      s"(CASE WHEN $chain > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def simAnnMultiLsh(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val tagged = all.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until MtTables).map(t => mtBucket(col("v"), t)): _*))
+          .as(Seq("t", "bkt")))
+    val q = tagged.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+              col("t").as("qt"), col("bkt").as("qbkt"))
+    val cand = tagged.join(broadcast(q),
+        col("t") === col("qt") && col("bkt") === col("qbkt")
+          && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+                .as("cos_r"))
+      .groupBy("qid", "vec_id").agg(max(col("cos_r")).as("cos_r"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("qid", "rn")
+  }
+
+  /** CTE chain ending in `mr (qid, vec_id, cos_r, rn)` — the SQL twin
+    * of [[simAnnMultiLsh]]'s ranked list, shared by q164 and q163.
+    */
+  private val multiLshCteSql = {
+    val arms = (0 until MtTables)
+      .map(t => s"SELECT vec_id, v, nrm, $t AS t, ${mtBucketSql("v", t)} AS bkt FROM n")
+      .mkString("\n       UNION ALL ")
+    s"""mb AS ($arms),
+       |mq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, t AS qt, bkt AS qbkt
+       |       FROM mb WHERE vec_id < $NQueries),
+       |mc AS (SELECT mq.qid, mb.vec_id,
+       |  round(${dotFoldSql("mq.qv", "mb.v")} / (mq.qn * mb.nrm), 6) AS cos_r
+       |  FROM mb JOIN mq ON mb.t = mq.qt AND mb.bkt = mq.qbkt
+       |    AND mb.vec_id <> mq.qid),
+       |md AS (SELECT qid, vec_id, MAX(cos_r) AS cos_r FROM mc
+       |       GROUP BY qid, vec_id),
+       |mr AS (SELECT qid, vec_id, cos_r, rn FROM (SELECT qid, vec_id, cos_r,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC)
+       |    AS rn FROM md) WHERE rn <= $TopK)""".stripMargin
+  }
+
+  private val simAnnMultiLshSql =
+    s"""WITH $baseCte,
+       |$multiLshCteSql
+       |SELECT qid, vec_id, cos_r, CAST(rn AS BIGINT) AS rn
+       |FROM mr ORDER BY qid, rn""".stripMargin
+
   // ---- IVF ANN: coarse-quantize into inverted lists, probe the
   //      nearest lists only. Centroids are seed vectors chosen
   //      deterministically (a production build would k-means them —
@@ -926,13 +1015,18 @@ object SimilarityOps {
   def rankMetrics(s: SparkSession, d: String): DataFrame = {
     val all = base(s, d)
     val (topAdc, topL2) = pqSearchParts(s, all)
+    val cosTop = simTopK(s, d)
     val sysRows = simAnnLsh(s, d)
       .select(lit("lsh").as("sys"), col("qid"), col("vec_id"), col("rn"))
+      .unionByName(simAnnMultiLsh(s, d)
+        .select(lit("mlsh").as("sys"), col("qid"), col("vec_id"), col("rn")))
       .unionByName(topAdc
         .select(lit("adc").as("sys"), col("qid"), col("vec_id"), col("rn")))
-    val gains = simTopK(s, d)
-      .select(lit("lsh").as("sys"), col("qid"), col("vec_id"),
+    val cosGain = (sysName: String) => cosTop
+      .select(lit(sysName).as("sys"), col("qid"), col("vec_id"),
               (lit(TopK + 1L) - col("rn")).as("gain"))
+    val gains = cosGain("lsh")
+      .unionByName(cosGain("mlsh"))
       .unionByName(topL2
         .select(lit("adc").as("sys"), col("qid"), col("vec_id"),
                 (lit(TopK + 1L) - col("rn")).as("gain")))
@@ -946,7 +1040,7 @@ object SimilarityOps {
            min(when(col("gain") > 0, col("rn"))).as("frp0"),
            sum(col("gain") * col("disc")).as("dcg0"))
     import s.implicits._
-    val grid = Seq("adc", "lsh").toDF("sys")
+    val grid = Seq("adc", "lsh", "mlsh").toDF("sys")
       .crossJoin(all.filter(col("vec_id") < NQueries).select(col("vec_id").as("qid")))
     grid.join(m, Seq("sys", "qid"), "left")
       .select(col("sys"), col("qid"),
@@ -968,6 +1062,7 @@ object SimilarityOps {
     val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
     s"""WITH $baseCte,
        |$pqCodesCteSql,
+       |$multiLshCteSql,
        |qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
        |       WHERE vec_id < $NQueries),
        |cs AS (SELECT qq.qid, n.vec_id,
@@ -1009,9 +1104,13 @@ object SimilarityOps {
        |  WHERE rn <= $TopK),
        |sys AS (SELECT 'lsh' AS sys, qid, vec_id, CAST(rn AS BIGINT) AS rn FROM lr
        |        UNION ALL
+       |        SELECT 'mlsh', qid, vec_id, CAST(rn AS BIGINT) FROM mr
+       |        UNION ALL
        |        SELECT 'adc', qid, vec_id, CAST(rn AS BIGINT) FROM pat),
        |g AS (SELECT 'lsh' AS sys, qid, vec_id,
        |        CAST(${TopK + 1} - rn AS BIGINT) AS gain FROM ct
+       |      UNION ALL
+       |      SELECT 'mlsh', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM ct
        |      UNION ALL
        |      SELECT 'adc', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet),
        |j AS (SELECT s.sys, s.qid, s.rn, COALESCE(g.gain, 0) AS gain
@@ -1023,7 +1122,8 @@ object SimilarityOps {
        |        CAST(SUM(gain * CASE rn $discArms ELSE 0 END) AS BIGINT) AS dcg_e9
        |      FROM j GROUP BY sys, qid),
        |grid AS (SELECT sys, qid FROM
-       |           (SELECT 'adc' AS sys UNION ALL SELECT 'lsh') CROSS JOIN
+       |           (SELECT 'adc' AS sys UNION ALL SELECT 'lsh'
+       |            UNION ALL SELECT 'mlsh') CROSS JOIN
        |           (SELECT vec_id AS qid FROM n WHERE vec_id < $NQueries)),
        |f AS (SELECT grid.sys, grid.qid,
        |        CAST(COALESCE(m.n_rel, 0) AS BIGINT) AS n_rel,
@@ -1059,6 +1159,8 @@ object SimilarityOps {
       "ADC top-k over PQ codes: broadcast 640-row integer LUT, 8 lookups + sum per candidate, measured recall vs exact L2"),
     Q("q160_pq_refine", pqRefine, Some(pqRefineSql),
       "one Lloyd refinement of the PQ codebooks: quantized-exact update in one scan, broadcast re-assignment, per-entry error audit"),
+    Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
+      "multi-table LSH ANN: 4 tables x 5 planes, any-table collision, MAX-dedup before ranking"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
-      "integer-exact nDCG@10/MRR for the LSH and PQ-ADC lanes vs their exact counterparts (literal log2-discount LUT)"))
+      "integer-exact nDCG@10/MRR for the LSH/multi-LSH/PQ-ADC lanes vs their exact counterparts (literal log2-discount LUT)"))
 }

@@ -33,6 +33,7 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
           (q, vs.sortBy(_._3).map(t => (t._2, t._3)).toSeq)
         }
     val lsh = ranked(ops.SimilarityOps.simAnnLsh(spark, sf))
+    val mlsh = ranked(ops.SimilarityOps.simAnnMultiLsh(spark, sf))
     val cosT = ranked(ops.SimilarityOps.simTopK(spark, sf))
 
     def check(sys: String, sysList: Map[Long, Seq[(Long, Long)]],
@@ -60,6 +61,16 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
       }
 
     check("lsh", lsh, cosT)
+    check("mlsh", mlsh, cosT)
+    // the multi-table fix measurably beats the single-table lane
+    def meanNd(sys: String): Double = {
+      val vs = got.collect { case ((s, _), v) if s == sys => v._5 }
+      vs.sum.toDouble / vs.size / 1e6
+    }
+    info(f"mean nDCG@10: lsh ${meanNd("lsh")}%.3f mlsh ${meanNd("mlsh")}%.3f " +
+      f"adc ${meanNd("adc")}%.3f")
+    assert(meanNd("mlsh") > meanNd("lsh"),
+      "multi-table LSH did not improve on single-table")
     // metric ranges + ADC floor (its candidate set is the whole corpus)
     got.values.foreach { case (_, _, _, mrr, nd) =>
       assert(mrr >= 0 && mrr <= 1000000 && nd >= 0 && nd <= 1000000)
