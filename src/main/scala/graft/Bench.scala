@@ -34,7 +34,20 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** 1-minute load average — recorded at run start and end so a bench
+    * taken on a contended box self-annotates (r8: a loaded driver run
+    * read 197 s vs 119 s idle for identical code; without this field
+    * the contamination is only detectable by forensic re-runs).
+    */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = Sessions.benchSession("graft-bench")
@@ -207,12 +220,13 @@ object Bench {
     val rsses = rssMb.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
     val peakRss = procStatusMb("VmHWM")
+    val loadEnd = loadAvg1m()
     val qsMed = qMedian.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val qsReps = qRepCount.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","errors":$errors,"queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","errors":$errors,"queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"loadavg_start":${num(loadStart, 2)},"loadavg_end":${num(loadEnd, 2)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -225,7 +239,7 @@ object Bench {
       if (k.startsWith("stage_")) k else k.takeWhile(_ != '_')
     val qsShort = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","errors":$errors,"queries":$qsShort,"peak_rss_mb":${num(peakRss, 1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","errors":$errors,"queries":$qsShort,"peak_rss_mb":${num(peakRss, 1)},"loadavg_start":${num(loadStart, 2)},"loadavg_end":${num(loadEnd, 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -753,7 +753,13 @@ object AdvancedOps {
   //      sketch stores. The harmonic-mean estimate is integer-exact
   //      cross-engine: S = Σ 2^(cap − M_j) is an exact BIGINT, and
   //      alpha·m²·2^cap rides as a digit-string DECIMAL(38,0)/HUGEINT
-  //      with a documented div order (÷S first, then ÷1e9). The
+  //      divided by (S·1e9) in ONE wide-integer step: Spark's `div`
+  //      returns BIGINT, so the former two-step (÷S, then ÷1e9) put an
+  //      est·1e9-scale intermediate in a Long — overflow once a group's
+  //      cardinality passes ~9.2e9, exactly the billions regime the
+  //      lane advertises. floor(floor(a/b)/c) = floor(a/(b·c)) for
+  //      positive integers, so the combined divisor is value-identical
+  //      where both forms are defined and survives to est ~9.2e18. The
   //      register checksum proves both engines hold bit-identical
   //      registers; the exact COUNT(DISTINCT) audit + a 30% integer
   //      error envelope ride the same relation (q44's envelope idea,
@@ -782,8 +788,8 @@ object AdvancedOps {
       .withColumn("s_sum",
         expr(s"s_present + ($HllM - n_regs) * ${1L << HllCap}"))
       .withColumn("est",
-        expr(s"CAST((CAST('$hllNum' AS DECIMAL(38,0)) div s_sum) " +
-          "div 1000000000 AS BIGINT)"))
+        expr(s"CAST('$hllNum' AS DECIMAL(38,0)) div " +
+          "(CAST(s_sum AS DECIMAL(20,0)) * 1000000000)"))
     val truth = li.groupBy("grp").agg(countDistinct(col("k")).as("n_true"))
     st.join(truth, Seq("grp"))
       .select(col("grp"), col("n_regs"), col("s_sum"), col("reg_checksum"),
@@ -812,8 +818,8 @@ object AdvancedOps {
        |         reg_checksum
        |       FROM st),
        |e AS (SELECT grp, n_regs, s_sum, reg_checksum,
-       |        CAST((CAST('$hllNum' AS HUGEINT) // s_sum) // 1000000000
-       |          AS BIGINT) AS est
+       |        CAST(CAST('$hllNum' AS HUGEINT)
+       |          // (CAST(s_sum AS HUGEINT) * 1000000000) AS BIGINT) AS est
        |      FROM s2),
        |t AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_true
        |      FROM lineitem GROUP BY 1)

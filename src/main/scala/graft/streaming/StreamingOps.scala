@@ -782,14 +782,18 @@ object StreamingOps {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Fixtures.writeMarker(sdgMarker, s"$d/documents.parquet")
     }
-    // static prep: corpus-slice histograms -> ratio array + cutoff
+    // static prep: corpus-slice histograms -> ratio array + cutoff.
+    // ONE conditional aggregate (count + count-when-en per bucket): the
+    // former raw/tgt split aggregated the unpersisted tokenize+explode
+    // relation twice — a full second corpus pass (VERDICT r8 #4) — and
+    // needed a left join + null-fill that the conditional count gets by
+    // construction (0 for buckets with no target grams).
     val B = graft.ops.TextOps.DsirB
-    val corpusGrams = graft.ops.TextOps.dsirGrams(s, d)
+    val hist = graft.ops.TextOps.dsirGrams(s, d)
       .filter(col("doc_id") % 5 =!= 4)
-    val raw = corpusGrams.groupBy("bkt").agg(count(lit(1)).as("rawc"))
-    val tgt = corpusGrams.filter(col("lang") === "en")
-      .groupBy("bkt").agg(count(lit(1)).as("tgtc"))
-    val hist = raw.join(tgt, Seq("bkt"), "left").na.fill(0L, Seq("tgtc"))
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("rawc"),
+           count(when(col("lang") === "en", 1)).as("tgtc"))
       .select("bkt", "rawc", "tgtc").collect()
     // empty bucket default (0+1)*1e6 div (0+1) — matches the oracle's
     // COALESCE on the left join, so engines agree BY CONSTRUCTION even

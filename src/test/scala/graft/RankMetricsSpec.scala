@@ -34,6 +34,7 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
         }
     val lsh = ranked(ops.SimilarityOps.simAnnLsh(spark, sf))
     val mlsh = ranked(ops.SimilarityOps.simAnnMultiLsh(spark, sf))
+    val ivf = ranked(ops.SimilarityOps.simAnnIvf(spark, sf))
     val cosT = ranked(ops.SimilarityOps.simTopK(spark, sf))
 
     def check(sys: String, sysList: Map[Long, Seq[(Long, Long)]],
@@ -62,15 +63,22 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
 
     check("lsh", lsh, cosT)
     check("mlsh", mlsh, cosT)
+    check("ivf", ivf, cosT)
     // the multi-table fix measurably beats the single-table lane
     def meanNd(sys: String): Double = {
       val vs = got.collect { case ((s, _), v) if s == sys => v._5 }
       vs.sum.toDouble / vs.size / 1e6
     }
     info(f"mean nDCG@10: lsh ${meanNd("lsh")}%.3f mlsh ${meanNd("mlsh")}%.3f " +
-      f"adc ${meanNd("adc")}%.3f")
+      f"ivf ${meanNd("ivf")}%.3f adc ${meanNd("adc")}%.3f")
     assert(meanNd("mlsh") > meanNd("lsh"),
       "multi-table LSH did not improve on single-table")
+    // quality floor for the REGISTERED scale path (VERDICT r8 #1: the
+    // lsh-family lane the registry points 100 TB traffic at must hold
+    // mean nDCG@10 >= 0.3, the level q164 measured when it displaced
+    // q39 from that role)
+    assert(meanNd("mlsh") >= 0.3,
+      f"registered ANN path quality floor: mlsh mean nDCG ${meanNd("mlsh")}%.3f < 0.3")
     // metric ranges + ADC floor (its candidate set is the whole corpus)
     got.values.foreach { case (_, _, _, mrr, nd) =>
       assert(mrr >= 0 && mrr <= 1000000 && nd >= 0 && nd <= 1000000)

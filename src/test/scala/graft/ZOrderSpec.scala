@@ -82,8 +82,15 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     val sL = sProbes.map { case (lo, hi) => touched("linear", lo, hi, "s") }
     info(s"suppkey probes touch (zorder): ${sZ.mkString(",")} of $nZ buckets")
     info(s"suppkey probes touch (linear): ${sL.mkString(",")} of $nL buckets")
-    // linear layout cannot prune on suppkey: every probe touches every bucket
-    assert(sL.forall(_ == nL), "expected zero suppkey skipping under linear sort")
+    // linear layout cannot meaningfully prune on suppkey. Near-total
+    // rather than total (r8 ADVICE: at very small sfs a sparse partkey
+    // bucket can happen to miss a suppkey extreme, which is data
+    // sparsity, not layout behavior): every probe touches >= 90% of
+    // buckets, and on average the probes touch essentially all of them.
+    assert(sL.forall(_ * 10 >= nL * 9),
+      s"expected ~zero suppkey skipping under linear sort: ${sL.mkString(",")} vs $nL")
+    assert(sL.sum.toDouble / sL.size >= nL * 0.95,
+      s"linear layout pruned suppkey on average: ${sL.mkString(",")} vs $nL")
     // z-order prunes: each 1/8-domain probe touches at most half the buckets
     assert(sZ.forall(_ <= nZ / 2),
       s"z-order suppkey skipping too weak: ${sZ.mkString(",")} vs $nZ buckets")
