@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   *  - q38 brute-force top-k: the exact baseline. The query set is tiny
   *    and broadcast; the corpus streams past it — no shuffle of the big
   *    side, scales linearly with corpus size and number of executors.
-  *  - q164 multi-table LSH: THE REGISTERED 100 TB ANN PATH. T
+  *  - q164 multi-table LSH: THE REGISTERED 100 TB ANN PATH. T=8
   *    independent hyperplane tables, any-table collision, MAX-dedup
-  *    before ranking — q163 measures it at mean nDCG@10 ≈ 0.36 where
+  *    before ranking — q163 measures it at mean nDCG@10 ≈ 0.5 where
   *    the single-table lane reads ≈ 0.01–0.07 (miss probability
   *    multiplies across tables). Index cost: T entries per vector,
-  *    T bucket probes per query.
+  *    T bucket probes per query; geometry picked by the DevAnnSweep
+  *    measured grid.
   *  - q39 single-table LSH: kept as the pedagogical single-table lane.
   *    Its own eval row (q163 'lsh') shows why one table is not enough:
   *    a 6-plane signature either nails a bucket or returns almost
@@ -62,6 +63,9 @@ object SimilarityOps {
     * widen exactly, so results match the double-list SQL twin bit for
     * bit) — no per-element cast pass in the hot path.
     */
+  /** Exposed for DevAnnSweep's grid (same relation every lane starts from). */
+  private[graft] def baseFor(s: SparkSession, d: String): DataFrame = base(s, d)
+
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .repartition(col("vec_id")) // single-file input → force compute parallelism
@@ -131,22 +135,37 @@ object SimilarityOps {
   /** Single-table LSH over an externally-supplied plane set — the
     * registered q39 lane at [[planeInt]]; the sweep passes other counts.
     */
-  private[graft] def simAnnLshOn(
-      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
-    val all = allIn.withColumn("bkt", bucketFor(col("v"), ws))
-    val q = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-              col("nrm").as("qn"), col("bkt").as("qbkt"))
-    val cand = all.join(broadcast(q),
-        col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+  /** Shared top-K presentation: rank candidates per query by cosine
+    * with a deterministic id tie-break, keep K, BIGINT the rank after
+    * the filter (a cast between window and filter would hide the rn<=k
+    * shape from TopKRankPushdown).
+    */
+  private def rankTopK(cand: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .withColumn("rn", col("rn").cast("long"))
       .orderBy("qid", "rn")
   }
+
+  /** Single-table candidate set (qid, vec_id, cos_r) — scored bucket
+    * collisions, pre-ranking (DevAnnSweep counts these as probe cost).
+    */
+  private[graft] def lshCandidates(
+      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    val all = allIn.withColumn("bkt", bucketFor(col("v"), ws))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn"), col("bkt").as("qbkt"))
+    all.join(broadcast(q),
+        col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+  }
+
+  private[graft] def simAnnLshOn(
+      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]]): DataFrame =
+    rankTopK(lshCandidates(allIn, ws))
 
   private val simAnnLshSql =
     s"""WITH $baseCte,
@@ -164,21 +183,28 @@ object SimilarityOps {
 
   // ---- q164: multi-table LSH — THE REGISTERED 100 TB ANN PATH (the
   //      recall fix for q39 that q163's eval demanded: single-table
-  //      6-plane LSH measures near-zero top-10 agreement; this lane
-  //      measures mean nDCG@10 ≈ 0.36 on the same grid): T=4
+  //      6-plane LSH measures near-zero top-10 agreement): T=8
   //      independent tables of 5 hyperplanes each; a pair collides if
   //      ANY table buckets it together, so the miss probability
   //      multiplies across tables (1−(1−p^k)^T). Cost model at 100 TB:
   //      the index stores T entries per vector and probes T buckets per
   //      query — the classic recall-for-space trade, here measured
   //      rather than asserted (q163 scores this lane as 'mlsh' next to
-  //      'lsh', 'ivf' and 'adc'; DevAnnSweep sweeps T×k around this
-  //      point). Duplicate candidates from multiple tables collapse
+  //      'lsh', 'ivf' and 'adc'). Geometry chosen BY the DevAnnSweep
+  //      grid (bench_evidence/r9_ann_sweep.md): at fixed k=5, mean
+  //      nDCG@10 climbs 0.19 → 0.27 → 0.45 → 0.53 as T goes
+  //      2 → 4 → 6 → 8, each table paying ~n/2^k scored candidates
+  //      per query. In deployment k scales as log2(n / target bucket
+  //      size) — k pins the per-table candidate fraction (2^-k of the
+  //      corpus), T multiplies recall at T× index entries; both are
+  //      parameters of the lane now (simAnnMultiLshOn), so re-sizing
+  //      is a measurement away, not a code change. Duplicate
+  //      candidates from multiple tables collapse
   //      via a (qid, vec_id) MAX aggregate BEFORE ranking (scores of
   //      duplicates are identical doubles, so MAX is a dedup, not a
   //      choice). Same seeded-md5 plane recipe as q39, seeded per
   //      table — both engines derive identical buckets. ----
-  private[graft] val MtTables = 4
+  private[graft] val MtTables = 8
   private[graft] val MtPlanes = 5
 
   /** Per-table plane weights, seed-stable in both counts (table t /
@@ -211,7 +237,10 @@ object SimilarityOps {
     * set — the registered q164 lane at [[mtPlaneInt]]; DevAnnSweep
     * passes other (T, k) geometries.
     */
-  private[graft] def simAnnMultiLshOn(
+  /** Any-table candidate set (qid, vec_id, cos_r), MAX-deduped across
+    * tables, pre-ranking (DevAnnSweep counts these as probe cost).
+    */
+  private[graft] def mtCandidates(
       all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
     val tagged = all.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array(tws.map(tw => mtBucket(col("v"), tw)): _*))
@@ -219,19 +248,18 @@ object SimilarityOps {
     val q = tagged.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
               col("t").as("qt"), col("bkt").as("qbkt"))
-    val cand = tagged.join(broadcast(q),
+    tagged.join(broadcast(q),
         col("t") === col("qt") && col("bkt") === col("qbkt")
           && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
               round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
                 .as("cos_r"))
       .groupBy("qid", "vec_id").agg(max(col("cos_r")).as("cos_r"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .withColumn("rn", col("rn").cast("long"))
-      .orderBy("qid", "rn")
   }
+
+  private[graft] def simAnnMultiLshOn(
+      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+    rankTopK(mtCandidates(all, tws))
 
   /** CTE chain ending in `mr (qid, vec_id, cos_r, rn)` — the SQL twin
     * of [[simAnnMultiLsh]]'s ranked list, shared by q164 and q163.
@@ -1216,7 +1244,7 @@ object SimilarityOps {
     Q("q160_pq_refine", pqRefine, Some(pqRefineSql),
       "one Lloyd refinement of the PQ codebooks: quantized-exact update in one scan, broadcast re-assignment, per-entry error audit"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
-      "multi-table LSH ANN — the registered 100 TB ANN path: 4 tables x 5 planes, any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.36 vs ~0.01 single-table)"),
+      "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
       "integer-exact nDCG@10/MRR for the LSH/multi-LSH/IVF/PQ-ADC lanes vs their exact counterparts (literal log2-discount LUT)"))
 }
