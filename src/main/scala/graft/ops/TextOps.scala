@@ -540,6 +540,96 @@ object TextOps {
        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 25""".stripMargin
   }
 
+  // ---- q167: the FULL BPE merge loop (Sennrich et al. 2016) — the
+  //      bounded induction q112's step-1 pair counts point at (VERDICT
+  //      r8 #6), run the way real tokenizer trainers run it: ONE corpus
+  //      scan builds the word-frequency table (the classic BPE
+  //      pre-aggregation — the loop then never touches the corpus
+  //      again, only the vocab relation), then K=8 driver-paced merge
+  //      rounds of count-pairs → argmax → apply-merge over the vocab.
+  //      Words ride as sentinel-wrapped symbol strings ("abc" →
+  //      "|a||b||c|"): a pair (x,y) is the literal "|x||y|", and
+  //      applying a merge is ONE engine-native replace() — both Spark
+  //      and DuckDB scan left-to-right non-overlapping, which under
+  //      the double-sentinel wrapping IS textbook greedy-leftmost BPE
+  //      application ("|a||a||a||a|" → "|aa||aa|"; BpeMergeSpec proves
+  //      the equivalence against a direct symbol-list implementation).
+  //      Only the per-round argmax row (n DESC, pair ASC — total
+  //      tie-break) and the K-row merge table touch the driver; the
+  //      vocab stays a DataFrame, so at 100 TB (vocab ~10M words) each
+  //      round is a small distributed scan, exactly like production
+  //      BPE training on a word-count dictionary. The round count is
+  //      FIXED (a data-dependent stop would not be SQL-expressible);
+  //      the SQL twin unrolls the same 8 rounds as generated CTEs. ----
+  private val BpeMergeRounds = 8
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    // word-frequency table: the one corpus-scale aggregation. The
+    // [a-z]+ gate pins the symbol alphabet away from the '|' sentinel
+    // and the ' ' pair separator (tokenizer trainers normalize first).
+    val words = docs(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var cur = words
+      .select(col("cnt"), regexp_replace(col("w"), "(.)", "|$1|").as("ws"))
+      .persist()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to BpeMergeRounds) {
+      val syms = split(expr("substring(ws, 2, length(ws) - 2)"), "\\|\\|")
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val best = cur.select(col("cnt"), explode(pairs).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE pair supply exhausted at round $k of $BpeMergeRounds — " +
+          "lower BpeMergeRounds for this corpus (fixed count keeps the " +
+          "SQL twin expressible)")
+      val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
+      merges += ((k.toLong, lhs, rhs, lhs + rhs, best.head.getLong(1)))
+      // one native replace applies the merge everywhere; symbols are
+      // [a-z]+ so the inlined literals need no quoting
+      cur = cur.withColumn("ws",
+        expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
+    }
+    cur.unpersist(false)
+    import s.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  private val bpeMergesSql = {
+    val t = tokensSql("text")
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS (SELECT w, COUNT(*) AS cnt FROM (
+      SELECT unnest($t) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+v0 AS (SELECT cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS ws FROM w0)"""
+    for (k <- 1 to BpeMergeRounds) {
+      sb ++= s""",
+pr$k AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+  SELECT cnt, unnest(list_transform(range(1, len(syms)),
+    i -> syms[i] || ' ' || syms[i + 1])) AS pair
+  FROM (SELECT cnt, str_split(substring(ws, 2, length(ws) - 2), '||') AS syms
+        FROM v${k - 1})) GROUP BY pair),
+b$k AS (SELECT split_part(pair, ' ', 1) AS lhs,
+  split_part(pair, ' ', 2) AS rhs, n FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rn FROM pr$k)
+  WHERE rn = 1),
+v$k AS (SELECT cnt, replace(ws, '|' || lhs || '||' || rhs || '|',
+  '|' || lhs || rhs || '|') AS ws FROM v${k - 1}, b$k),
+m$k AS (SELECT CAST($k AS BIGINT) AS step, lhs, rhs,
+  lhs || rhs AS merged, n AS pair_count FROM b$k)"""
+    }
+    val unions = (1 to BpeMergeRounds).map(k => s"SELECT * FROM m$k")
+      .mkString(" UNION ALL ")
+    s"WITH ${sb.toString}\nSELECT * FROM ($unions) ORDER BY step"
+  }
+
   // ---- q128: n-gram LM quality scoring — the perplexity-filter shape
   //      (CCNet/KenLM) in integer-exact form: corpus-wide bigram
   //      frequencies, then each doc scored by the mean corpus frequency
@@ -1788,6 +1878,8 @@ object TextOps {
       "deterministic sharded training shuffle + microbatch packing"),
     Q("q112_bpe_pairs", bpePairs, Some(bpePairsSql),
       "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"),
+    Q("q167_bpe_merges", bpeMerges, Some(bpeMergesSql),
+      "full BPE merge loop: 8 driver-paced rounds over the word-frequency table, sentinel-wrapped replace() application, emits the merge table"),
     Q("q128_lm_score", lmScore, Some(lmScoreSql),
       "n-gram LM quality score: mean corpus bigram frequency per doc (integer-exact perplexity analogue)"),
     Q("q117_boilerplate", boilerplate, Some(boilerplateSql),
