@@ -563,7 +563,13 @@ object TextOps {
   //      the SQL twin unrolls the same 8 rounds as generated CTEs. ----
   private val BpeMergeRounds = 8
 
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  /** The bounded merge loop shared by q167 (merge table) and q168
+    * (encoding): returns the K merge rows, the trained vocab (w, cnt,
+    * ws — ws holds the post-merge wrapped symbols), and the persisted
+    * base handle the vocab chains from; callers own its release.
+    */
+  private def bpeTrainCore(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame, DataFrame) = {
     // word-frequency table: the one corpus-scale aggregation. The
     // [a-z]+ gate pins the symbol alphabet away from the '|' sentinel
     // and the ' ' pair separator (tokenizer trainers normalize first).
@@ -571,9 +577,11 @@ object TextOps {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var cur = words
-      .select(col("cnt"), regexp_replace(col("w"), "(.)", "|$1|").as("ws"))
+    val base = words
+      .select(col("w"), col("cnt"),
+              regexp_replace(col("w"), "(.)", "|$1|").as("ws"))
       .persist()
+    var cur = base
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (k <- 1 to BpeMergeRounds) {
       val syms = split(expr("substring(ws, 2, length(ws) - 2)"), "\\|\\|")
@@ -596,20 +604,62 @@ object TextOps {
       cur = cur.withColumn("ws",
         expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
     }
-    cur.unpersist(false)
+    (merges.result(), cur, base)
+  }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val (merges, _, handle) = bpeTrainCore(s, d)
+    handle.unpersist(false)
     import s.implicits._
-    merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+    merges.toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy("step")
   }
 
-  private val bpeMergesSql = {
+  // ---- q168: ENCODING with the trained tokenizer — the apply half of
+  //      the q167 train loop, and the real token-counting lane (SURVEY
+  //      token counting uses whitespace + a BPE-ish regex; this counts
+  //      with an actually-trained BPE). Per-word token counts come
+  //      straight off the trained vocab — n_sym = |'|' chars| / 2 of
+  //      the post-merge wrapped string — and documents join that vocab
+  //      (BROADCAST: a tokenizer vocab is ~10 M rows at web scale, the
+  //      standard broadcast-dictionary shape for distributed
+  //      tokenization) with a char-length fallback for words outside
+  //      the trained alphabet (the byte-fallback analogue). One corpus
+  //      scan + one broadcast join + one aggregate: at 100 TB this is
+  //      exactly the counting job every dataset card runs. ----
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab, handle) = bpeTrainCore(s, d)
+    val wsyms = vocab.select(col("w"),
+      expr("CAST((length(ws) - length(replace(ws, '|', ''))) div 2 AS BIGINT)")
+        .as("n_sym"))
+    val result = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wsyms), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(coalesce(col("n_sym"), length(col("w")).cast("long")))
+             .as("n_tokens"),
+           sum(length(col("w")).cast("long")).as("n_chars"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    handle.unpersist(false)
+    result
+  }
+
+  /** Generated training CTE chain shared by the q167 and q168 twins:
+    * w0 (word counts) → v0 (wrapped symbols) → per round k: pair
+    * counts (prK), argmax (bK), applied vocab (vK), merge row (mK).
+    * vK carries the word through so the encoder can join on it.
+    */
+  private def bpeCteSql(rounds: Int): String = {
     val t = tokensSql("text")
     val sb = new StringBuilder
     sb ++= s"""w0 AS (SELECT w, COUNT(*) AS cnt FROM (
       SELECT unnest($t) AS w FROM documents)
       WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
-v0 AS (SELECT cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS ws FROM w0)"""
-    for (k <- 1 to BpeMergeRounds) {
+v0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS ws FROM w0)"""
+    for (k <- 1 to rounds) {
       sb ++= s""",
 pr$k AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
   SELECT cnt, unnest(list_transform(range(1, len(syms)),
@@ -620,14 +670,31 @@ b$k AS (SELECT split_part(pair, ' ', 1) AS lhs,
   split_part(pair, ' ', 2) AS rhs, n FROM (
   SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rn FROM pr$k)
   WHERE rn = 1),
-v$k AS (SELECT cnt, replace(ws, '|' || lhs || '||' || rhs || '|',
+v$k AS (SELECT w, cnt, replace(ws, '|' || lhs || '||' || rhs || '|',
   '|' || lhs || rhs || '|') AS ws FROM v${k - 1}, b$k),
 m$k AS (SELECT CAST($k AS BIGINT) AS step, lhs, rhs,
   lhs || rhs AS merged, n AS pair_count FROM b$k)"""
     }
+    sb.toString
+  }
+
+  private val bpeMergesSql = {
     val unions = (1 to BpeMergeRounds).map(k => s"SELECT * FROM m$k")
       .mkString(" UNION ALL ")
-    s"WITH ${sb.toString}\nSELECT * FROM ($unions) ORDER BY step"
+    s"WITH ${bpeCteSql(BpeMergeRounds)}\nSELECT * FROM ($unions) ORDER BY step"
+  }
+
+  private val bpeEncodeSql = {
+    val t = tokensSql("text")
+    s"""WITH ${bpeCteSql(BpeMergeRounds)},
+vs AS (SELECT w, CAST((length(ws) - length(replace(ws, '|', ''))) // 2 AS BIGINT)
+         AS n_sym FROM v$BpeMergeRounds),
+dw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest($t) AS w FROM documents)
+       WHERE w <> '')
+SELECT doc_id, COUNT(*) AS n_words,
+  CAST(SUM(COALESCE(vs.n_sym, length(dw.w))) AS BIGINT) AS n_tokens,
+  CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars
+FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // ---- q128: n-gram LM quality scoring — the perplexity-filter shape
@@ -1880,6 +1947,8 @@ m$k AS (SELECT CAST($k AS BIGINT) AS step, lhs, rhs,
       "tokenizer induction: corpus-wide adjacent-pair counts (BPE step 1)"),
     Q("q167_bpe_merges", bpeMerges, Some(bpeMergesSql),
       "full BPE merge loop: 8 driver-paced rounds over the word-frequency table, sentinel-wrapped replace() application, emits the merge table"),
+    Q("q168_bpe_encode", bpeEncode, Some(bpeEncodeSql),
+      "trained-tokenizer encoding: per-doc BPE token counts via broadcast vocab join, char-length fallback for out-of-alphabet words"),
     Q("q128_lm_score", lmScore, Some(lmScoreSql),
       "n-gram LM quality score: mean corpus bigram frequency per doc (integer-exact perplexity analogue)"),
     Q("q117_boilerplate", boilerplate, Some(boilerplateSql),

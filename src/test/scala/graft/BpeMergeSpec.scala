@@ -28,13 +28,14 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
     out.result()
   }
 
+  /** (merge table, trained word -> symbol count) by direct BPE. */
   private def directBpe(words: Seq[(String, Long)])
-      : Seq[(Long, String, String, String, Long)] = {
-    var vocab: Seq[(List[String], Long)] =
-      words.map { case (w, c) => (w.toList.map(_.toString), c) }
-    (1 to Rounds).map { k =>
+      : (Seq[(Long, String, String, String, Long)], Map[String, Long]) = {
+    var vocab: Seq[(String, List[String], Long)] =
+      words.map { case (w, c) => (w, w.toList.map(_.toString), c) }
+    val merges = (1 to Rounds).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
+      vocab.foreach { case (_, syms, c) =>
         syms.zip(syms.tail).foreach { p =>
           counts(p) = counts.getOrElse(p, 0L) + c
         }
@@ -42,9 +43,10 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
       // argmax with the engine's tie-break: n DESC, then "lhs rhs" ASC
       val ((lhs, rhs), n) = counts.toSeq
         .minBy { case ((a, b), n) => (-n, a + " " + b) }
-      vocab = vocab.map { case (syms, c) => (applyMerge(syms, lhs, rhs), c) }
+      vocab = vocab.map { case (w, syms, c) => (w, applyMerge(syms, lhs, rhs), c) }
       (k.toLong, lhs, rhs, lhs + rhs, n)
     }
+    (merges, vocab.map { case (w, syms, _) => (w, syms.length.toLong) }.toMap)
   }
 
   test("q167 merge table equals a direct symbol-list BPE over 8 rounds") {
@@ -52,7 +54,7 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
       .selectExpr("explode(split(text, ' ')) AS w").collect()
       .map(_.getString(0)).filter(_.matches("^[a-z]+$"))
       .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
-    val want = directBpe(words)
+    val (want, _) = directBpe(words)
     val got = ops.TextOps.bpeMerges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
                  r.getString(3), r.getLong(4))).toSeq
@@ -62,5 +64,27 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
     // earlier merge's output symbol (multi-char lhs/rhs)
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
       "no merge built on a previous merge — loop may not be feeding back")
+  }
+
+  test("q168 per-doc token counts equal encoding with the direct-BPE vocab") {
+    val docRows = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val words = docRows.flatMap(_._2.split(" ")).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val (_, nSym) = directBpe(words)
+    val want = docRows.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong,
+       ws.map(w => nSym.getOrElse(w, w.length.toLong)).sum,
+       ws.map(_.length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    val got = ops.TextOps.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "engine encoding != direct-BPE encoding")
+    // training must actually compress: fewer tokens than characters
+    val (toks, chars) = (got.map(_._3).sum, got.map(_._4).sum)
+    info(f"corpus: $chars chars -> $toks BPE tokens (${toks.toDouble / chars}%.2f)")
+    assert(toks < chars, "BPE encoding did not compress vs characters")
   }
 }
