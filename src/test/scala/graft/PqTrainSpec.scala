@@ -123,6 +123,32 @@ class PqTrainSpec extends AnyFunSuite with SparkTestBase {
       f"training materially degraded ADC recall: $seed%.2f -> $trained%.2f")
   }
 
+  test("q169 leakage control: seed-vs-trained recall under leaked and held-out seeds") {
+    def recall(parts: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Double = {
+      val (adc, exact) = parts
+      val hits = exact.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = adc.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.count(hits.contains).toDouble / hits.size
+    }
+    val all = ops.SimilarityOps.baseFor(spark, sf).persist()
+    val leakedSeed = recall(ops.SimilarityOps.pqSearchPartsB(
+      spark, all, ops.SimilarityOps.pqSeedBooks(all)))
+    val (leakedBooks, _) = ops.SimilarityOps.pqTrainCore(all)
+    val leakedTrained = recall(ops.SimilarityOps.pqSearchPartsB(spark, all, leakedBooks))
+    val holdSeed = recall(ops.SimilarityOps.pqSearchPartsB(
+      spark, all, ops.SimilarityOps.pqSeedBooks(all, 5L)))
+    val (holdBooks, _) = ops.SimilarityOps.pqTrainCore(all, 5L)
+    val holdTrained = recall(ops.SimilarityOps.pqSearchPartsB(spark, all, holdBooks))
+    all.unpersist(false)
+    info(f"recall@10: leaked seed $leakedSeed%.2f -> trained $leakedTrained%.2f; " +
+      f"held-out seed $holdSeed%.2f -> trained $holdTrained%.2f")
+    // the 2x2 exists to MEASURE the leakage mechanism; the only hard
+    // assertions are sanity bounds (5 queries x 10 judgments is noisy)
+    Seq(leakedSeed, leakedTrained, holdSeed, holdTrained).foreach { r =>
+      assert(r >= 0 && r <= 1)
+    }
+  }
+
   test("trained-books ADC nDCG@10 vs exact L2 (the q163 'adc' fold, re-measured)") {
     // same literal log2-discount LUT as q163, driver-side
     val disc = (1 to 10).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0)))
