@@ -75,6 +75,15 @@ object DevAnnSweep {
       val note = if (tables == MtTables && planes == MtPlanes) "**registered q164**" else ""
       println(f"| multi | $tables | $planes | $nd%.3f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
     }
+    // IVF: the probe count is the cost knob (cells probed per query);
+    // the cell count stays corpus-derived like the registered q50 lane
+    val k = ivfKFor(n)
+    for (nProbes <- Seq(1, 2, 4, 8)) {
+      val nd = meanNdcg(simAnnIvfOn(all, k, nProbes), truth)
+      val c = cost(ivfCandidates(all, k, nProbes))
+      val note = if (nProbes == 2) "**registered q50**" else ""
+      println(f"| ivf | - | p=$nProbes | $nd%.3f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
+    }
     all.unpersist(false)
     spark.stop()
   }

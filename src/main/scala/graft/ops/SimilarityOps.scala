@@ -310,10 +310,11 @@ object SimilarityOps {
   private val IvfKMax = 50000L // bounds assignment at O(n·k_max), broadcast at MB-scale
 
   /** Corpus-derived IVF cell count — footer-metadata count, no scan. */
-  private def ivfCellCount(s: SparkSession, d: String): Long = {
-    val n = Tables.embeddings(s, d).count()
+  private def ivfCellCount(s: SparkSession, d: String): Long =
+    ivfKFor(Tables.embeddings(s, d).count())
+
+  private[graft] def ivfKFor(n: Long): Long =
     math.min(IvfKMax, math.max(IvfMinCells, (n + IvfCellTarget - 1) / IvfCellTarget))
-  }
 
   /** k-means demo (q64) keeps a FIXED 16-cell index: it exercises the
     * one-Lloyd-iteration primitive, not index sizing.
@@ -342,7 +343,16 @@ object SimilarityOps {
   def simAnnIvf(s: SparkSession, d: String): DataFrame =
     simAnnIvfOn(base(s, d), ivfCellCount(s, d))
 
-  private[graft] def simAnnIvfOn(all: DataFrame, k: Long): DataFrame = {
+  private[graft] def simAnnIvfOn(
+      all: DataFrame, k: Long, nProbes: Int = IvfProbes): DataFrame =
+    rankTopK(ivfCandidates(all, k, nProbes))
+
+  /** IVF candidate set (qid, vec_id, cos_r) at a given probe count —
+    * scored members of the probed cells, pre-ranking (DevAnnSweep
+    * sweeps `nProbes` and counts these as probe cost).
+    */
+  private[graft] def ivfCandidates(
+      all: DataFrame, k: Long, nProbes: Int = IvfProbes): DataFrame = {
     val cents = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
@@ -359,23 +369,18 @@ object SimilarityOps {
            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"),
               col("sc").getField("cid").as("cell"))
-    // probes: top-IvfProbes cells per QUERY vector only (NQueries×k
+    // probes: top-nProbes cells per QUERY vector only (NQueries×k
     // rows — window is fine at that cardinality)
     val wp = Window.partitionBy("vec_id").orderBy(col("negsim").asc, col("cid").asc)
     val probes = scored.filter(col("vec_id") < NQueries)
       .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= IvfProbes)
+      .filter(col("crn") <= nProbes)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
               col("nrm").as("qn"), col("cid").as("cell"))
-    val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
               round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= TopK)
-      .withColumn("rn", col("rn").cast("long"))
-      .orderBy("qid", "rn")
   }
 
   /** CTE chain ending in `ivr (qid, vec_id, cos_r, rn)` — the SQL twin
