@@ -561,19 +561,21 @@ object TextOps {
   //      BPE training on a word-count dictionary. The round count is
   //      FIXED (a data-dependent stop would not be SQL-expressible);
   //      the SQL twin unrolls the same 8 rounds as generated CTEs. ----
-  private val BpeMergeRounds = 8
+  private[graft] val BpeMergeRounds = 8
 
   /** The bounded merge loop shared by q167 (merge table) and q168
     * (encoding): returns the K merge rows, the trained vocab (w, cnt,
     * ws — ws holds the post-merge wrapped symbols), and the persisted
     * base handle the vocab chains from; callers own its release.
     */
-  private def bpeTrainCore(s: SparkSession, d: String)
+  private[graft] def bpeTrainCore(
+      s: SparkSession, d: String, docFilter: Column = lit(true))
       : (Seq[(Long, String, String, String, Long)], DataFrame, DataFrame) = {
     // word-frequency table: the one corpus-scale aggregation. The
     // [a-z]+ gate pins the symbol alphabet away from the '|' sentinel
     // and the ' ' pair separator (tokenizer trainers normalize first).
     val words = docs(s, d)
+      .filter(docFilter)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -605,6 +607,20 @@ object TextOps {
         expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
     }
     (merges.result(), cur, base)
+  }
+
+  /** Trained per-word token counts (w, n_sym) for a corpus slice —
+    * the static side of the q170 ingest-time tokenization stream.
+    * Returns (wsyms, persisted handle); caller releases the handle.
+    */
+  private[graft] def bpeTrainedVocab(
+      s: SparkSession, d: String, docFilter: Column)
+      : (DataFrame, DataFrame) = {
+    val (_, vocab, handle) = bpeTrainCore(s, d, docFilter)
+    val wsyms = vocab.select(col("w"),
+      expr("CAST((length(ws) - length(replace(ws, '|', ''))) div 2 AS BIGINT)")
+        .as("n_sym"))
+    (wsyms, handle)
   }
 
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
@@ -652,11 +668,11 @@ object TextOps {
     * counts (prK), argmax (bK), applied vocab (vK), merge row (mK).
     * vK carries the word through so the encoder can join on it.
     */
-  private def bpeCteSql(rounds: Int): String = {
+  private[graft] def bpeCteSql(rounds: Int, docWhere: String = ""): String = {
     val t = tokensSql("text")
     val sb = new StringBuilder
     sb ++= s"""w0 AS (SELECT w, COUNT(*) AS cnt FROM (
-      SELECT unnest($t) AS w FROM documents)
+      SELECT unnest($t) AS w FROM documents$docWhere)
       WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
 v0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS ws FROM w0)"""
     for (k <- 1 to rounds) {

@@ -867,6 +867,82 @@ object StreamingOps {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q170: ingest-time tokenization metering — the q168 counting
+  //      job RUNNING AS A STREAM, the shape every training-data intake
+  //      actually deploys (token budgets are enforced at ingest, not in
+  //      nightly batch). Static side: the q167 BPE loop trains on the
+  //      CORPUS slice (doc_id % 5 <> 4 — the stream's own docs never
+  //      train their tokenizer); its (word → n_sym) vocab is the
+  //      static relation of a stream-static BROADCAST left join — at
+  //      web scale a ~10 M-row tokenizer dictionary, the standard
+  //      broadcast shape for distributed tokenization, zero state
+  //      store, zero stream-side shuffle. The stream stage is
+  //      stateless per-WORD enrichment (explode → join → token count
+  //      with char-length fallback for out-of-vocab words) appended to
+  //      the sink; the per-doc rollup is a downstream batch aggregate
+  //      over the enriched table — exactly how metering pipelines
+  //      compose (enrich in-stream, roll up in the serving store).
+  //      Oracle: the unrolled q167 training CTEs on the corpus slice +
+  //      the q168 encode shape on the delta slice. ----
+  def streamTokenMeter(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_stm_$hex"
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stm_src_$hex")
+    val stmMarker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(stmMarker, s"$d/documents.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val part = java.nio.file.Files.createTempDirectory("graft_stm_stage")
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        .select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fixtures.writeMarker(stmMarker, s"$d/documents.parquet")
+    }
+    // static prep: train the tokenizer on the corpus slice
+    val (wsyms, handle) =
+      graft.ops.TextOps.bpeTrainedVocab(s, d, col("doc_id") % 5 =!= 4)
+    withStreamShufflePartitions(s, 2) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(srcDir.toString)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(broadcast(wsyms), Seq("w"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_sym"), length(col("w")).cast("long")).as("tok"),
+                length(col("w")).cast("long").as("chars"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    handle.unpersist(false)
+    s.table(qname).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens"),
+           sum(col("chars")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val streamTokenMeterSql = {
+    val rounds = graft.ops.TextOps.BpeMergeRounds
+    s"""WITH ${graft.ops.TextOps.bpeCteSql(rounds, " WHERE doc_id % 5 <> 4")},
+vs AS (SELECT w, CAST((length(ws) - length(replace(ws, '|', ''))) // 2 AS BIGINT)
+         AS n_sym FROM v$rounds),
+dw AS (SELECT doc_id, w FROM
+       (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE doc_id % 5 = 4)
+       WHERE w <> '')
+SELECT doc_id, COUNT(*) AS n_words,
+  CAST(SUM(COALESCE(vs.n_sym, length(dw.w))) AS BIGINT) AS n_tokens,
+  CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars
+FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
@@ -887,5 +963,7 @@ object StreamingOps {
       Some(graft.ops.DedupOps.ingestGatePerDocSql),
       "stream-static admission gate: arriving docs vs corpus-val band index == batch q148"),
     Q("q154_stream_dsir_gate", streamDsirGate, Some(streamDsirGateSql),
-      "streaming DSIR scoring gate: literal ratio-array histogram, per-row integer mean weight, relative cutoff — stateless append"))
+      "streaming DSIR scoring gate: literal ratio-array histogram, per-row integer mean weight, relative cutoff — stateless append"),
+    Q("q170_stream_token_meter", streamTokenMeter, Some(streamTokenMeterSql),
+      "ingest-time tokenization metering: corpus-trained BPE vocab as the stream-static broadcast side, stateless per-word enrichment, downstream per-doc rollup"))
 }

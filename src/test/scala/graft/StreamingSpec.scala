@@ -317,4 +317,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .sortBy(x => (x._1, x._2))
     assert(sw.toSeq == got.map(x => (x._1, x._2, x._3)).toSeq)
   }
+
+  test("q170 stream token meter == batch encode of the delta with the corpus-trained vocab") {
+    import org.apache.spark.sql.functions._
+    val got = streaming.StreamingOps.streamTokenMeter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch twin: same corpus-slice training, same delta encode
+    val (wsyms, handle) =
+      ops.TextOps.bpeTrainedVocab(spark, sf, col("doc_id") % 5 =!= 4)
+    val want = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wsyms), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(coalesce(col("n_sym"), length(col("w")).cast("long"))).as("n_tokens"),
+           sum(length(col("w")).cast("long")).as("n_chars"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    handle.unpersist(false)
+    assert(got == want, "stream output != batch encode")
+    // the stream's docs never trained the vocab; counts still cover all delta docs
+    val nDelta = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(got.size.toLong == nDelta)
+  }
 }
