@@ -643,11 +643,13 @@ object TextOps {
   //      the trained alphabet (the byte-fallback analogue). One corpus
   //      scan + one broadcast join + one aggregate: at 100 TB this is
   //      exactly the counting job every dataset card runs. ----
-  def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    val (_, vocab, handle) = bpeTrainCore(s, d)
-    val wsyms = vocab.select(col("w"),
-      expr("CAST((length(ws) - length(replace(ws, '|', ''))) div 2 AS BIGINT)")
-        .as("n_sym"))
+  /** Lazy variant for plan dumps/guards: the encode BEFORE the eager
+    * checkpoint, plus the persisted handle the caller must release
+    * (the semDedupLazy precedent).
+    */
+  private[graft] def bpeEncodeLazy(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (wsyms, handle) = bpeTrainedVocab(s, d, lit(true))
     val result = docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -658,7 +660,12 @@ object TextOps {
              .as("n_tokens"),
            sum(length(col("w")).cast("long")).as("n_chars"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
+    (result, handle)
+  }
+
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handle) = bpeEncodeLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
     handle.unpersist(false)
     result
   }

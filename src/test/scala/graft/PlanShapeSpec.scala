@@ -96,4 +96,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(forced.isEmpty,
       s"planner-forced shuffle below the partial aggregate:\n${forced.mkString("\n")}\n$plan")
   }
+
+  test("q168 BPE encode: vocab joins broadcast, the corpus never sort-merges (r9)") {
+    // the trained vocab is dictionary-scale; if the broadcast hint is
+    // ever lost the doc-word join degrades to a corpus-wide
+    // SortMergeJoin exchange — the regression that matters at 100 TB
+    // the registry entry eagerly checkpoints (RDD-scan plan) — guard
+    // the lazy variant, the q34/semDedupLazy precedent
+    val (lazyDf, handle) = ops.TextOps.bpeEncodeLazy(spark, sf)
+    val plan = lazyDf.queryExecution.executedPlan.toString
+    handle.unpersist(false)
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab join degraded to a sort-merge join:\n$plan")
+  }
+
+  test("q164 multi-table LSH: candidates dedup map-side before the rank exchange (r9)") {
+    // the (qid, vec_id) MAX collapse must plan as partial+final hash
+    // aggregate (map-side combine) — without it every duplicate
+    // cross-table candidate rides the shuffle into the window sort
+    val plan = physical("q164_ann_multilsh")
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
 }
