@@ -796,20 +796,32 @@ object SimilarityOps {
 
   /** Per-subspace argmin `struct(dist, cid)` columns against literal
     * per-subspace codebooks — the shared map-side assignment kernel
-    * (q155/q157/q160/q165/q166). Distance is the Cauchy expansion
-    * v·v − 2·v·c + c·c with c·c a driver-side constant (reduceLeft ==
-    * the SQL twins' left-to-right fold).
+    * (q155/q157/q160/q165/q166/q169). Distance is the Cauchy expansion
+    * v·v − 2·v·c + c·c.
+    *
+    * Codegen shape (r9): the former 8×16 UNROLLED struct chains — each
+    * with its own slice allocation and dot chain — generated a ~13 k-
+    * line class that Janino refused to compile, silently dropping the
+    * whole PQ hot path to interpreted eval. The codebook now rides as
+    * ONE 16×8 literal array per subspace and the 16 distances come
+    * from a `transform` lambda — the loop body codegens once and the
+    * HOF machinery iterates, so the class shrinks ~16× and stays
+    * compiled. Value-identical by construction: the lambda computes
+    * the same ops in the same left-to-right order per entry (c·c as a
+    * runtime vec_dot fold == the former driver-side reduceLeft — the
+    * q160 pass-2 equivalence), and the argmin is the same
+    * sort_array(struct(dist, cid)) tie-break.
     */
   private def pqArgminsB(books: PqBooks): Seq[Column] =
     (0 until PqM).map { sIdx =>
       val vSub = slice(col("v"), sIdx * PqSub + 1, PqSub)
       val vv = vecDot(vSub, vSub)
-      sort_array(array(books(sIdx).map { case (cid, cSub) =>
-        val cc = cSub.map(x => x * x).reduceLeft(_ + _)
-        struct((vv - lit(2.0) * vecDot(vSub, typedLit(cSub.toSeq)) + lit(cc))
-                 .as("dist"),
-               lit(cid).as("cid"))
-      }: _*)).getItem(0)
+      val cbLit = typedLit(books(sIdx).map(_._2.toSeq))
+      val cidLit = typedLit(books(sIdx).map(_._1))
+      val dists = transform(cbLit, cb =>
+        vv - lit(2.0) * vecDot(vSub, cb) + vecDot(cb, cb))
+      sort_array(zip_with(dists, cidLit,
+        (d, c) => struct(d.as("dist"), c.as("cid")))).getItem(0)
     }
 
   private def pqArgmins(cents: Array[(Long, Array[Double])]): Seq[Column] =
