@@ -88,7 +88,15 @@ object Scaling {
     ("q161_zorder", "Z-order clustering audit (Morton buckets)", "lineitem"),
     ("q162_hll", "HLL register sketch (mergeable MIN registers)", "lineitem"),
     ("q163_rank_metrics", "integer-exact nDCG/MRR retrieval eval", "embeddings"),
-    ("q164_ann_multilsh", "multi-table LSH ANN (4x5 planes)", "embeddings"))
+    ("q164_ann_multilsh", "multi-table LSH ANN (8x5 planes, sweep-chosen)", "embeddings"),
+    // r9 additions: the PQ training loop, the tokenizer train/apply
+    // pair, and the leakage/streaming twins registered this round
+    ("q165_pq_train", "bounded PQ Lloyd loop (3 one-scan rounds)", "embeddings"),
+    ("q166_pq_search_trained", "ADC search under trained books", "embeddings"),
+    ("q167_bpe_merges", "full BPE merge loop (8 vocab rounds)", "documents"),
+    ("q168_bpe_encode", "trained-tokenizer encoding (broadcast vocab)", "documents"),
+    ("q169_pq_search_holdout", "held-out-seed ADC search (leakage control)", "embeddings"),
+    ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -771,12 +771,10 @@ object SimilarityOps {
     * against the literal codebooks, shared by q155 (codes) and q157
     * (ADC search). Distance is the Cauchy expansion
     * v·v − 2·v·c + c·c on subspace slices through the native vec_dot
-    * kernel: 8×16 explicit (x−c)² expression chains codegen into
-    * megamorphic methods (measured 5–9 s flat across sfs — compile
-    * cost, not data cost), while the loop kernel stays compact. The
-    * SQL twin uses product chains folded in the same order
-    * (0.0 + x == x bit-for-bit, the q39 argument), and c·c is
-    * driver-side constant here vs runtime chain there — same ops,
+    * kernel; the codebook loop is a transform lambda (see
+    * [[pqArgminsB]] — the r9 fix that keeps the stage inside compiled
+    * codegen). The SQL twin uses product chains folded in the same
+    * order (0.0 + x == x bit-for-bit, the q39 argument) — same ops,
     * same order, same doubles.
     */
   /** Per-subspace codebooks: books(s) = (code, 8-dim sub-centroid)
