@@ -96,7 +96,8 @@ object Scaling {
     ("q167_bpe_merges", "full BPE merge loop (8 vocab rounds)", "documents"),
     ("q168_bpe_encode", "trained-tokenizer encoding (broadcast vocab)", "documents"),
     ("q169_pq_search_holdout", "held-out-seed ADC search (leakage control)", "embeddings"),
-    ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"))
+    ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"),
+    ("q171_ivfpq", "IVF-ADC combined index (prune then LUT-score)", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

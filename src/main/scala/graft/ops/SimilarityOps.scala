@@ -304,7 +304,7 @@ object SimilarityOps {
   //      assignment, probing and the final ranking agree exactly;
   //      recall-vs-exact envelope additionally asserted in
   //      SimilaritySpec. ----
-  private val IvfProbes = 2
+  private[graft] val IvfProbes = 2
   private val IvfCellTarget = 64L // target members per cell
   private val IvfMinCells = 16L
   private val IvfKMax = 50000L // bounds assignment at O(n·k_max), broadcast at MB-scale
@@ -353,6 +353,21 @@ object SimilarityOps {
     */
   private[graft] def ivfCandidates(
       all: DataFrame, k: Long, nProbes: Int = IvfProbes): DataFrame = {
+    val (assigned, probes) = ivfRouting(all, k, nProbes)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+  }
+
+  /** The IVF coarse index split from its scoring: `assigned (vec_id, v,
+    * nrm, cell)` — every corpus vector routed to its nearest cell — and
+    * `probes (qid, qv, qn, cell)` — each query's top-nProbes cells.
+    * q50 joins them and scores exact cosine; q171 joins them and scores
+    * by the PQ lookup table instead.
+    */
+  private[graft] def ivfRouting(
+      all: DataFrame, k: Long, nProbes: Int = IvfProbes): (DataFrame, DataFrame) = {
     val cents = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
@@ -377,17 +392,14 @@ object SimilarityOps {
       .filter(col("crn") <= nProbes)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
               col("nrm").as("qn"), col("cid").as("cell"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+    (assigned, probes)
   }
 
-  /** CTE chain ending in `ivr (qid, vec_id, cos_r, rn)` — the SQL twin
-    * of [[simAnnIvfOn]]'s ranked list, i-prefixed so it composes with
-    * the PQ and multi-LSH chains inside q163's twin.
+  /** Routing-only prefix of the IVF twin: CTEs through `iasg`
+    * (assignment) and `iprb` (query probes) — shared by the exact
+    * scorer below and q171's ADC scorer.
     */
-  private val ivfCteSql =
+  private val ivfRouteCteSql =
     s"""ikq AS (SELECT LEAST($IvfKMax, GREATEST($IvfMinCells,
        |  CAST(CEIL(COUNT(*) / $IvfCellTarget.0) AS BIGINT))) AS k FROM n),
        |icc AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n, ikq
@@ -400,7 +412,14 @@ object SimilarityOps {
        |  FROM ia),
        |iasg AS (SELECT vec_id, v, nrm, cid AS cell FROM ir0 WHERE crn = 1),
        |iprb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
-       |           FROM ir0 WHERE crn <= $IvfProbes AND vec_id < $NQueries),
+       |           FROM ir0 WHERE crn <= $IvfProbes AND vec_id < $NQueries)""".stripMargin
+
+  /** CTE chain ending in `ivr (qid, vec_id, cos_r, rn)` — the SQL twin
+    * of [[simAnnIvfOn]]'s ranked list, i-prefixed so it composes with
+    * the PQ and multi-LSH chains inside q163's twin.
+    */
+  private val ivfCteSql =
+    s"""$ivfRouteCteSql,
        |icand AS (SELECT p.qid, s.vec_id,
        |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
        |  FROM iasg s JOIN iprb p ON s.cell = p.cell
@@ -749,9 +768,9 @@ object SimilarityOps {
   //      engines fold the 8-term distance chains left-to-right over
   //      identically float→double-widened values, so codes, errors and
   //      tie-breaks agree bit-for-bit.
-  private val PqM = 8
-  private val PqSub = Dim / PqM
-  private val PqK = 16
+  private[graft] val PqM = 8
+  private[graft] val PqSub = Dim / PqM
+  private[graft] val PqK = 16
 
   /** Literal PQ codebooks: the first PqK vectors' sub-vectors,
     * float→double widened (metadata-scale collect, q64 precedent).
@@ -918,11 +937,12 @@ object SimilarityOps {
     * the seed books, q166 on the [[pqTrainCore]] output (PqTrainSpec
     * also scores both with the q163 nDCG fold).
     */
-  private[graft] def pqSearchPartsB(
-      s: SparkSession, all: DataFrame, books: PqBooks): (DataFrame, DataFrame) = {
-    val codes = all
-      .select(col("vec_id"), posexplode(array(pqArgminsB(books): _*)).as(Seq("s", "c")))
-      .select(col("vec_id"), col("s").cast("long").as("s"), col("c.cid").as("code"))
+  /** The driver-computed ADC lookup table `(qid, ls, lcid, dlut)` —
+    * query × codebook is metadata-scale (NQueries × PqM × PqK rows of
+    * floor-e6 integers), broadcast to every scorer. Shared by q157/
+    * q166/q169 (full-corpus ADC) and q171 (IVF-pruned ADC).
+    */
+  private def pqLutDf(s: SparkSession, all: DataFrame, books: PqBooks): DataFrame = {
     val queries = pqCents(all).take(NQueries) // vec_id < NQueries ⊂ seed set
     val lutRows: Seq[(Long, Long, Long, Long)] = for {
       (qid, qv) <- queries.toSeq
@@ -936,7 +956,18 @@ object SimilarityOps {
       (qid, sIdx.toLong, cid, math.floor(acc * 1000000.0).toLong)
     }
     import s.implicits._
-    val lut = lutRows.toDF("qid", "ls", "lcid", "dlut")
+    lutRows.toDF("qid", "ls", "lcid", "dlut")
+  }
+
+  /** PQ code assignment under `books`, codes only: (vec_id, s, code). */
+  private def pqCodesOnly(all: DataFrame, books: PqBooks): DataFrame =
+    all.select(col("vec_id"), posexplode(array(pqArgminsB(books): _*)).as(Seq("s", "c")))
+      .select(col("vec_id"), col("s").cast("long").as("s"), col("c.cid").as("code"))
+
+  private[graft] def pqSearchPartsB(
+      s: SparkSession, all: DataFrame, books: PqBooks): (DataFrame, DataFrame) = {
+    val codes = pqCodesOnly(all, books)
+    val lut = pqLutDf(s, all, books)
     val adc = codes
       .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lcid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -964,7 +995,9 @@ object SimilarityOps {
     */
   private def pqOverlap(topAdc: DataFrame, topExact: DataFrame): DataFrame =
     topExact.select("qid", "vec_id")
-      .join(topAdc.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+      // both sides are ≤ NQueries·TopK rows; broadcast keeps the
+      // presentation tail exchange-free
+      .join(broadcast(topAdc.select(col("qid"), col("vec_id"), lit(1L).as("hit"))),
             Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
@@ -1354,6 +1387,125 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqK}),
        |${pqAdcSearchVsCbSql("hc")}""".stripMargin
 
+  // ---- q171: IVF-ADC (IVF-PQ) — the combined billion-vector serving
+  //      shape (FAISS IVFADC without residual encoding, the
+  //      by_residual=false variant: codes quantize raw vectors, the
+  //      coarse index only prunes). The two structures the other lanes
+  //      build separately compose here: the IVF coarse index (q50's
+  //      routing — assignment argmin + query probe cells) shrinks the
+  //      candidate set from n to the probed cells' members, and each
+  //      surviving candidate is scored by the PQ lookup table (q157's
+  //      640-row broadcast integer LUT — 8 lookups + a sum, no vector
+  //      math). At 100 TB that is the only pairing that serves: exact
+  //      scoring of IVF candidates still reads full vectors
+  //      (q50 — memory-bound), full-corpus ADC still scores everything
+  //      (q157 — compute-bound); IVF×ADC prunes THEN compresses, so
+  //      per query the work is (n·probes/k) LUT sums. Output ships the
+  //      measured trade per query: candidate count (the pruning
+  //      factor) + recall vs the exact-L2 top-10 over the FULL corpus,
+  //      so the lane's quality-vs-cost sits in the oracle-checked
+  //      result like q153/q157/q163. ----
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).persist()
+    val result = ivfPqSearchCore(s, all, ivfCellCount(s, d))
+      .localCheckpoint(true) // sever lineage before the unpersist below
+    all.unpersist(false)
+    result
+  }
+
+  /** The q171 plan, lazily, for PlanShapeSpec (the registered entry
+    * checkpoints eagerly — the q168/bpeEncodeLazy precedent).
+    */
+  private[graft] def ivfPqSearchCore(
+      s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+    val (assigned, probes) = ivfRouting(all, k, IvfProbes)
+    val books = pqSeedBooks(all)
+    val codes = pqCodesOnly(all, books)
+    val lut = pqLutDf(s, all, books)
+      .withColumnRenamed("qid", "lqid")
+    // prune: probed-cell members only — the equi-join on cell is the
+    // inverted-list probe; probes is NQueries·nProbes rows, broadcast
+    val cand = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    // score survivors by ADC: integer LUT lookups, order-independent
+    // sum. cand is BOUNDED — NQueries·probes·~IvfCellTarget rows, the
+    // cell size being corpus-independent by construction — so it
+    // broadcasts against the corpus-scale codes: scoring stays
+    // map-side and codes never shuffles
+    val adc = codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(lut),
+            col("s") === col("ls") && col("code") === col("lcid") &&
+              col("qid") === col("lqid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
+    val wa = Window.partitionBy("qid").orderBy(col("adc_e6").asc, col("vec_id").asc)
+    val topAdc = adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    // truth: exact L2 over the FULL corpus — what the index should
+    // have found, so recall prices the coarse quantizer's misses too
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("qv"), col("v"))
+          + vecDot(col("qv"), col("qv")), 6).as("d_r"))
+    val we = Window.partitionBy("qid").orderBy(col("d_r").asc, col("vec_id").asc)
+    val topExact = exact.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    pqOverlap(topAdc, topExact)
+      .join(broadcast(nCand), Seq("qid"))
+      .select(col("qid"), col("n_cand"), col("n_overlap"), col("recall_millionths"))
+      .orderBy("qid")
+  }
+
+  private val ivfPqSearchSql = {
+    val lutDistCols = (0 until PqM)
+      .map(sI => s"${pqSubDistSql(sI, "pq.qv", "c.cv")} AS ld_$sI").mkString(",\n  ")
+    val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$pqCodesCteSql,
+       |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
+       |pl0 AS (SELECT pq.qid, c.cid,
+       |  $lutDistCols
+       |  FROM pq CROSS JOIN c),
+       |plut AS (SELECT qid, cid, CAST(t.i - 1 AS BIGINT) AS s,
+       |          CAST(floor((CASE t.i $lutCaseArms END) * 1000000.0) AS BIGINT)
+       |            AS dlut
+       |        FROM pl0, range(1, ${PqM + 1}) t(i)),
+       |icnd AS (SELECT p.qid, s.vec_id FROM iasg s JOIN iprb p
+       |         ON s.cell = p.cell WHERE s.vec_id <> p.qid),
+       |adcc AS (SELECT icnd.qid, icnd.vec_id,
+       |          CAST(SUM(plut.dlut) AS BIGINT) AS adc_e6
+       |        FROM icnd JOIN codes ON codes.vec_id = icnd.vec_id
+       |        JOIN plut ON plut.qid = icnd.qid AND plut.s = codes.s
+       |          AND plut.cid = codes.cid
+       |        GROUP BY icnd.qid, icnd.vec_id),
+       |exact AS (SELECT pq.qid, n.vec_id,
+       |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("pq.qv", "n.v")}
+       |    + ${dotFoldSql("pq.qv", "pq.qv")}, 6) AS d_r
+       |  FROM n CROSS JOIN pq WHERE n.vec_id <> pq.qid),
+       |te AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
+       |  (PARTITION BY qid ORDER BY d_r ASC, vec_id ASC) AS rn FROM exact)
+       |  WHERE rn <= $TopK),
+       |ta AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC)
+       |    AS rn FROM adcc) WHERE rn <= $TopK),
+       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |       FROM icnd GROUP BY qid)
+       |SELECT te.qid, nc.n_cand, CAST(SUM(COALESCE(hit, 0)) AS BIGINT)
+       |         AS n_overlap,
+       |       (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
+       |         AS recall_millionths
+       |FROM te LEFT JOIN ta USING (qid, vec_id) JOIN nc ON nc.qid = te.qid
+       |GROUP BY te.qid, nc.n_cand ORDER BY te.qid""".stripMargin
+  }
+
   // ---- q163: retrieval rank-quality metrics (nDCG@10, MRR, hits) for
   //      the approximate ANN lanes — the "measure, don't guess" eval
   //      q153 gives the dedup path, here for serving: each approximate
@@ -1543,6 +1695,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       "ADC top-k under the q165-trained books: training's retrieval effect shipped as data (same 640-row integer LUT shape as q157)"),
     Q("q169_pq_search_holdout", pqSearchHoldout, Some(pqSearchHoldoutSql),
       "ADC top-k under HELD-OUT seed books (no query vector in the codebook): the leakage control for the q157/q166 comparison"),
+    Q("q171_ivfpq", ivfPqSearch, Some(ivfPqSearchSql),
+      "IVF-ADC combined index: coarse cells prune candidates, the PQ LUT scores survivors — per-query candidate count + recall vs full-corpus exact L2"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),

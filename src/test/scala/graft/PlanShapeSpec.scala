@@ -119,4 +119,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("HashAggregate"), s"plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("q171 IVF-PQ: candidate set broadcasts against the codes, never sort-merged (r9)") {
+    // the candidate set is bounded (NQueries·probes·~cell-size rows);
+    // if its broadcast is lost, the ADC scoring join degrades to a
+    // corpus-wide exchange of the codes — the regression that matters
+    // at 100 TB. Guard the lazy core (the registered entry eagerly
+    // checkpoints, the q168 precedent).
+    val all = ops.SimilarityOps.baseFor(spark, sf)
+    val df = ops.SimilarityOps.ivfPqSearchCore(
+      spark, all, ops.SimilarityOps.ivfKFor(all.count()))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ADC scoring degraded to a sort-merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
 }
