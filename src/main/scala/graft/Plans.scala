@@ -286,6 +286,32 @@ object Plans {
         "twice from cache and never crosses a per-source window\n\n```\n" +
         plan + "```\n")
     }
+    // q171/q172 pre-materialization plans (the registry entries checkpoint)
+    locally {
+      val all = ops.SimilarityOps.baseFor(spark, d)
+      val k = ops.SimilarityOps.ivfKFor(all.count())
+      val plan171 = ops.SimilarityOps.ivfPqSearchCore(spark, all, k)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q171_ivfpq (pre-materialization)\n\n" +
+        "IVF-ADC combined index: the coarse routing's min(struct) " +
+        "argmin collapses n*k rows map-side (the q50 shape); the " +
+        "BOUNDED candidate set (queries*probes*~cell-size rows — cell " +
+        "size is corpus-independent) broadcasts against the corpus-" +
+        "scale code stream, and the 640-row integer LUT broadcasts " +
+        "into the same join — scoring is map-side lookups + a sum, " +
+        "the corpus never shuffles for scoring at any scale\n\n```\n" +
+        plan171 + "```\n")
+      val plan172 = ops.SimilarityOps.ivfPqResidualCore(spark, all, k)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q172_ivfpq_residual (pre-materialization)\n\n" +
+        "residual IVF-PQ (FAISS by_residual=true): three broadcast-" +
+        "bounded sides ride the corpus scan — the MB-scale centroid " +
+        "table (residual computation stays map-side), the bounded " +
+        "candidate set, and the per-(query, probed-cell) residual LUT " +
+        "(1 280 integer rows); same routing exchange as q171, zero " +
+        "additional corpus shuffles for the residual encoding\n\n```\n" +
+        plan172 + "```\n")
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.size} plans)")

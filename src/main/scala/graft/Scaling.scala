@@ -97,7 +97,8 @@ object Scaling {
     ("q168_bpe_encode", "trained-tokenizer encoding (broadcast vocab)", "documents"),
     ("q169_pq_search_holdout", "held-out-seed ADC search (leakage control)", "embeddings"),
     ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"),
-    ("q171_ivfpq", "IVF-ADC combined index (prune then LUT-score)", "embeddings"))
+    ("q171_ivfpq", "IVF-ADC combined index (prune then LUT-score)", "embeddings"),
+    ("q172_ivfpq_residual", "residual IVF-PQ (by_residual=true)", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

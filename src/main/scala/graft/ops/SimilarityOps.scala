@@ -829,9 +829,14 @@ object SimilarityOps {
     * q160 pass-2 equivalence), and the argmin is the same
     * sort_array(struct(dist, cid)) tie-break.
     */
-  private def pqArgminsB(books: PqBooks): Seq[Column] =
+  private def pqArgminsB(books: PqBooks): Seq[Column] = pqArgminsOn(col("v"), books)
+
+  /** The same argmin kernel over an arbitrary vector column — q172
+    * runs it over the residual array instead of the raw vector.
+    */
+  private def pqArgminsOn(vcol: Column, books: PqBooks): Seq[Column] =
     (0 until PqM).map { sIdx =>
-      val vSub = slice(col("v"), sIdx * PqSub + 1, PqSub)
+      val vSub = slice(vcol, sIdx * PqSub + 1, PqSub)
       val vv = vecDot(vSub, vSub)
       val cbLit = typedLit(books(sIdx).map(_._2.toSeq))
       val cidLit = typedLit(books(sIdx).map(_._1))
@@ -1439,12 +1444,20 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
             col("s") === col("ls") && col("code") === col("lcid") &&
               col("qid") === col("lqid"))
       .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
+    prunedAdcResult(all, cand, adc)
+  }
+
+  /** Shared presentation tail of the IVF-ADC lanes (q171/q172): rank
+    * the ADC scores, rank full-corpus exact L2 — so recall prices the
+    * coarse quantizer's misses too — and report per-query candidate
+    * count + top-K overlap.
+    */
+  private def prunedAdcResult(
+      all: DataFrame, cand: DataFrame, adc: DataFrame): DataFrame = {
     val wa = Window.partitionBy("qid").orderBy(col("adc_e6").asc, col("vec_id").asc)
     val topAdc = adc.withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= TopK)
       .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
-    // truth: exact L2 over the FULL corpus — what the index should
-    // have found, so recall prices the coarse quantizer's misses too
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = all.crossJoin(broadcast(q))
@@ -1462,6 +1475,31 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .select(col("qid"), col("n_cand"), col("n_overlap"), col("recall_millionths"))
       .orderBy("qid")
   }
+
+  /** Shared tail of the IVF-ADC twins (q171/q172): exact-L2 truth,
+    * both top-K ranks, candidate counts, final recall presentation.
+    * Expects CTEs `n`, `pq (qid, qv)`, `icnd (qid, vec_id, ...)`,
+    * `adcc (qid, vec_id, adc_e6)` upstream.
+    */
+  private val ivfAdcTailSql =
+    s"""exact AS (SELECT pq.qid, n.vec_id,
+       |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("pq.qv", "n.v")}
+       |    + ${dotFoldSql("pq.qv", "pq.qv")}, 6) AS d_r
+       |  FROM n CROSS JOIN pq WHERE n.vec_id <> pq.qid),
+       |te AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
+       |  (PARTITION BY qid ORDER BY d_r ASC, vec_id ASC) AS rn FROM exact)
+       |  WHERE rn <= $TopK),
+       |ta AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC)
+       |    AS rn FROM adcc) WHERE rn <= $TopK),
+       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |       FROM icnd GROUP BY qid)
+       |SELECT te.qid, nc.n_cand, CAST(SUM(COALESCE(hit, 0)) AS BIGINT)
+       |         AS n_overlap,
+       |       (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
+       |         AS recall_millionths
+       |FROM te LEFT JOIN ta USING (qid, vec_id) JOIN nc ON nc.qid = te.qid
+       |GROUP BY te.qid, nc.n_cand ORDER BY te.qid""".stripMargin
 
   private val ivfPqSearchSql = {
     val lutDistCols = (0 until PqM)
@@ -1486,24 +1524,149 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |        JOIN plut ON plut.qid = icnd.qid AND plut.s = codes.s
        |          AND plut.cid = codes.cid
        |        GROUP BY icnd.qid, icnd.vec_id),
-       |exact AS (SELECT pq.qid, n.vec_id,
-       |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("pq.qv", "n.v")}
-       |    + ${dotFoldSql("pq.qv", "pq.qv")}, 6) AS d_r
-       |  FROM n CROSS JOIN pq WHERE n.vec_id <> pq.qid),
-       |te AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
-       |  (PARTITION BY qid ORDER BY d_r ASC, vec_id ASC) AS rn FROM exact)
-       |  WHERE rn <= $TopK),
-       |ta AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
-       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC)
-       |    AS rn FROM adcc) WHERE rn <= $TopK),
-       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
-       |       FROM icnd GROUP BY qid)
-       |SELECT te.qid, nc.n_cand, CAST(SUM(COALESCE(hit, 0)) AS BIGINT)
-       |         AS n_overlap,
-       |       (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
-       |         AS recall_millionths
-       |FROM te LEFT JOIN ta USING (qid, vec_id) JOIN nc ON nc.qid = te.qid
-       |GROUP BY te.qid, nc.n_cand ORDER BY te.qid""".stripMargin
+       |$ivfAdcTailSql""".stripMargin
+  }
+
+  // ---- q172: RESIDUAL IVF-PQ (FAISS IVFADC, by_residual=true — the
+  //      production default): codes quantize the residual
+  //      v − centroid(cell(v)) instead of the raw vector. Residuals
+  //      concentrate near zero, so a fixed-size codebook spends its 16
+  //      entries on a much smaller ball — the standard fidelity win
+  //      residual encoding exists for, and q172's output (same shape
+  //      and same routing as q171) isolates exactly that delta as
+  //      oracle-checked data. Two structural changes vs q171:
+  //       * the codebooks come from seed ids [k, k+PqK): the first k
+  //         vectors ARE the centroids, so their residuals are zero —
+  //         seeding from them would build degenerate all-zero books
+  //         (a bonus: the seeds cannot contain the queries, the q169
+  //         leakage lesson);
+  //       * the LUT is keyed (query, PROBED CELL, s, code) — the
+  //         query's residual differs per cell — so it has
+  //         NQueries·probes·PqM·PqK rows (1 280 here): still
+  //         metadata-scale, still broadcast.
+  //      Books and query residuals are collected FROM THE ENGINE's
+  //      residual relation (not recomputed driver-side), so the
+  //      inlined literals are bit-identical to what the plan computes;
+  //      the SQL twin derives the same quantities from its own routing
+  //      CTEs. ----
+  def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).persist()
+    val result = ivfPqResidualCore(s, all, ivfCellCount(s, d))
+      .localCheckpoint(true)
+    all.unpersist(false)
+    result
+  }
+
+  private[graft] def ivfPqResidualCore(
+      s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+    val (assigned, probes) = ivfRouting(all, k, IvfProbes)
+    val centsDf = all.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"))
+    // residual relation: every vector minus its cell's centroid — one
+    // broadcast join, stays map-side at any corpus size
+    val resid = assigned.join(broadcast(centsDf), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+              zip_with(toDouble(col("v")), col("cv"), (a, b) => a - b).as("rv"))
+    val seedRes: Array[(Long, Array[Double])] =
+      resid.filter(col("vec_id") >= k && col("vec_id") < k + PqK)
+        .select("vec_id", "rv").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val books: PqBooks = (0 until PqM).map { sIdx =>
+      seedRes.toIndexedSeq.map { case (cid, rv) =>
+        (cid, rv.slice(sIdx * PqSub, sIdx * PqSub + PqSub))
+      }
+    }
+    val codes = resid
+      .select(col("vec_id"), posexplode(array(pqArgminsOn(col("rv"), books): _*))
+        .as(Seq("s", "c")))
+      .select(col("vec_id"), col("s").cast("long").as("s"), col("c.cid").as("code"))
+    // per-(query, probed cell) residual LUT — the query's residual is
+    // cell-dependent; NQueries·probes rows collected, LUT built driver-side
+    val qRes: Array[(Long, Long, Array[Double])] =
+      probes.join(broadcast(centsDf), col("cell") === col("cid"))
+        .select(col("qid"), col("cell"),
+                zip_with(toDouble(col("qv")), col("cv"), (a, b) => a - b).as("qr"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val lutRows: Seq[(Long, Long, Long, Long, Long)] = for {
+      (qid, cell, qr) <- qRes.toSeq
+      sIdx <- 0 until PqM
+      (cid, cb) <- books(sIdx)
+    } yield {
+      var acc = 0.0; var j = 0
+      while (j < PqSub) { val dd = qr(sIdx * PqSub + j) - cb(j); acc += dd * dd; j += 1 }
+      (qid, cell, sIdx.toLong, cid, math.floor(acc * 1000000.0).toLong)
+    }
+    import s.implicits._
+    val lut = lutRows.toDF("lqid", "lcell", "ls", "lcid", "dlut")
+    val cand = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"))
+    val adc = codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(lut),
+            col("qid") === col("lqid") && col("cell") === col("lcell") &&
+              col("s") === col("ls") && col("code") === col("lcid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
+    prunedAdcResult(all, cand, adc)
+  }
+
+  private val ivfPqResidualSql = {
+    // Σ over subspace sI of (x1[i]-x2[i])·(y1[i]-y2[i]) — the residual
+    // product chain (residuals inline as centroid subtractions)
+    def resDot(sI: Int, x: (String, String), y: (String, String)): String =
+      (0 until PqSub).map { j =>
+        val i = sI * PqSub + j + 1
+        s"((${x._1}[$i] - ${x._2}[$i]) * (${y._1}[$i] - ${y._2}[$i]))"
+      }.mkString(" + ")
+    val v = ("r.v", "r.cv"); val c = ("sd.sv", "sd.scv")
+    val codeDistCols = (0 until PqM).map { sI =>
+      s"((${resDot(sI, v, v)}) - 2.0 * (${resDot(sI, v, c)}) " +
+        s"+ (${resDot(sI, c, c)})) AS dist_$sI"
+    }.mkString(",\n  ")
+    val codeCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN dist_$sI").mkString(" ")
+    val lutDistCols = (0 until PqM).map { sI =>
+      (0 until PqSub).map { j =>
+        val i = sI * PqSub + j + 1
+        val dd = s"((qr.qv[$i] - qr.cv[$i]) - (sd.sv[$i] - sd.scv[$i]))"
+        s"($dd * $dd)"
+      }.mkString(" + ") + s" AS ld_$sI"
+    }.mkString(",\n  ")
+    val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |rv AS (SELECT a.vec_id, a.cell, a.v, c.cv FROM iasg a
+       |       JOIN icc c ON a.cell = c.cid),
+       |sd AS (SELECT vec_id AS scid, v AS sv, cv AS scv FROM rv, ikq
+       |       WHERE vec_id >= ikq.k AND vec_id < ikq.k + $PqK),
+       |ra AS (SELECT r.vec_id, sd.scid,
+       |  $codeDistCols
+       |  FROM rv r CROSS JOIN sd),
+       |ru AS (SELECT vec_id, scid, t.i - 1 AS s,
+       |        CASE t.i $codeCaseArms END AS dist
+       |      FROM ra, range(1, ${PqM + 1}) t(i)),
+       |codes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid FROM
+       |  (SELECT vec_id, s, scid, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |qr AS (SELECT p.qid, p.cell, p.qv, c.cv FROM iprb p
+       |       JOIN icc c ON p.cell = c.cid),
+       |pl0 AS (SELECT qr.qid, qr.cell, sd.scid AS cid,
+       |  $lutDistCols
+       |  FROM qr CROSS JOIN sd),
+       |plut AS (SELECT qid, cell, cid, CAST(t.i - 1 AS BIGINT) AS s,
+       |          CAST(floor((CASE t.i $lutCaseArms END) * 1000000.0) AS BIGINT)
+       |            AS dlut
+       |        FROM pl0, range(1, ${PqM + 1}) t(i)),
+       |icnd AS (SELECT p.qid, s.vec_id, s.cell FROM iasg s JOIN iprb p
+       |         ON s.cell = p.cell WHERE s.vec_id <> p.qid),
+       |adcc AS (SELECT icnd.qid, icnd.vec_id,
+       |          CAST(SUM(plut.dlut) AS BIGINT) AS adc_e6
+       |        FROM icnd JOIN codes ON codes.vec_id = icnd.vec_id
+       |        JOIN plut ON plut.qid = icnd.qid AND plut.cell = icnd.cell
+       |          AND plut.s = codes.s AND plut.cid = codes.cid
+       |        GROUP BY icnd.qid, icnd.vec_id),
+       |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
+       |$ivfAdcTailSql""".stripMargin
   }
 
   // ---- q163: retrieval rank-quality metrics (nDCG@10, MRR, hits) for
@@ -1697,6 +1860,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       "ADC top-k under HELD-OUT seed books (no query vector in the codebook): the leakage control for the q157/q166 comparison"),
     Q("q171_ivfpq", ivfPqSearch, Some(ivfPqSearchSql),
       "IVF-ADC combined index: coarse cells prune candidates, the PQ LUT scores survivors — per-query candidate count + recall vs full-corpus exact L2"),
+    Q("q172_ivfpq_residual", ivfPqResidual, Some(ivfPqResidualSql),
+      "residual IVF-PQ (FAISS by_residual=true): codes quantize v - centroid(cell), per-(query, probed-cell) residual LUT — same routing as q171, so the recall delta isolates residual encoding"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),

@@ -3,17 +3,23 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.SimilarityOps
 
-/** q171 IVF-ADC (IVF-PQ) properties:
-  *  1. every output row (qid, n_cand, n_overlap, recall_millionths)
-  *     matches a full independent driver-side rerun of the lane —
-  *     coarse routing (argmin cell + top-probe cells), seed-book PQ
-  *     codes, the floor-e6 integer LUT, ADC top-K over the pruned
-  *     candidates, exact-L2 top-K over the FULL corpus, and the
-  *     overlap — all in the production fold order;
-  *  2. the coarse index actually PRUNES: each query's candidate count
-  *     is well under the corpus size (the lane's reason to exist vs
-  *     full-corpus ADC q157), with the measured pruning factor and
-  *     recall reported.
+/** q171/q172 IVF-ADC properties:
+  *  1. every q171 output row (qid, n_cand, n_overlap,
+  *     recall_millionths) matches a full independent driver-side rerun
+  *     of the lane — coarse routing (argmin cell + top-probe cells),
+  *     seed-book PQ codes, the floor-e6 integer LUT, ADC top-K over
+  *     the pruned candidates, exact-L2 top-K over the FULL corpus, and
+  *     the overlap — all in the production fold order;
+  *  2. the same for q172's residual variant: residual codebooks from
+  *     seeds [k, k+PqK) (the first k vectors are the centroids — their
+  *     residuals are zero, so seeding from them would build degenerate
+  *     books), per-(query, probed-cell) LUT over query residuals;
+  *  3. the coarse index actually PRUNES: each query's candidate count
+  *     is well under the corpus size (the lanes' reason to exist vs
+  *     full-corpus ADC q157), candidate sets are IDENTICAL across the
+  *     two lanes (shared routing — the recall delta isolates the
+  *     encoding), and the measured pruning factor and both recalls are
+  *     reported.
   *
   * Geometry is derived from the lane's own constants (IvfProbes, PqM/
   * PqSub/PqK, NQueries, TopK) — the MultiLshSpec lesson: a constant
@@ -43,26 +49,45 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
 
-  /** Independent rerun of the whole lane: (qid, n_cand, n_overlap,
-    * recall_millionths) per query.
+  /** Coarse routing shared by both reruns: per-id assigned cell and,
+    * for queries, the probe-cell set.
     */
-  private def rerun(vecs: Array[(Long, Array[Double])]): Seq[(Long, Long, Long, Long)] = {
+  private case class Routing(
+      k: Long, cellOf: Map[Long, Long], probesOf: Map[Long, Seq[Long]])
+
+  private def route(vecs: Array[(Long, Array[Double])]): Routing = {
     val k = SimilarityOps.ivfKFor(vecs.length.toLong)
     val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
     val cents = vecs.filter(_._1 < k)
     def cellRank(id: Long, v: Array[Double]): Seq[(Double, Long)] =
       cents.toSeq.map { case (cid, cv) => (-dot(v, cv) / (nrm(id) * nrm(cid)), cid) }
         .sortBy(identity)
-    val cellOf = vecs.map { case (id, v) => id -> cellRank(id, v).head._2 }.toMap
-    val probesOf = vecs.filter(_._1 < NQ).map { case (id, v) =>
-      id -> cellRank(id, v).take(Probes).map(_._2).toSet
-    }.toMap
+    Routing(
+      k,
+      vecs.map { case (id, v) => id -> cellRank(id, v).head._2 }.toMap,
+      vecs.filter(_._1 < NQ).map { case (id, v) =>
+        id -> cellRank(id, v).take(Probes).map(_._2)
+      }.toMap)
+  }
 
-    val books = (0 until M).map { s =>
-      vecs.take(K).toIndexedSeq.map { case (cid, cv) =>
+  private def booksFrom(seeds: Seq[(Long, Array[Double])]): IndexedSeq[IndexedSeq[(Long, Array[Double])]] =
+    (0 until M).map { s =>
+      seeds.toIndexedSeq.map { case (cid, cv) =>
         (cid, cv.slice(s * Sub, s * Sub + Sub))
       }
     }
+
+  /** ADC + exact + overlap over the routed candidates; `encOf` maps an
+    * id to the vector the codes quantize (raw for q171, residual for
+    * q172) and `lutVecOf(qid, cell)` to the vector the LUT measures
+    * from (query, or query residual wrt the probed cell).
+    */
+  private def score(
+      vecs: Array[(Long, Array[Double])], r: Routing,
+      books: IndexedSeq[IndexedSeq[(Long, Array[Double])]],
+      encOf: Long => Array[Double],
+      lutVecOf: (Long, Long) => Array[Double]): Seq[(Long, Long, Long, Long)] = {
+
     def codeOf(v: Array[Double], s: Int): Long = {
       val vSub = v.slice(s * Sub, s * Sub + Sub)
       val vv = dot(vSub, vSub)
@@ -70,27 +95,32 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
         (vv - 2.0 * dot(vSub, cb) + dot(cb, cb), cid)
       }.minBy(identity)._2
     }
-    val codes = vecs.map { case (id, v) =>
-      id -> (0 until M).map(s => codeOf(v, s))
+    val codes = vecs.map { case (id, _) =>
+      id -> (0 until M).map(s => codeOf(encOf(id), s))
     }.toMap
 
+    // LUT keyed (qid, cell, s, cid) — for q171 the cell key is unused
+    // upstream (lutVecOf ignores it) but harmless
     val lut = (for {
-      (qid, qv) <- vecs.take(NQ).toSeq
+      qid <- (0 until NQ).map(_.toLong)
+      cell <- r.probesOf(qid)
       s <- 0 until M
       (cid, cb) <- books(s)
     } yield {
+      val qv = lutVecOf(qid, cell)
       var acc = 0.0; var j = 0
       while (j < Sub) { val dd = qv(s * Sub + j) - cb(j); acc += dd * dd; j += 1 }
-      ((qid, s, cid), math.floor(acc * 1000000.0).toLong)
+      ((qid, cell, s, cid), math.floor(acc * 1000000.0).toLong)
     }).toMap
 
     (0 until NQ).map { qi =>
       val (qid, qv) = vecs(qi)
       val cand = vecs.filter { case (id, _) =>
-        id != qid && probesOf(qid).contains(cellOf(id))
+        id != qid && r.probesOf(qid).contains(r.cellOf(id))
       }
       val topAdc = cand.toSeq.map { case (id, _) =>
-        (codes(id).zipWithIndex.map { case (c, s) => lut((qid, s, c)) }.sum, id)
+        val cell = r.cellOf(id)
+        (codes(id).zipWithIndex.map { case (c, s) => lut((qid, cell, s, c)) }.sum, id)
       }.sortBy(identity).take(Top).map(_._2).toSet
       val qq = dot(qv, qv)
       val topExact = vecs.toSeq.filter(_._1 != qid).map { case (id, v) =>
@@ -101,29 +131,64 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** q171 rerun: raw-vector codes from seed books [0, PqK). */
+  private def rerunRaw(vecs: Array[(Long, Array[Double])]): Seq[(Long, Long, Long, Long)] = {
+    val r = route(vecs)
+    val byId = vecs.toMap
+    score(vecs, r, booksFrom(vecs.take(K).toSeq),
+          encOf = byId, lutVecOf = (qid, _) => byId(qid))
+  }
+
+  /** q172 rerun: residual codes from seeds [k, k+PqK), cell-dependent
+    * query-residual LUT.
+    */
+  private def rerunResidual(vecs: Array[(Long, Array[Double])]): Seq[(Long, Long, Long, Long)] = {
+    val r = route(vecs)
+    val byId = vecs.toMap
+    def residual(v: Array[Double], cell: Long): Array[Double] = {
+      val cv = byId(cell)
+      Array.tabulate(v.length)(i => v(i) - cv(i))
+    }
+    val seeds = vecs.filter { case (id, _) => id >= r.k && id < r.k + K }
+      .map { case (id, v) => (id, residual(v, r.cellOf(id))) }
+    score(vecs, r, booksFrom(seeds.toSeq),
+          encOf = id => residual(byId(id), r.cellOf(id)),
+          lutVecOf = (qid, cell) => residual(byId(qid), cell))
+  }
+
   test("q171 rows match a full driver-side IVF-PQ rerun") {
     val got = SimilarityOps.ivfPqSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    val want = rerun(loadVecs())
-    assert(got == want)
+    assert(got == rerunRaw(loadVecs()))
   }
 
-  test("the coarse index prunes and the measured trade is reported") {
+  test("q172 rows match a full driver-side residual IVF-PQ rerun") {
+    val got = SimilarityOps.ivfPqResidual(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == rerunResidual(loadVecs()))
+  }
+
+  test("the coarse index prunes; shared routing; the measured trade is reported") {
     val vecs = loadVecs()
-    val rows = rerun(vecs)
+    val raw = rerunRaw(vecs)
+    val res = rerunResidual(vecs)
     val n = vecs.length
-    rows.foreach { case (qid, nCand, _, _) =>
+    // identical candidate sets: the recall delta isolates the encoding
+    assert(raw.map(r => (r._1, r._2)) == res.map(r => (r._1, r._2)))
+    raw.foreach { case (qid, nCand, _, _) =>
       // probes/k of the cells ⇒ far fewer candidates than the corpus;
-      // 2x slack over the expected share absorbs cell-size skew
+      // 4x slack over the expected share absorbs cell-size skew
       assert(nCand < n - 1, s"qid $qid: no pruning ($nCand of ${n - 1})")
       val expectedShare = Probes.toDouble / SimilarityOps.ivfKFor(n.toLong)
       assert(nCand <= n * expectedShare * 4 + K,
         s"qid $qid: candidate set $nCand way over the probes/k share")
     }
-    val meanCand = rows.map(_._2).sum.toDouble / rows.size
-    val meanRecall = rows.map(_._4).sum.toDouble / rows.size / 1e6
+    val meanCand = raw.map(_._2).sum.toDouble / raw.size
+    def recall(rows: Seq[(Long, Long, Long, Long)]): Double =
+      rows.map(_._4).sum.toDouble / rows.size / 1e6
     info(f"corpus $n, mean candidates $meanCand%.1f " +
-      f"(${n / meanCand}%.1fx pruning), mean recall@$Top $meanRecall%.2f")
-    rows.foreach { case (_, _, ov, rm) => assert(rm == ov * 1000000L / Top) }
+      f"(${n / meanCand}%.1fx pruning); recall@$Top raw(leaked seeds) " +
+      f"${recall(raw)}%.2f vs residual(held-out seeds) ${recall(res)}%.2f")
+    (raw ++ res).foreach { case (_, _, ov, rm) => assert(rm == ov * 1000000L / Top) }
   }
 }

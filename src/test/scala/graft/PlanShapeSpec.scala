@@ -135,4 +135,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"ADC scoring degraded to a sort-merge join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("q172 residual IVF-PQ: centroid, candidate and LUT joins all broadcast (r9)") {
+    // three broadcast-bounded sides ride the corpus scan: the MB-scale
+    // centroid table (residual computation), the bounded candidate
+    // set, and the per-(query, cell) LUT — if any one degrades, the
+    // corpus shuffles for scoring
+    val all = ops.SimilarityOps.baseFor(spark, sf)
+    val df = ops.SimilarityOps.ivfPqResidualCore(
+      spark, all, ops.SimilarityOps.ivfKFor(all.count()))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"residual scoring degraded to a sort-merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
 }
