@@ -98,7 +98,8 @@ object Scaling {
     ("q169_pq_search_holdout", "held-out-seed ADC search (leakage control)", "embeddings"),
     ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"),
     ("q171_ivfpq", "IVF-ADC combined index (prune then LUT-score)", "embeddings"),
-    ("q172_ivfpq_residual", "residual IVF-PQ (by_residual=true)", "embeddings"))
+    ("q172_ivfpq_residual", "residual IVF-PQ (by_residual=true)", "embeddings"),
+    ("q173_stream_vector_ingest", "streaming vector-index ingest coder", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

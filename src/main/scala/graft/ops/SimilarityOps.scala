@@ -799,7 +799,7 @@ object SimilarityOps {
   /** Per-subspace codebooks: books(s) = (code, 8-dim sub-centroid)
     * pairs, code-ascending — the trained form the PQ lanes share.
     */
-  private type PqBooks = IndexedSeq[IndexedSeq[(Long, Array[Double])]]
+  private[graft] type PqBooks = IndexedSeq[IndexedSeq[(Long, Array[Double])]]
 
   /** Seed books: the first PqK vectors' sub-vectors per subspace (the
     * q155 codebooks, re-shaped).
@@ -1557,13 +1557,23 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     result
   }
 
-  private[graft] def ivfPqResidualCore(
-      s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+  /** The residual-encoding building blocks shared by q172 and q173:
+    * the routed corpus, the centroid table (with norms), the residual
+    * relation (every vector minus its cell's centroid — one broadcast
+    * join, map-side at any corpus size), and the residual codebooks
+    * from seeds [k, k+PqK) (the first k vectors ARE the centroids —
+    * their residuals are zero, so seeding from them would build
+    * degenerate books).
+    */
+  private[graft] case class ResidKit(
+      assigned: DataFrame, probes: DataFrame, cents: DataFrame,
+      resid: DataFrame, books: PqBooks)
+
+  private[graft] def residKit(all: DataFrame, k: Long): ResidKit = {
     val (assigned, probes) = ivfRouting(all, k, IvfProbes)
     val centsDf = all.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"))
-    // residual relation: every vector minus its cell's centroid — one
-    // broadcast join, stays map-side at any corpus size
+      .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
+              col("nrm").as("cn"))
     val resid = assigned.join(broadcast(centsDf), col("cell") === col("cid"))
       .select(col("vec_id"), col("cell"),
               zip_with(toDouble(col("v")), col("cv"), (a, b) => a - b).as("rv"))
@@ -1576,14 +1586,58 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
         (cid, rv.slice(sIdx * PqSub, sIdx * PqSub + PqSub))
       }
     }
-    val codes = resid
+    ResidKit(assigned, probes, centsDf, resid, books)
+  }
+
+  /** Residual PQ codes with their cell and floor-e6 reconstruction
+    * error, restricted by `pred` — the batch twin StreamingSpec holds
+    * q173 against (same semantics, the broadcast-join plan instead of
+    * the literal-index stream plan).
+    */
+  private[graft] def residualCodesBatch(
+      s: SparkSession, d: String, pred: Column): DataFrame = {
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    kit.resid.filter(pred)
+      .select(col("vec_id"), col("cell"),
+        posexplode(array(pqArgminsOn(col("rv"), kit.books): _*)).as(Seq("s", "c")))
+      .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+              col("c.cid").as("code"),
+              floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+      .orderBy("vec_id", "s")
+  }
+
+  /** Driver-collected static prep for the q173 ingest coder: the
+    * centroid index (cid, cv, cn) cid-ascending, and the residual
+    * codebooks — both exactly the doubles the batch plans compute.
+    */
+  private[graft] def ingestCoderKit(s: SparkSession, d: String)
+      : (Array[(Long, Array[Double], Double)], PqBooks) = {
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    val cents = kit.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    (cents, kit.books)
+  }
+
+  /** Stream-side residual PQ argmin structs — q173 plugs the arriving
+    * vector's residual column into the shared kernel.
+    */
+  private[graft] def residArgmins(rv: Column, books: PqBooks): Seq[Column] =
+    pqArgminsOn(rv, books)
+
+  private[graft] def ivfPqResidualCore(
+      s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+    val kit = residKit(all, k)
+    val assigned = kit.assigned; val probes = kit.probes
+    val books = kit.books
+    val codes = kit.resid
       .select(col("vec_id"), posexplode(array(pqArgminsOn(col("rv"), books): _*))
         .as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("long").as("s"), col("c.cid").as("code"))
     // per-(query, probed cell) residual LUT — the query's residual is
     // cell-dependent; NQueries·probes rows collected, LUT built driver-side
     val qRes: Array[(Long, Long, Array[Double])] =
-      probes.join(broadcast(centsDf), col("cell") === col("cid"))
+      probes.join(broadcast(kit.cents), col("cell") === col("cid"))
         .select(col("qid"), col("cell"),
                 zip_with(toDouble(col("qv")), col("cv"), (a, b) => a - b).as("qr"))
         .collect()
@@ -1611,20 +1665,40 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     prunedAdcResult(all, cand, adc)
   }
 
-  private val ivfPqResidualSql = {
-    // Σ over subspace sI of (x1[i]-x2[i])·(y1[i]-y2[i]) — the residual
-    // product chain (residuals inline as centroid subtractions)
-    def resDot(sI: Int, x: (String, String), y: (String, String)): String =
-      (0 until PqSub).map { j =>
-        val i = sI * PqSub + j + 1
-        s"((${x._1}[$i] - ${x._2}[$i]) * (${y._1}[$i] - ${y._2}[$i]))"
-      }.mkString(" + ")
+  /** Σ over subspace sI of (x1[i]-x2[i])·(y1[i]-y2[i]) — the residual
+    * product chain (residuals inline as centroid subtractions).
+    */
+  private def resDotSql(sI: Int, x: (String, String), y: (String, String)): String =
+    (0 until PqSub).map { j =>
+      val i = sI * PqSub + j + 1
+      s"((${x._1}[$i] - ${x._2}[$i]) * (${y._1}[$i] - ${y._2}[$i]))"
+    }.mkString(" + ")
+
+  /** CTE chain (after base + route) deriving the residual relation,
+    * the [k, k+PqK) seed books, and the per-(vector, subspace, seed)
+    * distance long-form `ru (vec_id, scid, s, dist)` — shared by
+    * q172's twin and q173's ingest twin.
+    */
+  private val residRuCteSql = {
     val v = ("r.v", "r.cv"); val c = ("sd.sv", "sd.scv")
     val codeDistCols = (0 until PqM).map { sI =>
-      s"((${resDot(sI, v, v)}) - 2.0 * (${resDot(sI, v, c)}) " +
-        s"+ (${resDot(sI, c, c)})) AS dist_$sI"
+      s"((${resDotSql(sI, v, v)}) - 2.0 * (${resDotSql(sI, v, c)}) " +
+        s"+ (${resDotSql(sI, c, c)})) AS dist_$sI"
     }.mkString(",\n  ")
     val codeCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN dist_$sI").mkString(" ")
+    s"""rv AS (SELECT a.vec_id, a.cell, a.v, c.cv FROM iasg a
+       |       JOIN icc c ON a.cell = c.cid),
+       |sd AS (SELECT vec_id AS scid, v AS sv, cv AS scv FROM rv, ikq
+       |       WHERE vec_id >= ikq.k AND vec_id < ikq.k + $PqK),
+       |ra AS (SELECT r.vec_id, sd.scid,
+       |  $codeDistCols
+       |  FROM rv r CROSS JOIN sd),
+       |ru AS (SELECT vec_id, scid, t.i - 1 AS s,
+       |        CASE t.i $codeCaseArms END AS dist
+       |      FROM ra, range(1, ${PqM + 1}) t(i))""".stripMargin
+  }
+
+  private val ivfPqResidualSql = {
     val lutDistCols = (0 until PqM).map { sI =>
       (0 until PqSub).map { j =>
         val i = sI * PqSub + j + 1
@@ -1635,16 +1709,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
     s"""WITH $baseCte,
        |$ivfRouteCteSql,
-       |rv AS (SELECT a.vec_id, a.cell, a.v, c.cv FROM iasg a
-       |       JOIN icc c ON a.cell = c.cid),
-       |sd AS (SELECT vec_id AS scid, v AS sv, cv AS scv FROM rv, ikq
-       |       WHERE vec_id >= ikq.k AND vec_id < ikq.k + $PqK),
-       |ra AS (SELECT r.vec_id, sd.scid,
-       |  $codeDistCols
-       |  FROM rv r CROSS JOIN sd),
-       |ru AS (SELECT vec_id, scid, t.i - 1 AS s,
-       |        CASE t.i $codeCaseArms END AS dist
-       |      FROM ra, range(1, ${PqM + 1}) t(i)),
+       |$residRuCteSql,
        |codes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid FROM
        |  (SELECT vec_id, s, scid, row_number() OVER (PARTITION BY vec_id, s
        |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
@@ -1668,6 +1733,23 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
        |$ivfAdcTailSql""".stripMargin
   }
+
+  /** SQL twin of q173's streaming ingest coder (StreamingOps.
+    * streamVectorIngest): the same residual-code derivation as q172's
+    * chain, restricted to the arrival slice `vec_id % 7 = 3`.
+    */
+  private[graft] val streamVectorIngestSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |best AS (SELECT vec_id, s, scid, dist FROM (SELECT vec_id, s, scid,
+       |  dist, row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1)
+       |SELECT b.vec_id, r.cell, CAST(b.s AS BIGINT) AS s, b.scid AS code,
+       |  CAST(floor(b.dist * 1000000.0) AS BIGINT) AS err_e6
+       |FROM best b JOIN rv r ON r.vec_id = b.vec_id
+       |WHERE b.vec_id % 7 = 3
+       |ORDER BY b.vec_id, b.s""".stripMargin
 
   // ---- q163: retrieval rank-quality metrics (nDCG@10, MRR, hits) for
   //      the approximate ANN lanes — the "measure, don't guess" eval

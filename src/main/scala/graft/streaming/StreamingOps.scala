@@ -943,6 +943,82 @@ SELECT doc_id, COUNT(*) AS n_words,
 FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---- q173: STREAMING VECTOR-INDEX INGEST — the WRITE path of the
+  //      q171/q172 serving index as a stream, the shape a live vector
+  //      store actually runs (new embeddings are routed and compressed
+  //      AT INGEST; the searchable index is the sink, not a nightly
+  //      batch rebuild). Static prep: the index metadata — the
+  //      centroid table (cid, cv, norm) and the q172 residual
+  //      codebooks — is collected once and inlined as LITERALS, the
+  //      stream analogue of broadcasting the index metadata to every
+  //      worker (MB-scale at the 50k-cell cap). The stream stage is
+  //      then entirely STATELESS and map-side: per arriving vector,
+  //      one transform-lambda argmin over the literal centroid array
+  //      picks the cell (same negsim expression and min(struct)
+  //      tie-break as the batch routing), element_at fetches the
+  //      winning centroid, the residual feeds the shared
+  //      [[graft.ops.SimilarityOps.residArgmins]] kernel, and the
+  //      8 (s, code, err_e6) rows append to the sink — zero shuffle,
+  //      zero state store, per-ingest cost linear in the batch.
+  //      Oracle: q172's residual-code CTE chain restricted to the
+  //      arrival slice; StreamingSpec additionally holds the stream
+  //      against the broadcast-join BATCH plan of the same semantics
+  //      (residualCodesBatch). ----
+  def streamVectorIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.VecDot.vecDot
+    import graft.functions.VectorFns.toDouble
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_svi_$hex"
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_svi_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val part = java.nio.file.Files.createTempDirectory("graft_svi_stage")
+      Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    val (cents, books) = graft.ops.SimilarityOps.ingestCoderKit(s, d)
+    val cvs = cents.map(_._2.toSeq).toSeq
+    val cns = cents.toSeq.map(_._3)
+    val cids = cents.toSeq.map(_._1)
+    withStreamShufflePartitions(s, 2) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(srcDir.toString)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+        .withColumn("best", array_min(zip_with(
+          zip_with(typedLit(cvs), typedLit(cns),
+            (cv, cn) => -vecDot(col("v"), cv) / (col("nrm") * cn)),
+          typedLit(cids),
+          (dneg, c) => struct(dneg.as("negsim"), c.as("cid")))))
+        .withColumn("cell", col("best").getField("cid"))
+        .withColumn("rv", zip_with(toDouble(col("v")),
+          element_at(typedLit(cvs), (col("cell") + 1).cast("int")),
+          (a, b) => a - b))
+        .select(col("vec_id"), col("cell"),
+          posexplode(array(graft.ops.SimilarityOps.residArgmins(col("rv"), books): _*))
+            .as(Seq("s", "c")))
+        .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+                col("c.cid").as("code"),
+                floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(qname).orderBy("vec_id", "s")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
@@ -965,5 +1041,8 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     Q("q154_stream_dsir_gate", streamDsirGate, Some(streamDsirGateSql),
       "streaming DSIR scoring gate: literal ratio-array histogram, per-row integer mean weight, relative cutoff — stateless append"),
     Q("q170_stream_token_meter", streamTokenMeter, Some(streamTokenMeterSql),
-      "ingest-time tokenization metering: corpus-trained BPE vocab as the stream-static broadcast side, stateless per-word enrichment, downstream per-doc rollup"))
+      "ingest-time tokenization metering: corpus-trained BPE vocab as the stream-static broadcast side, stateless per-word enrichment, downstream per-doc rollup"),
+    Q("q173_stream_vector_ingest", streamVectorIngest,
+      Some(graft.ops.SimilarityOps.streamVectorIngestSql),
+      "streaming vector-index ingest: literal centroid+codebook index metadata, stateless map-side cell routing + residual PQ coding per arriving vector == batch q172 chain on the arrival slice"))
 }

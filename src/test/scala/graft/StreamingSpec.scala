@@ -342,4 +342,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("doc_id") % 5 === 4).count()
     assert(got.size.toLong == nDelta)
   }
+
+  test("q173 stream vector ingest == batch residual coding of the arrival slice") {
+    import org.apache.spark.sql.functions._
+    // the stream encodes via a LITERAL centroid/codebook index
+    // (map-side argmin per arriving vector); the batch twin encodes
+    // via the q172 broadcast-join plan — same semantics, different
+    // physical path, so agreement checks routing, residuals, codes
+    // and errors end to end
+    val got = streaming.StreamingOps.streamVectorIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    val want = ops.SimilarityOps
+      .residualCodesBatch(spark, sf, col("vec_id") % 7 === 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got == want, "stream codes != batch residual codes")
+    val nDelta = Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 3).count()
+    assert(got.size.toLong == nDelta * ops.SimilarityOps.PqM)
+  }
 }
