@@ -1423,6 +1423,15 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     */
   private[graft] def ivfPqSearchCore(
       s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+    val (cand, adc) = ivfPqAdc(s, all, k)
+    prunedAdcResult(all, cand, adc)
+  }
+
+  /** q171's candidate set and ADC scores, pre-presentation — q163
+    * ranks the same scores as system 'ivfpq'.
+    */
+  private[graft] def ivfPqAdc(
+      s: SparkSession, all: DataFrame, k: Long): (DataFrame, DataFrame) = {
     val (assigned, probes) = ivfRouting(all, k, IvfProbes)
     val books = pqSeedBooks(all)
     val codes = pqCodesOnly(all, books)
@@ -1444,7 +1453,17 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
             col("s") === col("ls") && col("code") === col("lcid") &&
               col("qid") === col("lqid"))
       .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
-    prunedAdcResult(all, cand, adc)
+    (cand, adc)
+  }
+
+  /** Per-query ADC top-K ranking (qid, vec_id, rn) — shared by the
+    * q171/q172 presentation and the q163 'ivfpq'/'rivfpq' systems.
+    */
+  private[graft] def adcTopK(adc: DataFrame): DataFrame = {
+    val wa = Window.partitionBy("qid").orderBy(col("adc_e6").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
   }
 
   /** Shared presentation tail of the IVF-ADC lanes (q171/q172): rank
@@ -1454,10 +1473,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     */
   private def prunedAdcResult(
       all: DataFrame, cand: DataFrame, adc: DataFrame): DataFrame = {
-    val wa = Window.partitionBy("qid").orderBy(col("adc_e6").asc, col("vec_id").asc)
-    val topAdc = adc.withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    val topAdc = adcTopK(adc)
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = all.crossJoin(broadcast(q))
@@ -1478,10 +1494,10 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
 
   /** Shared tail of the IVF-ADC twins (q171/q172): exact-L2 truth,
     * both top-K ranks, candidate counts, final recall presentation.
-    * Expects CTEs `n`, `pq (qid, qv)`, `icnd (qid, vec_id, ...)`,
-    * `adcc (qid, vec_id, adc_e6)` upstream.
+    * Expects CTEs `n`, `pq (qid, qv)`, `$cnd (qid, vec_id, ...)`,
+    * `$adcc (qid, vec_id, adc_e6)` upstream.
     */
-  private val ivfAdcTailSql =
+  private def ivfAdcTailSqlFor(cnd: String, adcc: String): String =
     s"""exact AS (SELECT pq.qid, n.vec_id,
        |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("pq.qv", "n.v")}
        |    + ${dotFoldSql("pq.qv", "pq.qv")}, 6) AS d_r
@@ -1491,15 +1507,31 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |  WHERE rn <= $TopK),
        |ta AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC)
-       |    AS rn FROM adcc) WHERE rn <= $TopK),
+       |    AS rn FROM $adcc) WHERE rn <= $TopK),
        |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
-       |       FROM icnd GROUP BY qid)
+       |       FROM $cnd GROUP BY qid)
        |SELECT te.qid, nc.n_cand, CAST(SUM(COALESCE(hit, 0)) AS BIGINT)
        |         AS n_overlap,
        |       (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
        |         AS recall_millionths
        |FROM te LEFT JOIN ta USING (qid, vec_id) JOIN nc ON nc.qid = te.qid
        |GROUP BY te.qid, nc.n_cand ORDER BY te.qid""".stripMargin
+
+  private val ivfAdcTailSql = ivfAdcTailSqlFor("icnd", "adcc")
+
+  /** q171's candidate + ADC CTEs `icnd`/`adcc` — expects `iasg`/`iprb`
+    * (route), `codes` (PQ codes) and `plut` (qid-keyed integer LUT)
+    * upstream; composes into both the standalone twin and q163's.
+    */
+  private val ivfCandAdcCteSql =
+    s"""icnd AS (SELECT p.qid, s.vec_id FROM iasg s JOIN iprb p
+       |         ON s.cell = p.cell WHERE s.vec_id <> p.qid),
+       |adcc AS (SELECT icnd.qid, icnd.vec_id,
+       |          CAST(SUM(plut.dlut) AS BIGINT) AS adc_e6
+       |        FROM icnd JOIN codes ON codes.vec_id = icnd.vec_id
+       |        JOIN plut ON plut.qid = icnd.qid AND plut.s = codes.s
+       |          AND plut.cid = codes.cid
+       |        GROUP BY icnd.qid, icnd.vec_id)""".stripMargin
 
   private val ivfPqSearchSql = {
     val lutDistCols = (0 until PqM)
@@ -1516,14 +1548,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |          CAST(floor((CASE t.i $lutCaseArms END) * 1000000.0) AS BIGINT)
        |            AS dlut
        |        FROM pl0, range(1, ${PqM + 1}) t(i)),
-       |icnd AS (SELECT p.qid, s.vec_id FROM iasg s JOIN iprb p
-       |         ON s.cell = p.cell WHERE s.vec_id <> p.qid),
-       |adcc AS (SELECT icnd.qid, icnd.vec_id,
-       |          CAST(SUM(plut.dlut) AS BIGINT) AS adc_e6
-       |        FROM icnd JOIN codes ON codes.vec_id = icnd.vec_id
-       |        JOIN plut ON plut.qid = icnd.qid AND plut.s = codes.s
-       |          AND plut.cid = codes.cid
-       |        GROUP BY icnd.qid, icnd.vec_id),
+       |$ivfCandAdcCteSql,
        |$ivfAdcTailSql""".stripMargin
   }
 
@@ -1627,6 +1652,15 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
 
   private[graft] def ivfPqResidualCore(
       s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+    val (cand, adc) = ivfPqResidualAdc(s, all, k)
+    prunedAdcResult(all, cand, adc)
+  }
+
+  /** q172's candidate set and residual-ADC scores, pre-presentation —
+    * q163 ranks the same scores as system 'rivfpq'.
+    */
+  private[graft] def ivfPqResidualAdc(
+      s: SparkSession, all: DataFrame, k: Long): (DataFrame, DataFrame) = {
     val kit = residKit(all, k)
     val assigned = kit.assigned; val probes = kit.probes
     val books = kit.books
@@ -1662,7 +1696,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
             col("qid") === col("lqid") && col("cell") === col("lcell") &&
               col("s") === col("ls") && col("code") === col("lcid"))
       .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
-    prunedAdcResult(all, cand, adc)
+    (cand, adc)
   }
 
   /** Σ over subspace sI of (x1[i]-x2[i])·(y1[i]-y2[i]) — the residual
@@ -1698,7 +1732,12 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |      FROM ra, range(1, ${PqM + 1}) t(i))""".stripMargin
   }
 
-  private val ivfPqResidualSql = {
+  /** q172's residual candidate + ADC CTEs `rcodes`/`qr`/`rpl0`/
+    * `rplut`/`rcnd`/`radc` — expects the route chain and
+    * [[residRuCteSql]] upstream; composes into both the standalone
+    * twin and q163's.
+    */
+  private val residAdcCteSql = {
     val lutDistCols = (0 until PqM).map { sI =>
       (0 until PqSub).map { j =>
         val i = sI * PqSub + j + 1
@@ -1707,32 +1746,35 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       }.mkString(" + ") + s" AS ld_$sI"
     }.mkString(",\n  ")
     val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
-    s"""WITH $baseCte,
-       |$ivfRouteCteSql,
-       |$residRuCteSql,
-       |codes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid FROM
+    s"""rcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid FROM
        |  (SELECT vec_id, s, scid, row_number() OVER (PARTITION BY vec_id, s
        |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
        |qr AS (SELECT p.qid, p.cell, p.qv, c.cv FROM iprb p
        |       JOIN icc c ON p.cell = c.cid),
-       |pl0 AS (SELECT qr.qid, qr.cell, sd.scid AS cid,
+       |rpl0 AS (SELECT qr.qid, qr.cell, sd.scid AS cid,
        |  $lutDistCols
        |  FROM qr CROSS JOIN sd),
-       |plut AS (SELECT qid, cell, cid, CAST(t.i - 1 AS BIGINT) AS s,
+       |rplut AS (SELECT qid, cell, cid, CAST(t.i - 1 AS BIGINT) AS s,
        |          CAST(floor((CASE t.i $lutCaseArms END) * 1000000.0) AS BIGINT)
        |            AS dlut
-       |        FROM pl0, range(1, ${PqM + 1}) t(i)),
-       |icnd AS (SELECT p.qid, s.vec_id, s.cell FROM iasg s JOIN iprb p
+       |        FROM rpl0, range(1, ${PqM + 1}) t(i)),
+       |rcnd AS (SELECT p.qid, s.vec_id, s.cell FROM iasg s JOIN iprb p
        |         ON s.cell = p.cell WHERE s.vec_id <> p.qid),
-       |adcc AS (SELECT icnd.qid, icnd.vec_id,
-       |          CAST(SUM(plut.dlut) AS BIGINT) AS adc_e6
-       |        FROM icnd JOIN codes ON codes.vec_id = icnd.vec_id
-       |        JOIN plut ON plut.qid = icnd.qid AND plut.cell = icnd.cell
-       |          AND plut.s = codes.s AND plut.cid = codes.cid
-       |        GROUP BY icnd.qid, icnd.vec_id),
-       |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
-       |$ivfAdcTailSql""".stripMargin
+       |radc AS (SELECT rcnd.qid, rcnd.vec_id,
+       |          CAST(SUM(rplut.dlut) AS BIGINT) AS adc_e6
+       |        FROM rcnd JOIN rcodes ON rcodes.vec_id = rcnd.vec_id
+       |        JOIN rplut ON rplut.qid = rcnd.qid AND rplut.cell = rcnd.cell
+       |          AND rplut.s = rcodes.s AND rplut.cid = rcodes.cid
+       |        GROUP BY rcnd.qid, rcnd.vec_id)""".stripMargin
   }
+
+  private val ivfPqResidualSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |$residAdcCteSql,
+       |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
+       |${ivfAdcTailSqlFor("rcnd", "radc")}""".stripMargin
 
   /** SQL twin of q173's streaming ingest coder (StreamingOps.
     * streamVectorIngest): the same residual-code derivation as q172's
@@ -1786,16 +1828,22 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .unionByName(sysList("mlsh", simAnnMultiLshOn(all, mtPlaneInt)))
       .unionByName(sysList("ivf", simAnnIvfOn(all, k)))
       .unionByName(sysList("adc", topAdc))
-    // cosine-ranked truth for the cosine lanes; exact-L2 truth for ADC
+      .unionByName(sysList("ivfpq", adcTopK(ivfPqAdc(s, all, k)._2)))
+      .unionByName(sysList("rivfpq", adcTopK(ivfPqResidualAdc(s, all, k)._2)))
+    // cosine-ranked truth for the cosine lanes; exact-L2 truth for the
+    // ADC-scored lanes (full-corpus and both IVF-pruned variants)
     val cosGain = (sysName: String) => cosTop
+      .select(lit(sysName).as("sys"), col("qid"), col("vec_id"),
+              (lit(TopK + 1L) - col("rn")).as("gain"))
+    val l2Gain = (sysName: String) => topL2
       .select(lit(sysName).as("sys"), col("qid"), col("vec_id"),
               (lit(TopK + 1L) - col("rn")).as("gain"))
     val gains = cosGain("lsh")
       .unionByName(cosGain("mlsh"))
       .unionByName(cosGain("ivf"))
-      .unionByName(topL2
-        .select(lit("adc").as("sys"), col("qid"), col("vec_id"),
-                (lit(TopK + 1L) - col("rn")).as("gain")))
+      .unionByName(l2Gain("adc"))
+      .unionByName(l2Gain("ivfpq"))
+      .unionByName(l2Gain("rivfpq"))
     val discArms = (1 to TopK)
       .map(p => s"WHEN $p THEN ${NdcgDisc(p - 1)}").mkString(" ")
     val m = sysRows.join(gains, Seq("sys", "qid", "vec_id"), "left")
@@ -1806,7 +1854,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
            min(when(col("gain") > 0, col("rn"))).as("frp0"),
            sum(col("gain") * col("disc")).as("dcg0"))
     import s.implicits._
-    val grid = Seq("adc", "ivf", "lsh", "mlsh").toDF("sys")
+    val grid = Seq("adc", "ivf", "ivfpq", "lsh", "mlsh", "rivfpq").toDF("sys")
       .crossJoin(all.filter(col("vec_id") < NQueries).select(col("vec_id").as("qid")))
     val result = grid.join(m, Seq("sys", "qid"), "left")
       .select(col("sys"), col("qid"),
@@ -1872,13 +1920,26 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |pat AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
        |  OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC) AS rn FROM padc)
        |  WHERE rn <= $TopK),
+       |$ivfCandAdcCteSql,
+       |ipt AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC) AS rn FROM adcc)
+       |  WHERE rn <= $TopK),
+       |$residRuCteSql,
+       |$residAdcCteSql,
+       |rpt AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC) AS rn FROM radc)
+       |  WHERE rn <= $TopK),
        |sys AS (SELECT 'lsh' AS sys, qid, vec_id, CAST(rn AS BIGINT) AS rn FROM lr
        |        UNION ALL
        |        SELECT 'mlsh', qid, vec_id, CAST(rn AS BIGINT) FROM mr
        |        UNION ALL
        |        SELECT 'ivf', qid, vec_id, CAST(rn AS BIGINT) FROM ivr
        |        UNION ALL
-       |        SELECT 'adc', qid, vec_id, CAST(rn AS BIGINT) FROM pat),
+       |        SELECT 'adc', qid, vec_id, CAST(rn AS BIGINT) FROM pat
+       |        UNION ALL
+       |        SELECT 'ivfpq', qid, vec_id, CAST(rn AS BIGINT) FROM ipt
+       |        UNION ALL
+       |        SELECT 'rivfpq', qid, vec_id, CAST(rn AS BIGINT) FROM rpt),
        |g AS (SELECT 'lsh' AS sys, qid, vec_id,
        |        CAST(${TopK + 1} - rn AS BIGINT) AS gain FROM ct
        |      UNION ALL
@@ -1886,7 +1947,11 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |      UNION ALL
        |      SELECT 'ivf', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM ct
        |      UNION ALL
-       |      SELECT 'adc', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet),
+       |      SELECT 'adc', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet
+       |      UNION ALL
+       |      SELECT 'ivfpq', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet
+       |      UNION ALL
+       |      SELECT 'rivfpq', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet),
        |j AS (SELECT s.sys, s.qid, s.rn, COALESCE(g.gain, 0) AS gain
        |      FROM sys s LEFT JOIN g
        |        ON g.sys = s.sys AND g.qid = s.qid AND g.vec_id = s.vec_id),
@@ -1897,8 +1962,10 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |      FROM j GROUP BY sys, qid),
        |grid AS (SELECT sys, qid FROM
        |           (SELECT 'adc' AS sys UNION ALL SELECT 'ivf'
+       |            UNION ALL SELECT 'ivfpq'
        |            UNION ALL SELECT 'lsh'
-       |            UNION ALL SELECT 'mlsh') CROSS JOIN
+       |            UNION ALL SELECT 'mlsh'
+       |            UNION ALL SELECT 'rivfpq') CROSS JOIN
        |           (SELECT vec_id AS qid FROM n WHERE vec_id < $NQueries)),
        |f AS (SELECT grid.sys, grid.qid,
        |        CAST(COALESCE(m.n_rel, 0) AS BIGINT) AS n_rel,
@@ -1947,5 +2014,5 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
-      "integer-exact nDCG@10/MRR for the LSH/multi-LSH/IVF/PQ-ADC lanes vs their exact counterparts (literal log2-discount LUT)"))
+      "integer-exact nDCG@10/MRR for all six serving lanes (LSH/multi-LSH/IVF/PQ-ADC/IVF-PQ/residual-IVF-PQ) vs their exact counterparts (literal log2-discount LUT)"))
 }

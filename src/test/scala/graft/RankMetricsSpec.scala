@@ -64,13 +64,32 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
     check("lsh", lsh, cosT)
     check("mlsh", mlsh, cosT)
     check("ivf", ivf, cosT)
+    // the IVF-PQ pair: ranked lists from the shared lane internals,
+    // truth = exact L2 (the same counterpart 'adc' is scored against)
+    val allB = ops.SimilarityOps.baseFor(spark, sf).persist()
+    val k = ops.SimilarityOps.ivfKFor(allB.count())
+    val ivfpq = ranked(ops.SimilarityOps.adcTopK(
+      ops.SimilarityOps.ivfPqAdc(spark, allB, k)._2))
+    val rivfpq = ranked(ops.SimilarityOps.adcTopK(
+      ops.SimilarityOps.ivfPqResidualAdc(spark, allB, k)._2))
+    val l2T = ranked(ops.SimilarityOps.pqSearchPartsB(
+      spark, allB, ops.SimilarityOps.pqSeedBooks(allB))._2)
+    allB.unpersist(false)
+    check("ivfpq", ivfpq, l2T)
+    check("rivfpq", rivfpq, l2T)
     // the multi-table fix measurably beats the single-table lane
     def meanNd(sys: String): Double = {
       val vs = got.collect { case ((s, _), v) if s == sys => v._5 }
       vs.sum.toDouble / vs.size / 1e6
     }
     info(f"mean nDCG@10: lsh ${meanNd("lsh")}%.3f mlsh ${meanNd("mlsh")}%.3f " +
-      f"ivf ${meanNd("ivf")}%.3f adc ${meanNd("adc")}%.3f")
+      f"ivf ${meanNd("ivf")}%.3f adc ${meanNd("adc")}%.3f " +
+      f"ivfpq ${meanNd("ivfpq")}%.3f rivfpq ${meanNd("rivfpq")}%.3f")
+    // cell pruning must not collapse ADC quality: the combined index
+    // stays in the full-corpus ADC's band (measured 0.48 vs 0.39 at
+    // sf0.001 — pruning actually removes distant false positives)
+    assert(meanNd("ivfpq") >= meanNd("adc") - 0.15,
+      f"IVF pruning collapsed ADC quality: ${meanNd("ivfpq")}%.3f vs ${meanNd("adc")}%.3f")
     assert(meanNd("mlsh") > meanNd("lsh"),
       "multi-table LSH did not improve on single-table")
     // quality floor for the REGISTERED scale path (VERDICT r8 #1: the
