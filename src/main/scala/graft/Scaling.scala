@@ -99,7 +99,8 @@ object Scaling {
     ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"),
     ("q171_ivfpq", "IVF-ADC combined index (prune then LUT-score)", "embeddings"),
     ("q172_ivfpq_residual", "residual IVF-PQ (by_residual=true)", "embeddings"),
-    ("q173_stream_vector_ingest", "streaming vector-index ingest coder", "embeddings"))
+    ("q173_stream_vector_ingest", "streaming vector-index ingest coder", "embeddings"),
+    ("q174_filtered_ann", "metadata-filtered ANN (post-filter + boost)", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -1793,6 +1793,130 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |WHERE b.vec_id % 7 = 3
        |ORDER BY b.vec_id, b.s""".stripMargin
 
+  // ---- q174: FILTERED ANN — metadata-filtered vector search, the
+  //      serving feature every production vector store exposes
+  //      ("nearest neighbors WHERE label = X") and the classic
+  //      pre/post-filtering trade, here MEASURED: the IVF index routes
+  //      on the unfiltered corpus, so post-filtering the probed
+  //      candidates by the query's own label discards ~(1 − 1/|labels|)
+  //      of them and recall against the exact FILTERED truth craters;
+  //      the standard mitigation — oversample the probes when a filter
+  //      is attached — runs as a second mode ('boost', 4× cells) in
+  //      the same output, so the recall-vs-probe-cost curve ships as
+  //      oracle-checked data. All scale shapes are inherited: routing
+  //      is the q50 broadcast argmin, the scored candidate set is
+  //      bounded (queries·probes·~cell-size) and BROADCASTS against
+  //      the label scan (the label attach is map-side — the corpus
+  //      never shuffles for the filter), truth is the one controlled
+  //      broadcast cross join every eval lane pays. ----
+  private[graft] val FilterBoost = 4
+
+  def filteredAnn(s: SparkSession, d: String): DataFrame = {
+    val allL = Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("v"),
+              col("label").cast("long").as("lbl"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .persist()
+    val k = ivfCellCount(s, d)
+    val q = allL.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn"), col("lbl").as("qlbl"))
+    val qlbl = q.select("qid", "qlbl")
+    // exact FILTERED truth: brute force over the same-label slice only
+    val wt = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    val truth = allL.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") && col("lbl") === col("qlbl"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id")
+    def mode(tag: String, nProbes: Int): DataFrame = {
+      val scored = ivfCandidates(allL, k, nProbes)
+      val nCand = scored.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      // label attach: the bounded scored set broadcasts against the
+      // (vec_id, lbl) scan — map-side, no corpus exchange
+      val kept = allL.select(col("vec_id"), col("lbl"))
+        .join(broadcast(scored), Seq("vec_id"))
+        .join(broadcast(qlbl), Seq("qid"))
+        .filter(col("lbl") === col("qlbl"))
+      val nKept = kept.groupBy("qid").agg(count(lit(1)).as("n_kept"))
+      val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+      val top = kept.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(broadcast(top), Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+             expr(s"(sum(coalesce(hit, 0)) * 1000000) div $TopK").as("recall_millionths"))
+        .join(broadcast(nCand), Seq("qid"))
+        .join(broadcast(nKept), Seq("qid"))
+        .join(broadcast(qlbl), Seq("qid"))
+        .select(lit(tag).as("mode"), col("qid"), col("qlbl"), col("n_cand"),
+                col("n_kept"), col("n_overlap"), col("recall_millionths"))
+    }
+    val result = mode("post", IvfProbes)
+      .unionByName(mode("boost", IvfProbes * FilterBoost))
+      .orderBy("mode", "qid")
+      .localCheckpoint(true)
+    allL.unpersist(false)
+    result
+  }
+
+  private val filteredAnnSql = {
+    def modeSql(tag: String, prb: String): String =
+      s"""${tag}c AS (SELECT p.qid, s.vec_id,
+         |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
+         |  FROM iasg s JOIN $prb p ON s.cell = p.cell
+         |  WHERE s.vec_id <> p.qid),
+         |${tag}n AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |           FROM ${tag}c GROUP BY qid),
+         |${tag}k AS (SELECT c.qid, c.vec_id, c.cos_r FROM ${tag}c c
+         |           JOIN nl ON nl.vec_id = c.vec_id
+         |           JOIN fq ON fq.qid = c.qid
+         |           WHERE nl.lbl = fq.qlbl),
+         |${tag}kn AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |            FROM ${tag}k GROUP BY qid),
+         |${tag}t AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC)
+         |    AS rn FROM ${tag}k) WHERE rn <= $TopK),
+         |${tag}f AS (SELECT ftt.qid,
+         |        CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_overlap,
+         |        (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
+         |          AS recall_millionths
+         |      FROM ftt LEFT JOIN ${tag}t USING (qid, vec_id) GROUP BY ftt.qid)""".stripMargin
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |el AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v,
+       |       CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |nl AS (SELECT vec_id, v, lbl, ${normSql("v")} AS nrm FROM el),
+       |fq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, lbl AS qlbl FROM nl
+       |       WHERE vec_id < $NQueries),
+       |ft AS (SELECT fq.qid, nl.vec_id,
+       |  round(${dotFoldSql("fq.qv", "nl.v")} / (fq.qn * nl.nrm), 6) AS cos_r
+       |  FROM nl CROSS JOIN fq
+       |  WHERE nl.vec_id <> fq.qid AND nl.lbl = fq.qlbl),
+       |ftt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
+       |  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM ft)
+       |  WHERE rn <= $TopK),
+       |ipb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
+       |        FROM ir0 WHERE crn <= ${IvfProbes * FilterBoost}
+       |          AND vec_id < $NQueries),
+       |${modeSql("fp", "iprb")},
+       |${modeSql("fb", "ipb")}
+       |SELECT 'post' AS mode, fq.qid, fq.qlbl, fpn.n_cand, fpkn.n_kept,
+       |       fpf.n_overlap, fpf.recall_millionths
+       |FROM fq JOIN fpn ON fpn.qid = fq.qid JOIN fpkn ON fpkn.qid = fq.qid
+       |JOIN fpf ON fpf.qid = fq.qid
+       |UNION ALL
+       |SELECT 'boost', fq.qid, fq.qlbl, fbn.n_cand, fbkn.n_kept,
+       |       fbf.n_overlap, fbf.recall_millionths
+       |FROM fq JOIN fbn ON fbn.qid = fq.qid JOIN fbkn ON fbkn.qid = fq.qid
+       |JOIN fbf ON fbf.qid = fq.qid
+       |ORDER BY mode, qid""".stripMargin
+  }
+
   // ---- q163: retrieval rank-quality metrics (nDCG@10, MRR, hits) for
   //      the approximate ANN lanes — the "measure, don't guess" eval
   //      q153 gives the dedup path, here for serving: each approximate
@@ -2011,6 +2135,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       "IVF-ADC combined index: coarse cells prune candidates, the PQ LUT scores survivors — per-query candidate count + recall vs full-corpus exact L2"),
     Q("q172_ivfpq_residual", ivfPqResidual, Some(ivfPqResidualSql),
       "residual IVF-PQ (FAISS by_residual=true): codes quantize v - centroid(cell), per-(query, probed-cell) residual LUT — same routing as q171, so the recall delta isolates residual encoding"),
+    Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),
+      "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
