@@ -54,7 +54,8 @@ object Plans {
       "q151_substring_dedup" -> "exact-substring dedup: span hashing + posting-list combinations all inside whole-stage codegen; one exchange by span hash, one by pair for the diagonal run window — no suffix array, no all-pairs join",
       "q155_pq_codes" -> "product quantization: 8x16 literal codebooks, map-side argmin over explicit squared-L2 chains — the only exchanges are the input repartition and the presentation sort",
       "q157_pq_search" -> "ADC search: 640-row integer LUT broadcast to a hash join over the code stream, integer sums, TopKPerKey under both rank filters — the corpus pays lookups, never per-candidate vector math",
-      "q159_domain_cap" -> "per-domain quota cap: under-cap sources admitted via broadcast semi-join on the |sources|-row count relation; only over-cap sources pay the rank, and the rk<=cap filter plans through WindowGroupLimit — a hot domain costs one partition-local top-K, never a corpus-wide rank")
+      "q159_domain_cap" -> "per-domain quota cap: under-cap sources admitted via broadcast semi-join on the |sources|-row count relation; only over-cap sources pay the rank, and the rk<=cap filter plans through WindowGroupLimit — a hot domain costs one partition-local top-K, never a corpus-wide rank",
+      "q175_ivf_stats" -> "IVF index-health audit: the routing argmin collapses n*k map-side, occupancy is a k-group aggregate joined broadcast to the k-row cell table, the histogram a second tiny mergeable aggregate — partial counts per task at any scale, never data")
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder

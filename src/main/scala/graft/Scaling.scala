@@ -100,7 +100,8 @@ object Scaling {
     ("q171_ivfpq", "IVF-ADC combined index (prune then LUT-score)", "embeddings"),
     ("q172_ivfpq_residual", "residual IVF-PQ (by_residual=true)", "embeddings"),
     ("q173_stream_vector_ingest", "streaming vector-index ingest coder", "embeddings"),
-    ("q174_filtered_ann", "metadata-filtered ANN (post-filter + boost)", "embeddings"))
+    ("q174_filtered_ann", "metadata-filtered ANN (post-filter + boost)", "embeddings"),
+    ("q175_ivf_stats", "IVF cell-occupancy health audit", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -1793,6 +1793,37 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |WHERE b.vec_id % 7 = 3
        |ORDER BY b.vec_id, b.s""".stripMargin
 
+  // ---- q175: IVF INDEX-HEALTH AUDIT — the cell-occupancy histogram a
+  //      real vector-store deployment monitors: skewed cells are the
+  //      ANN analogue of hot keys (a probe into a 10×-oversized cell
+  //      costs 10× the scoring work; empty cells waste probe budget),
+  //      and the k = ceil(n/64) sizing policy (q50) is a CLAIM about
+  //      occupancy that this lane turns into oracle-checked data.
+  //      Shape: the routing argmin (one exchange of k-group partial
+  //      counts), a LEFT join from the k-row cell table so EMPTY cells
+  //      surface as occupancy-0 rows, and a second tiny aggregate —
+  //      histogram rows are mergeable, so at 100 TB this is partial
+  //      counts per task, never data. ----
+  def ivfStats(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val k = ivfCellCount(s, d)
+    val (assigned, _) = ivfRouting(all, k, IvfProbes)
+    val occ = all.filter(col("vec_id") < k).select(col("vec_id").as("cid"))
+      .join(broadcast(assigned.groupBy("cell").agg(count(lit(1)).as("occ0"))),
+            col("cid") === col("cell"), "left")
+      .select(col("cid"), coalesce(col("occ0"), lit(0L)).as("occupancy"))
+    occ.groupBy("occupancy").agg(count(lit(1)).as("n_cells"))
+      .orderBy("occupancy")
+  }
+
+  private val ivfStatsSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |occ AS (SELECT c.cid, CAST(COUNT(a.vec_id) AS BIGINT) AS occupancy
+       |        FROM icc c LEFT JOIN iasg a ON a.cell = c.cid GROUP BY c.cid)
+       |SELECT occupancy, CAST(COUNT(*) AS BIGINT) AS n_cells
+       |FROM occ GROUP BY occupancy ORDER BY occupancy""".stripMargin
+
   // ---- q174: FILTERED ANN — metadata-filtered vector search, the
   //      serving feature every production vector store exposes
   //      ("nearest neighbors WHERE label = X") and the classic
@@ -2137,6 +2168,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       "residual IVF-PQ (FAISS by_residual=true): codes quantize v - centroid(cell), per-(query, probed-cell) residual LUT — same routing as q171, so the recall delta isolates residual encoding"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
+    Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),
+      "IVF index-health audit: cell-occupancy histogram incl. empty cells — the skew/hot-cell monitoring a vector-store deployment runs, and the check on the k=ceil(n/64) sizing policy"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),

@@ -168,6 +168,25 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
     assert(got == rerunResidual(loadVecs()))
   }
 
+  test("q175 occupancy histogram matches a driver-side routing rerun; cells account for the corpus") {
+    val vecs = loadVecs()
+    val r = route(vecs)
+    val occ = vecs.groupBy(v => r.cellOf(v._1)).map { case (c, vs) => c -> vs.length.toLong }
+    val want = (0L until r.k).toSeq
+      .map(cid => occ.getOrElse(cid, 0L))
+      .groupBy(identity).map { case (o, cs) => (o, cs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = SimilarityOps.ivfStats(spark, sf).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toSeq
+    assert(got == want)
+    // the histogram accounts for every cell and every vector
+    assert(got.map(_._2).sum == r.k)
+    assert(got.map { case (o, n) => o * n }.sum == vecs.length)
+    val max = got.map(_._1).max; val mean = vecs.length.toDouble / r.k
+    info(f"k=${r.k} cells, mean occupancy $mean%.1f, max $max " +
+      f"(imbalance ${max / mean}%.1fx), empty ${got.find(_._1 == 0L).map(_._2).getOrElse(0L)}")
+  }
+
   test("the coarse index prunes; shared routing; the measured trade is reported") {
     val vecs = loadVecs()
     val raw = rerunRaw(vecs)
