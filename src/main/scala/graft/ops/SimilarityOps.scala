@@ -354,10 +354,7 @@ object SimilarityOps {
   private[graft] def ivfCandidates(
       all: DataFrame, k: Long, nProbes: Int = IvfProbes): DataFrame = {
     val (assigned, probes) = ivfRouting(all, k, nProbes)
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+    scoreProbed(assigned, probes)
   }
 
   /** The IVF coarse index split from its scoring: `assigned (vec_id, v,
@@ -368,6 +365,16 @@ object SimilarityOps {
     */
   private[graft] def ivfRouting(
       all: DataFrame, k: Long, nProbes: Int = IvfProbes): (DataFrame, DataFrame) = {
+    val (assigned, ranked) = ivfRoutingRanked(all, k, nProbes)
+    (assigned, ranked.drop("crn"))
+  }
+
+  /** Routing with the probe rank kept (`crn`) — lanes needing several
+    * probe budgets from ONE n×k scoring pass (q174's post/boost modes)
+    * filter this instead of re-routing.
+    */
+  private[graft] def ivfRoutingRanked(
+      all: DataFrame, k: Long, nProbes: Int): (DataFrame, DataFrame) = {
     val cents = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
@@ -391,9 +398,18 @@ object SimilarityOps {
       .withColumn("crn", row_number().over(wp))
       .filter(col("crn") <= nProbes)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-              col("nrm").as("qn"), col("cid").as("cell"))
+              col("nrm").as("qn"), col("cid").as("cell"), col("crn"))
     (assigned, probes)
   }
+
+  /** Exact-cosine scoring of a probe set's cell members — the shared
+    * candidate generator behind [[ivfCandidates]] and q174's modes.
+    */
+  private def scoreProbed(assigned: DataFrame, probes: DataFrame): DataFrame =
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
 
   /** Routing-only prefix of the IVF twin: CTEs through `iasg`
     * (assignment) and `iprb` (query probes) — shared by the exact
@@ -1863,8 +1879,13 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .withColumn("rn", row_number().over(wt))
       .filter(col("rn") <= TopK)
       .select("qid", "vec_id")
+    // ONE n×k routing pass at the boost budget; each mode filters the
+    // ranked probe set instead of re-routing (the post probes are a
+    // prefix of the boost probes by construction)
+    val (assigned, probesR) = ivfRoutingRanked(allL, k, IvfProbes * FilterBoost)
     def mode(tag: String, nProbes: Int): DataFrame = {
-      val scored = ivfCandidates(allL, k, nProbes)
+      val scored = scoreProbed(assigned,
+        probesR.filter(col("crn") <= nProbes).drop("crn"))
       val nCand = scored.groupBy("qid").agg(count(lit(1)).as("n_cand"))
       // label attach: the bounded scored set broadcasts against the
       // (vec_id, lbl) scan — map-side, no corpus exchange
