@@ -1611,7 +1611,15 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       resid: DataFrame, books: PqBooks)
 
   private[graft] def residKit(all: DataFrame, k: Long): ResidKit = {
-    val (assigned, probes) = ivfRouting(all, k, IvfProbes)
+    val (assigned0, probes) = ivfRouting(all, k, IvfProbes)
+    // the n×k routing argmin feeds THREE consumers (the seed-book
+    // collect, the corpus code assignment, the candidate join) —
+    // materialize it once instead of recomputing per consumer; at
+    // 100 TB this is the "write the routed corpus" step a real
+    // pipeline persists. probes stays lazy: its vec_id < NQueries
+    // filter pushes below the centroid cross join, so it scores
+    // NQueries×k rows, not n×k.
+    val assigned = assigned0.localCheckpoint(true)
     val centsDf = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
