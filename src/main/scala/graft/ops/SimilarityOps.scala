@@ -1817,6 +1817,124 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |WHERE b.vec_id % 7 = 3
        |ORDER BY b.vec_id, b.s""".stripMargin
 
+  // ---- q176: MMR DIVERSIFIED RE-RANKING — maximal marginal relevance
+  //      (Carbonell & Goldstein '98) over the exact top-MmrPool
+  //      candidates: greedily pick argmax(λ·rel − (1−λ)·max-sim-to-
+  //      selected), the standard way retrieval results are de-
+  //      redundified before they reach a training batch or a context
+  //      window (near-identical passages waste both). λ = 0.5 makes
+  //      the objective rel − maxsim, so with relevance and pairwise
+  //      similarity quantized to e6 INTEGERS the greedy argmax (score
+  //      desc, vec_id asc) is bit-identical across engines. The k-step
+  //      greedy loop is inherently sequential, but everything it
+  //      touches is metadata-scale — the pool is queries×MmrPool rows,
+  //      pairwise sims queries×MmrPool² — so the corpus-scale work is
+  //      exactly one exact-top-K pass and the loop runs as TopK
+  //      driver-coordinated rounds over bounded relations (the q165/
+  //      q167 bounded-loop pattern; the SQL twin unrolls the same
+  //      rounds as CTEs). Output ships each pick's rel and the
+  //      max-sim-to-selected it paid — the diversity audit. ----
+  private[graft] val MmrPool = 30
+
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).persist()
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wp = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    // the ONE corpus-scale pass: exact cosine, top-MmrPool per query
+    val pool = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= MmrPool)
+      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+              round(col("cos_r") * 1000000.0).cast("long").as("rel_e6"))
+      .localCheckpoint(true) // bounded: NQueries×MmrPool rows
+    val pb = pool.select(col("qid").as("bqid"), col("vec_id").as("b"),
+                         col("v").as("bv"), col("nrm").as("bn"))
+    val sims = pool.join(pb, col("qid") === col("bqid") && col("vec_id") =!= col("b"))
+      .select(col("qid"), col("vec_id").as("a"), col("b"),
+        round(round(vecDot(col("v"), col("bv")) / (col("nrm") * col("bn")), 6)
+          * 1000000.0).cast("long").as("sim_e6"))
+      .localCheckpoint(true) // bounded: NQueries×MmrPool² rows
+    val cand0 = pool.select("qid", "vec_id", "rel_e6")
+    var sel: DataFrame = null
+    for (r <- 1 to TopK) {
+      val remaining =
+        if (r == 1) cand0
+        else cand0.join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+      val scored =
+        if (r == 1) remaining.withColumn("maxsim_e6", lit(0L))
+        else {
+          val ms = sims
+            .join(sel.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+            .groupBy(col("qid"), col("a").as("vec_id"))
+            .agg(max(col("sim_e6")).as("ms"))
+            .select(col("qid"), col("vec_id"), col("ms"))
+          remaining.join(ms, Seq("qid", "vec_id"), "left")
+            .withColumn("maxsim_e6", coalesce(col("ms"), lit(0L)))
+        }
+      val wr = Window.partitionBy("qid")
+        .orderBy((col("rel_e6") - col("maxsim_e6")).desc, col("vec_id").asc)
+      val pick = scored.withColumn("prn", row_number().over(wr))
+        .filter(col("prn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel_e6"),
+                col("maxsim_e6"), lit(r.toLong).as("pick"))
+      // eager per-round materialization keeps the 10-round plan flat
+      // (the q165/q167 bounded-loop pattern); every round touches
+      // ≤ NQueries×MmrPool rows
+      sel = (if (r == 1) pick else sel.unionByName(pick)).localCheckpoint(true)
+    }
+    val result = sel
+      .select(col("qid"), col("pick"), col("vec_id"), col("rel_e6"),
+              col("maxsim_e6"), (col("rel_e6") - col("maxsim_e6")).as("score_e6"))
+      .orderBy("qid", "pick")
+      .localCheckpoint(true)
+    all.unpersist(false)
+    result
+  }
+
+  private val mmrRerankSql = {
+    val rounds = (2 to TopK).map { r =>
+      s"""m$r AS (SELECT p.qid, p.vec_id, p.rel_e6, COALESCE(mx.ms, 0) AS maxsim_e6
+         |  FROM p LEFT JOIN (SELECT ps.qid, ps.a, MAX(ps.sim_e6) AS ms
+         |    FROM ps JOIN sel${r - 1} s ON s.qid = ps.qid AND s.vec_id = ps.b
+         |    GROUP BY ps.qid, ps.a) mx ON mx.qid = p.qid AND mx.a = p.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+         |    WHERE s2.qid = p.qid AND s2.vec_id = p.vec_id)),
+         |s$r AS (SELECT qid, vec_id, rel_e6, maxsim_e6, $r AS pick FROM
+         |  (SELECT qid, vec_id, rel_e6, maxsim_e6, row_number() OVER
+         |    (PARTITION BY qid ORDER BY rel_e6 - maxsim_e6 DESC, vec_id ASC)
+         |    AS rn FROM m$r) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE vec_id < $NQueries),
+       |sc AS (SELECT q.qid, n.vec_id, n.v, n.nrm,
+       |  round(${dotFoldSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cos_r
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |p AS MATERIALIZED (SELECT qid, vec_id, v, nrm,
+       |        CAST(round(cos_r * 1000000.0) AS BIGINT) AS rel_e6
+       |      FROM (SELECT qid, vec_id, v, nrm, cos_r, row_number() OVER
+       |        (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM sc)
+       |      WHERE rn <= $MmrPool),
+       |ps AS MATERIALIZED (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+       |  CAST(round(round(${dotFoldSql("x.v", "y.v")} / (x.nrm * y.nrm), 6)
+       |    * 1000000.0) AS BIGINT) AS sim_e6
+       |  FROM p x JOIN p y ON x.qid = y.qid AND x.vec_id <> y.vec_id),
+       |sel1 AS MATERIALIZED (SELECT qid, vec_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+       |           1 AS pick FROM
+       |  (SELECT qid, vec_id, rel_e6, row_number() OVER
+       |    (PARTITION BY qid ORDER BY rel_e6 DESC, vec_id ASC) AS rn FROM p)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT qid, CAST(pick AS BIGINT) AS pick, vec_id, rel_e6, maxsim_e6,
+       |       (rel_e6 - maxsim_e6) AS score_e6
+       |FROM sel$TopK ORDER BY qid, pick""".stripMargin
+  }
+
   // ---- q175: IVF INDEX-HEALTH AUDIT — the cell-occupancy histogram a
   //      real vector-store deployment monitors: skewed cells are the
   //      ANN analogue of hot keys (a probe into a 10×-oversized cell
@@ -2199,6 +2317,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),
       "IVF index-health audit: cell-occupancy histogram incl. empty cells — the skew/hot-cell monitoring a vector-store deployment runs, and the check on the k=ceil(n/64) sizing policy"),
+    Q("q176_mmr_rerank", mmrRerank, Some(mmrRerankSql),
+      "MMR diversified re-ranking (lambda=0.5): 10 unrolled integer-exact greedy rounds over the exact top-30 pool — retrieval de-redundification before results reach a training batch"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
