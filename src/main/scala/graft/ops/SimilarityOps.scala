@@ -347,6 +347,16 @@ object SimilarityOps {
       all: DataFrame, k: Long, nProbes: Int = IvfProbes): DataFrame =
     rankTopK(ivfCandidates(all, k, nProbes))
 
+  /** IVF exact-cosine ranking from an ALREADY-COMPUTED routing — q163
+    * evaluates three systems that share the same n×k coarse pass
+    * ('ivf', 'ivfpq', 'rivfpq'); feeding them one materialized routing
+    * instead of re-deriving it per system removes two full corpus
+    * routing exchanges from the grid (r9 VERDICT #3).
+    */
+  private[graft] def simAnnIvfRouted(
+      assigned: DataFrame, probes: DataFrame): DataFrame =
+    rankTopK(scoreProbed(assigned, probes))
+
   /** IVF candidate set (qid, vec_id, cos_r) at a given probe count —
     * scored members of the probed cells, pre-ranking (DevAnnSweep
     * sweeps `nProbes` and counts these as probe cost).
@@ -1447,8 +1457,9 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     * ranks the same scores as system 'ivfpq'.
     */
   private[graft] def ivfPqAdc(
-      s: SparkSession, all: DataFrame, k: Long): (DataFrame, DataFrame) = {
-    val (assigned, probes) = ivfRouting(all, k, IvfProbes)
+      s: SparkSession, all: DataFrame, k: Long,
+      routing: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
+    val (assigned, probes) = routing.getOrElse(ivfRouting(all, k, IvfProbes))
     val books = pqSeedBooks(all)
     val codes = pqCodesOnly(all, books)
     val lut = pqLutDf(s, all, books)
@@ -1610,16 +1621,21 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       assigned: DataFrame, probes: DataFrame, cents: DataFrame,
       resid: DataFrame, books: PqBooks)
 
-  private[graft] def residKit(all: DataFrame, k: Long): ResidKit = {
-    val (assigned0, probes) = ivfRouting(all, k, IvfProbes)
+  private[graft] def residKit(
+      all: DataFrame, k: Long,
+      routing: Option[(DataFrame, DataFrame)] = None): ResidKit = {
+    val (assigned0, probes) = routing.getOrElse(ivfRouting(all, k, IvfProbes))
     // the n×k routing argmin feeds THREE consumers (the seed-book
     // collect, the corpus code assignment, the candidate join) —
     // materialize it once instead of recomputing per consumer; at
     // 100 TB this is the "write the routed corpus" step a real
     // pipeline persists. probes stays lazy: its vec_id < NQueries
     // filter pushes below the centroid cross join, so it scores
-    // NQueries×k rows, not n×k.
-    val assigned = assigned0.localCheckpoint(true)
+    // NQueries×k rows, not n×k. When the caller shares a routing
+    // across systems (q163), `assigned0` arrives checkpointed —
+    // localCheckpoint on it is then a no-op-cheap lineage cut.
+    val assigned = if (routing.isDefined) assigned0
+                   else assigned0.localCheckpoint(true)
     val centsDf = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
@@ -1630,6 +1646,14 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       resid.filter(col("vec_id") >= k && col("vec_id") < k + PqK)
         .select("vec_id", "rv").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // Seeding reads vec_ids [k, k + PqK): a corpus with n < k + PqK
+    // silently underfills the seed set and the books degenerate
+    // (null argmin structs downstream) — fail loudly instead
+    // (r9 ADVICE). The corpus-derived k (ceil(n/64), floor 16) keeps
+    // real corpora far above this bound; it only bites on toy inputs.
+    require(seedRes.length == PqK,
+      s"residKit needs corpus vec_ids [$k, ${k + PqK}) present to seed " +
+        s"residual codebooks (n >= k + PqK); found ${seedRes.length} of $PqK seeds")
     val books: PqBooks = (0 until PqM).map { sIdx =>
       seedRes.toIndexedSeq.map { case (cid, rv) =>
         (cid, rv.slice(sIdx * PqSub, sIdx * PqSub + PqSub))
@@ -1655,17 +1679,26 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .orderBy("vec_id", "s")
   }
 
-  /** Driver-collected static prep for the q173 ingest coder: the
-    * centroid index (cid, cv, cn) cid-ascending, and the residual
-    * codebooks — both exactly the doubles the batch plans compute.
+  /** Static prep for the q173 ingest coder: a ONE-ROW DataFrame
+    * carrying the whole centroid index as a cid-ascending
+    * `cents: array<struct<cid, cv, cn>>` column, plus the residual
+    * codebooks. The stream side joins the one-row relation as a
+    * stream-static BROADCAST (q170's vocab shape) instead of
+    * inlining the centroids as plan literals — at the documented
+    * 50k-cell cap the centroid table is ~25 MB, which a broadcast
+    * variable carries fine but a plan literal would push into
+    * constant-pool/codegen breakage (r9 VERDICT #2). The books stay
+    * a driver-side value: they are PqM·PqK·PqSub = 1 024 doubles by
+    * construction, corpus-INDEPENDENT, so the literal path is safe
+    * for them at any scale.
     */
-  private[graft] def ingestCoderKit(s: SparkSession, d: String)
-      : (Array[(Long, Array[Double], Double)], PqBooks) = {
+  private[graft] def ingestCoderKitDf(s: SparkSession, d: String)
+      : (DataFrame, PqBooks) = {
     val kit = residKit(base(s, d), ivfCellCount(s, d))
-    val cents = kit.cents.collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
-    (cents, kit.books)
+    val centsRow = kit.cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cn"))))
+        .as("cents"))
+    (centsRow.localCheckpoint(true), kit.books)
   }
 
   /** Stream-side residual PQ argmin structs — q173 plugs the arriving
@@ -1684,8 +1717,9 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     * q163 ranks the same scores as system 'rivfpq'.
     */
   private[graft] def ivfPqResidualAdc(
-      s: SparkSession, all: DataFrame, k: Long): (DataFrame, DataFrame) = {
-    val kit = residKit(all, k)
+      s: SparkSession, all: DataFrame, k: Long,
+      routing: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
+    val kit = residKit(all, k, routing)
     val assigned = kit.assigned; val probes = kit.probes
     val books = kit.books
     val codes = kit.resid
@@ -2124,14 +2158,22 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     val k = ivfCellCount(s, d)
     val (topAdc, topL2) = pqSearchParts(s, all)
     val cosTop = simTopKOn(all)
+    // ONE n×k coarse routing feeds all three IVF-family systems
+    // ('ivf' scores it exactly, 'ivfpq'/'rivfpq' score it by LUT) —
+    // materialized once here instead of re-derived per system
+    // (r9 VERDICT #3: the grid's slowest query re-ran the routing
+    // exchange three times). probes is NQueries·nProbes rows —
+    // checkpoint both so no consumer re-triggers the n×k pass.
+    val (asg0, prb0) = ivfRouting(all, k, IvfProbes)
+    val routing = (asg0.localCheckpoint(true), prb0.localCheckpoint(true))
     def sysList(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("sys"), col("qid"), col("vec_id"), col("rn"))
     val sysRows = sysList("lsh", simAnnLshOn(all, planeInt))
       .unionByName(sysList("mlsh", simAnnMultiLshOn(all, mtPlaneInt)))
-      .unionByName(sysList("ivf", simAnnIvfOn(all, k)))
+      .unionByName(sysList("ivf", simAnnIvfRouted(routing._1, routing._2)))
       .unionByName(sysList("adc", topAdc))
-      .unionByName(sysList("ivfpq", adcTopK(ivfPqAdc(s, all, k)._2)))
-      .unionByName(sysList("rivfpq", adcTopK(ivfPqResidualAdc(s, all, k)._2)))
+      .unionByName(sysList("ivfpq", adcTopK(ivfPqAdc(s, all, k, Some(routing))._2)))
+      .unionByName(sysList("rivfpq", adcTopK(ivfPqResidualAdc(s, all, k, Some(routing))._2)))
     // cosine-ranked truth for the cosine lanes; exact-L2 truth for the
     // ADC-scored lanes (full-corpus and both IVF-pruned variants)
     val cosGain = (sysName: String) => cosTop

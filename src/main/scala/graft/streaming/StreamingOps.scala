@@ -947,13 +947,18 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   //      q171/q172 serving index as a stream, the shape a live vector
   //      store actually runs (new embeddings are routed and compressed
   //      AT INGEST; the searchable index is the sink, not a nightly
-  //      batch rebuild). Static prep: the index metadata — the
-  //      centroid table (cid, cv, norm) and the q172 residual
-  //      codebooks — is collected once and inlined as LITERALS, the
-  //      stream analogue of broadcasting the index metadata to every
-  //      worker (MB-scale at the 50k-cell cap). The stream stage is
-  //      then entirely STATELESS and map-side: per arriving vector,
-  //      one transform-lambda argmin over the literal centroid array
+  //      batch rebuild). Static prep: the index metadata rides as a
+  //      ONE-ROW static relation carrying the whole centroid table as
+  //      an array<struct<cid, cv, cn>> column, joined into the stream
+  //      as a stream-static BROADCAST equi-join (q170's vocab shape) —
+  //      broadcast DATA, not plan literals, so the documented
+  //      50k-cell cap (~25 MB of centroids) stays inside what the
+  //      broadcast machinery is built for instead of what the codegen
+  //      constant pool can absorb (r9 VERDICT #2). Only the residual
+  //      codebooks stay literal: PqM·PqK·PqSub = 1 024 doubles by
+  //      construction, corpus-independent. The stream stage is
+  //      entirely STATELESS and map-side: per arriving vector, one
+  //      transform-lambda argmin over the broadcast centroid array
   //      picks the cell (same negsim expression and min(struct)
   //      tie-break as the batch routing), element_at fetches the
   //      winning centroid, the residual feeds the shared
@@ -985,25 +990,28 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
     }
-    val (cents, books) = graft.ops.SimilarityOps.ingestCoderKit(s, d)
-    val cvs = cents.map(_._2.toSeq).toSeq
-    val cns = cents.toSeq.map(_._3)
-    val cids = cents.toSeq.map(_._1)
+    val (kitDf, books) = graft.ops.SimilarityOps.ingestCoderKitDf(s, d)
     withStreamShufflePartitions(s, 2) {
       val q = s.readStream.schema(StructType(Seq(
           StructField("vec_id", LongType),
           StructField("embedding", ArrayType(FloatType)))))
         .parquet(srcDir.toString)
         .select(col("vec_id"), col("embedding").as("v"))
+        // stream-static broadcast of the one-row index-metadata
+        // relation (dummy key → BroadcastHashJoin; a plain cross
+        // join is rejected by the streaming checker)
+        .withColumn("jk", lit(1))
+        .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
+        .drop("jk")
         .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-        .withColumn("best", array_min(zip_with(
-          zip_with(typedLit(cvs), typedLit(cns),
-            (cv, cn) => -vecDot(col("v"), cv) / (col("nrm") * cn)),
-          typedLit(cids),
-          (dneg, c) => struct(dneg.as("negsim"), c.as("cid")))))
+        .withColumn("best", array_min(transform(col("cents"), c =>
+          struct((-vecDot(col("v"), c.getField("cv"))
+                   / (col("nrm") * c.getField("cn"))).as("negsim"),
+                 c.getField("cid").as("cid")))))
         .withColumn("cell", col("best").getField("cid"))
         .withColumn("rv", zip_with(toDouble(col("v")),
-          element_at(typedLit(cvs), (col("cell") + 1).cast("int")),
+          element_at(col("cents"), (col("cell") + 1).cast("int"))
+            .getField("cv"),
           (a, b) => a - b))
         .select(col("vec_id"), col("cell"),
           posexplode(array(graft.ops.SimilarityOps.residArgmins(col("rv"), books): _*))
