@@ -312,6 +312,37 @@ object Plans {
         "(1 280 integer rows); same routing exchange as q171, zero " +
         "additional corpus shuffles for the residual encoding\n\n```\n" +
         plan172 + "```\n")
+      val plan177 = ops.SimilarityOps.ivfPqResidualTrainedCore(spark, all, k)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q177_ivfpq_trained (pre-materialization)\n\n" +
+        "residual IVF-PQ under Lloyd-TRAINED books: training happens " +
+        "in bounded driver-paced rounds over the checkpointed residual " +
+        "relation (each round collapses map-side to <=1024 quantized " +
+        "partial sums); the SERVING plan below is byte-for-byte q172's " +
+        "shape — only the literal book values differ, so the scale " +
+        "story is unchanged\n\n```\n" + plan177 + "```\n")
+      val plan176 = ops.SimilarityOps.mmrPoolOn(all)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q176_mmr_rerank pool stage (the one corpus-scale pass)\n\n" +
+        "MMR re-ranking's corpus work is exactly this: the broadcast " +
+        "query set rides a nested-loop join over the corpus scan and " +
+        "the rn<=pool window collapses to queries*30 rows; the 10 " +
+        "greedy rounds after it touch only bounded checkpointed " +
+        "relations (driver-paced, not in this plan by design)\n\n```\n" +
+        plan176 + "```\n")
+    }
+    locally {
+      val allL = ops.SimilarityOps.labeledBase(spark, d)
+      val k = ops.SimilarityOps.ivfKFor(allL.count())
+      val plan174 = ops.SimilarityOps.filteredAnnCore(spark, allL, k)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q174_filtered_ann (pre-materialization)\n\n" +
+        "metadata-filtered ANN, post + boost modes from ONE " +
+        "ivfRoutingRanked pass: the bounded scored candidate set " +
+        "BROADCASTS against the (vec_id, lbl) scan so the label filter " +
+        "is map-side — the corpus never shuffles for the filter; truth " +
+        "is the controlled broadcast cross join every eval lane pays\n\n```\n" +
+        plan174 + "```\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -1203,7 +1203,7 @@ object SimilarityOps {
   //      quantization); PqTrainSpec asserts the monotone audit and the
   //      plateau, and q166 re-runs the q157 ADC search under the
   //      trained books so the recall gain ships as data. ----
-  private val PqTrainRounds = 3
+  private[graft] val PqTrainRounds = 3
 
   /** One training pass under literal books: per (s, code, j) member
     * count, quantized element sum, and quantized assignment-error sum
@@ -1213,8 +1213,16 @@ object SimilarityOps {
     */
   private def pqPassAgg(
       all: DataFrame, books: PqBooks): Array[org.apache.spark.sql.Row] =
-    all.withColumn("cw", array(pqArgminsB(books): _*))
-      .select(col("cw"), posexplode(col("v")).as(Seq("i", "x")))
+    pqPassAggOn(all, col("v"), books)
+
+  /** The same training pass over an arbitrary vector column — q177
+    * runs the loop over the RESIDUAL relation's `rv` instead of the
+    * raw vectors.
+    */
+  private def pqPassAggOn(
+      df: DataFrame, vcol: Column, books: PqBooks): Array[org.apache.spark.sql.Row] =
+    df.withColumn("cw", array(pqArgminsOn(vcol, books): _*))
+      .select(col("cw"), posexplode(vcol).as(Seq("i", "x")))
       .select(expr(s"CAST(i div $PqSub AS BIGINT)").as("s"),
               expr(s"CAST(i % $PqSub AS BIGINT)").as("j"),
               col("x").cast("double").as("x"), col("cw"))
@@ -1242,11 +1250,20 @@ object SimilarityOps {
   }
 
   private[graft] def pqTrainCore(all: DataFrame, seedLo: Long = 0L)
+      : (PqBooks, Seq[(Long, Long, Long, Long, Long)]) =
+    lloydLoopOn(all, col("v"), booksFromCents(pqCentsFrom(all, seedLo)))
+
+  /** The bounded Lloyd loop over an arbitrary (DataFrame, vector
+    * column, seed books) triple — q165 trains on raw vectors, q177 on
+    * the residual relation. Quantized-integer means keep every round's
+    * books (and so the audit) bit-identical across engines.
+    */
+  private[graft] def lloydLoopOn(df: DataFrame, vcol: Column, seed: PqBooks)
       : (PqBooks, Seq[(Long, Long, Long, Long, Long)]) = {
-    var books = booksFromCents(pqCentsFrom(all, seedLo))
+    var books = seed
     val audit = Seq.newBuilder[(Long, Long, Long, Long, Long)]
     for (r <- 1 to PqTrainRounds) {
-      val rows = pqPassAgg(all, books)
+      val rows = pqPassAggOn(df, vcol, books)
       audit ++= rows.filter(_.getLong(2) == 0L)
         .map(w => (r.toLong, w.getLong(0), w.getLong(1), w.getLong(3), w.getLong(5)))
       val grouped = rows.groupBy(w => (w.getLong(0), w.getLong(1)))
@@ -1713,6 +1730,51 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     prunedAdcResult(all, cand, adc)
   }
 
+  // ---- q177: residual IVF-PQ under LLOYD-TRAINED books — q172's
+  //      serving lane upgraded with q165's training loop run on the
+  //      RESIDUAL relation (seeded from the [k, k+PqK) seed residuals,
+  //      so the q169 leakage discipline carries over: no query vector
+  //      seeds a codebook). This closes the loop the r9 verdict asked
+  //      for (#8): the oracle-checked trainer now feeds the
+  //      oracle-checked production index shape, and q163's 'trivfpq'
+  //      row measures what training buys at serving time against the
+  //      same exact-L2 truth as 'rivfpq'. Cost shape at 100 TB: the
+  //      training rounds are PqTrainRounds extra scans of the routed
+  //      residual corpus, each collapsing map-side to ≤ PqM·PqK·PqSub
+  //      = 1 024 rows of quantized partial sums — the index-BUILD
+  //      cost a real deployment amortizes offline; the serving-time
+  //      plan (routing, candidate join, LUT broadcast) is bit-for-bit
+  //      q172's. ----
+  def ivfPqResidualTrained(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).persist()
+    val result = ivfPqResidualTrainedCore(s, all, ivfCellCount(s, d))
+      .localCheckpoint(true)
+    all.unpersist(false)
+    result
+  }
+
+  private[graft] def ivfPqResidualTrainedCore(
+      s: SparkSession, all: DataFrame, k: Long): DataFrame = {
+    val kit = residTrainedKit(all, k)
+    val (cand, adc) = residualAdcOn(s, kit.kit, kit.trained)
+    prunedAdcResult(all, cand, adc)
+  }
+
+  /** A residKit with its residual relation MATERIALIZED (the training
+    * loop re-scans it PqTrainRounds + 1 times) plus the Lloyd-trained
+    * residual books — shared by q177 and q163's 'trivfpq' system.
+    */
+  private[graft] case class ResidTrainedKit(kit: ResidKit, trained: PqBooks)
+
+  private[graft] def residTrainedKit(
+      all: DataFrame, k: Long,
+      routing: Option[(DataFrame, DataFrame)] = None): ResidTrainedKit = {
+    val kit0 = residKit(all, k, routing)
+    val kit = kit0.copy(resid = kit0.resid.localCheckpoint(true))
+    val (trained, _) = lloydLoopOn(kit.resid, col("rv"), kit.books)
+    ResidTrainedKit(kit, trained)
+  }
+
   /** q172's candidate set and residual-ADC scores, pre-presentation —
     * q163 ranks the same scores as system 'rivfpq'.
     */
@@ -1720,8 +1782,18 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       s: SparkSession, all: DataFrame, k: Long,
       routing: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
     val kit = residKit(all, k, routing)
+    residualAdcOn(s, kit, kit.books)
+  }
+
+  /** Residual candidate set + ADC scores under ARBITRARY residual
+    * books — q172 scores under the seed books (kit.books), q177 under
+    * the Lloyd-trained ones. Same routing, same candidate join; only
+    * the codebook contents differ, so the recall delta between the two
+    * lanes isolates exactly what training buys.
+    */
+  private[graft] def residualAdcOn(
+      s: SparkSession, kit: ResidKit, books: PqBooks): (DataFrame, DataFrame) = {
     val assigned = kit.assigned; val probes = kit.probes
-    val books = kit.books
     val codes = kit.resid
       .select(col("vec_id"), posexplode(array(pqArgminsOn(col("rv"), books): _*))
         .as(Seq("s", "c")))
@@ -1834,6 +1906,83 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
        |${ivfAdcTailSqlFor("rcnd", "radc")}""".stripMargin
 
+  /** CTE chain for the TRAINED-residual serving lane (q177 and q163's
+    * 'trivfpq' system), tv-prefixed to compose collision-free into
+    * q163's twin. Expects `ikq`/`icc`/`iasg`/`iprb` (route) upstream.
+    * Derives: the residual ARRAYS (`tvx` — the twin of residKit's
+    * zip_with subtraction), seed books `tvcb0` from the [k, k+PqK)
+    * residuals, PqTrainRounds Lloyd rounds (assignment under the
+    * previous round's books + quantized-integer mean update — the
+    * q165 recipe verbatim, so every round's books are bit-identical
+    * to [[lloydLoopOn]]'s), a final assignment `tvcodes` under the
+    * trained books, the per-(query, probed-cell) trained LUT
+    * `tvlut`, and the candidate + ADC tail `tvcnd`/`tvadc`.
+    */
+  private val residTrainedCteSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""tvx AS (SELECT a.vec_id,
+      |  list_transform(range(1, ${Dim + 1}), i -> (a.v)[i] - (c.cv)[i]) AS v
+      |  FROM iasg a JOIN icc c ON a.cell = c.cid),
+      |tvcb0 AS (SELECT t.i - 1 AS s, x.vec_id AS code,
+      |  list_slice(x.v, (t.i - 1) * $PqSub + 1, (t.i - 1) * $PqSub + $PqSub) AS cv
+      |  FROM tvx x, ikq, range(1, ${PqM + 1}) t(i)
+      |  WHERE x.vec_id >= ikq.k AND x.vec_id < ikq.k + $PqK)""".stripMargin
+    val sliceSql = s"list_slice(x.v, CAST(b.s * $PqSub + 1 AS BIGINT), " +
+      s"CAST(b.s * $PqSub + $PqSub AS BIGINT))"
+    val cauchy = s"(${dotFoldSql(sliceSql, sliceSql)}\n" +
+      s"   - 2.0 * ${dotFoldSql(sliceSql, "b.cv")}\n" +
+      s"   + ${dotFoldSql("b.cv", "b.cv")})"
+    for (r <- 1 to PqTrainRounds) {
+      sb ++= s""",
+tvnd$r AS (SELECT x.vec_id, x.v, b.s, b.code,
+  $cauchy AS dist
+  FROM tvx x CROSS JOIN tvcb${r - 1} b),
+tvra$r AS (SELECT vec_id, v, s, code, dist, row_number() OVER
+  (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn FROM tvnd$r),
+tvasg$r AS (SELECT vec_id, v, s, code FROM tvra$r WHERE rn = 1),
+tvup$r AS (SELECT a.s, a.code, t.i - 1 AS j,
+  ((CAST(SUM(CAST(floor(a.v[a.s * $PqSub + t.i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000.0) / COUNT(*)) AS c
+  FROM tvasg$r a, range(1, ${PqSub + 1}) t(i) GROUP BY a.s, a.code, t.i),
+tvcb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM tvup$r GROUP BY s, code)"""
+    }
+    val lutChain = (0 until PqSub).map { j =>
+      val el = s"(q.qr)[CAST(b.s * $PqSub + ${j + 1} AS BIGINT)]"
+      s"(($el - (b.cv)[${j + 1}]) * ($el - (b.cv)[${j + 1}]))"
+    }.mkString(" + ")
+    sb ++= s""",
+tvfd AS (SELECT x.vec_id, b.s, b.code,
+  $cauchy AS dist
+  FROM tvx x CROSS JOIN tvcb$PqTrainRounds b),
+tvcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, code AS cid FROM
+  (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s
+     ORDER BY dist ASC, code ASC) AS rn FROM tvfd) WHERE rn = 1),
+tvqr AS (SELECT p.qid, p.cell,
+  list_transform(range(1, ${Dim + 1}), i -> (p.qv)[i] - (c.cv)[i]) AS qr
+  FROM iprb p JOIN icc c ON p.cell = c.cid),
+tvl0 AS (SELECT q.qid, q.cell, b.s, b.code AS cid,
+  $lutChain AS ld
+  FROM tvqr q CROSS JOIN tvcb$PqTrainRounds b),
+tvlut AS (SELECT qid, cell, CAST(s AS BIGINT) AS s, cid,
+  CAST(floor(ld * 1000000.0) AS BIGINT) AS dlut FROM tvl0),
+tvcnd AS (SELECT p.qid, s.vec_id, s.cell FROM iasg s JOIN iprb p
+          ON s.cell = p.cell WHERE s.vec_id <> p.qid),
+tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
+          CAST(SUM(tvlut.dlut) AS BIGINT) AS adc_e6
+        FROM tvcnd JOIN tvcodes ON tvcodes.vec_id = tvcnd.vec_id
+        JOIN tvlut ON tvlut.qid = tvcnd.qid AND tvlut.cell = tvcnd.cell
+          AND tvlut.s = tvcodes.s AND tvlut.cid = tvcodes.cid
+        GROUP BY tvcnd.qid, tvcnd.vec_id)"""
+    sb.toString
+  }
+
+  private val ivfPqTrainedSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residTrainedCteSql,
+       |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
+       |${ivfAdcTailSqlFor("tvcnd", "tvadc")}""".stripMargin
+
   /** SQL twin of q173's streaming ingest coder (StreamingOps.
     * streamVectorIngest): the same residual-code derivation as q172's
     * chain, restricted to the arrival slice `vec_id % 7 = 3`.
@@ -1870,13 +2019,16 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
   //      max-sim-to-selected it paid — the diversity audit. ----
   private[graft] val MmrPool = 30
 
-  def mmrRerank(s: SparkSession, d: String): DataFrame = {
-    val all = base(s, d).persist()
+  /** q176's ONE corpus-scale stage, lazily: exact cosine scoring of
+    * the broadcast query set, top-MmrPool per query — the plan Plans/
+    * PlanShapeSpec guard (everything after it is driver-paced rounds
+    * over bounded checkpointed relations).
+    */
+  private[graft] def mmrPoolOn(all: DataFrame): DataFrame = {
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val wp = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
-    // the ONE corpus-scale pass: exact cosine, top-MmrPool per query
-    val pool = all.crossJoin(broadcast(q))
+    all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
               round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
@@ -1884,6 +2036,11 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .filter(col("rn") <= MmrPool)
       .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
               round(col("cos_r") * 1000000.0).cast("long").as("rel_e6"))
+  }
+
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).persist()
+    val pool = mmrPoolOn(all)
       .localCheckpoint(true) // bounded: NQueries×MmrPool rows
     val pb = pool.select(col("qid").as("bqid"), col("vec_id").as("b"),
                          col("v").as("bv"), col("nrm").as("bn"))
@@ -2019,13 +2176,26 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
   private[graft] val FilterBoost = 4
 
   def filteredAnn(s: SparkSession, d: String): DataFrame = {
-    val allL = Tables.embeddings(s, d)
+    val allL = labeledBase(s, d).persist()
+    val result = filteredAnnCore(s, allL, ivfCellCount(s, d))
+      .localCheckpoint(true)
+    allL.unpersist(false)
+    result
+  }
+
+  /** The labeled corpus relation q174 routes and filters over. */
+  private[graft] def labeledBase(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").as("v"),
               col("label").cast("long").as("lbl"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-      .persist()
-    val k = ivfCellCount(s, d)
+
+  /** The q174 plan, lazily, for Plans/PlanShapeSpec (the registered
+    * entry checkpoints eagerly — the q168/q171 precedent).
+    */
+  private[graft] def filteredAnnCore(
+      s: SparkSession, allL: DataFrame, k: Long): DataFrame = {
     val q = allL.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
               col("nrm").as("qn"), col("lbl").as("qlbl"))
@@ -2068,12 +2238,9 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
         .select(lit(tag).as("mode"), col("qid"), col("qlbl"), col("n_cand"),
                 col("n_kept"), col("n_overlap"), col("recall_millionths"))
     }
-    val result = mode("post", IvfProbes)
+    mode("post", IvfProbes)
       .unionByName(mode("boost", IvfProbes * FilterBoost))
       .orderBy("mode", "qid")
-      .localCheckpoint(true)
-    allL.unpersist(false)
-    result
   }
 
   private val filteredAnnSql = {
@@ -2166,6 +2333,10 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     // checkpoint both so no consumer re-triggers the n×k pass.
     val (asg0, prb0) = ivfRouting(all, k, IvfProbes)
     val routing = (asg0.localCheckpoint(true), prb0.localCheckpoint(true))
+    // the two residual systems ('rivfpq' seed books, 'trivfpq' trained
+    // books) additionally share ONE materialized residual relation and
+    // one seed-book collect — only the codebook contents differ
+    val kitT = residTrainedKit(all, k, Some(routing))
     def sysList(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("sys"), col("qid"), col("vec_id"), col("rn"))
     val sysRows = sysList("lsh", simAnnLshOn(all, planeInt))
@@ -2173,7 +2344,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .unionByName(sysList("ivf", simAnnIvfRouted(routing._1, routing._2)))
       .unionByName(sysList("adc", topAdc))
       .unionByName(sysList("ivfpq", adcTopK(ivfPqAdc(s, all, k, Some(routing))._2)))
-      .unionByName(sysList("rivfpq", adcTopK(ivfPqResidualAdc(s, all, k, Some(routing))._2)))
+      .unionByName(sysList("rivfpq", adcTopK(residualAdcOn(s, kitT.kit, kitT.kit.books)._2)))
+      .unionByName(sysList("trivfpq", adcTopK(residualAdcOn(s, kitT.kit, kitT.trained)._2)))
     // cosine-ranked truth for the cosine lanes; exact-L2 truth for the
     // ADC-scored lanes (full-corpus and both IVF-pruned variants)
     val cosGain = (sysName: String) => cosTop
@@ -2188,6 +2360,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .unionByName(l2Gain("adc"))
       .unionByName(l2Gain("ivfpq"))
       .unionByName(l2Gain("rivfpq"))
+      .unionByName(l2Gain("trivfpq"))
     val discArms = (1 to TopK)
       .map(p => s"WHEN $p THEN ${NdcgDisc(p - 1)}").mkString(" ")
     val m = sysRows.join(gains, Seq("sys", "qid", "vec_id"), "left")
@@ -2198,7 +2371,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
            min(when(col("gain") > 0, col("rn"))).as("frp0"),
            sum(col("gain") * col("disc")).as("dcg0"))
     import s.implicits._
-    val grid = Seq("adc", "ivf", "ivfpq", "lsh", "mlsh", "rivfpq").toDF("sys")
+    val grid = Seq("adc", "ivf", "ivfpq", "lsh", "mlsh", "rivfpq", "trivfpq").toDF("sys")
       .crossJoin(all.filter(col("vec_id") < NQueries).select(col("vec_id").as("qid")))
     val result = grid.join(m, Seq("sys", "qid"), "left")
       .select(col("sys"), col("qid"),
@@ -2273,6 +2446,10 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |rpt AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
        |  OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC) AS rn FROM radc)
        |  WHERE rn <= $TopK),
+       |$residTrainedCteSql,
+       |tpt AS (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id, row_number()
+       |  OVER (PARTITION BY qid ORDER BY adc_e6 ASC, vec_id ASC) AS rn FROM tvadc)
+       |  WHERE rn <= $TopK),
        |sys AS (SELECT 'lsh' AS sys, qid, vec_id, CAST(rn AS BIGINT) AS rn FROM lr
        |        UNION ALL
        |        SELECT 'mlsh', qid, vec_id, CAST(rn AS BIGINT) FROM mr
@@ -2283,7 +2460,9 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |        UNION ALL
        |        SELECT 'ivfpq', qid, vec_id, CAST(rn AS BIGINT) FROM ipt
        |        UNION ALL
-       |        SELECT 'rivfpq', qid, vec_id, CAST(rn AS BIGINT) FROM rpt),
+       |        SELECT 'rivfpq', qid, vec_id, CAST(rn AS BIGINT) FROM rpt
+       |        UNION ALL
+       |        SELECT 'trivfpq', qid, vec_id, CAST(rn AS BIGINT) FROM tpt),
        |g AS (SELECT 'lsh' AS sys, qid, vec_id,
        |        CAST(${TopK + 1} - rn AS BIGINT) AS gain FROM ct
        |      UNION ALL
@@ -2295,7 +2474,9 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |      UNION ALL
        |      SELECT 'ivfpq', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet
        |      UNION ALL
-       |      SELECT 'rivfpq', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet),
+       |      SELECT 'rivfpq', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet
+       |      UNION ALL
+       |      SELECT 'trivfpq', qid, vec_id, CAST(${TopK + 1} - rn AS BIGINT) FROM pet),
        |j AS (SELECT s.sys, s.qid, s.rn, COALESCE(g.gain, 0) AS gain
        |      FROM sys s LEFT JOIN g
        |        ON g.sys = s.sys AND g.qid = s.qid AND g.vec_id = s.vec_id),
@@ -2309,7 +2490,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
        |            UNION ALL SELECT 'ivfpq'
        |            UNION ALL SELECT 'lsh'
        |            UNION ALL SELECT 'mlsh'
-       |            UNION ALL SELECT 'rivfpq') CROSS JOIN
+       |            UNION ALL SELECT 'rivfpq'
+       |            UNION ALL SELECT 'trivfpq') CROSS JOIN
        |           (SELECT vec_id AS qid FROM n WHERE vec_id < $NQueries)),
        |f AS (SELECT grid.sys, grid.qid,
        |        CAST(COALESCE(m.n_rel, 0) AS BIGINT) AS n_rel,
@@ -2355,6 +2537,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       "IVF-ADC combined index: coarse cells prune candidates, the PQ LUT scores survivors — per-query candidate count + recall vs full-corpus exact L2"),
     Q("q172_ivfpq_residual", ivfPqResidual, Some(ivfPqResidualSql),
       "residual IVF-PQ (FAISS by_residual=true): codes quantize v - centroid(cell), per-(query, probed-cell) residual LUT — same routing as q171, so the recall delta isolates residual encoding"),
+    Q("q177_ivfpq_trained", ivfPqResidualTrained, Some(ivfPqTrainedSql),
+      "residual IVF-PQ under Lloyd-TRAINED books: the q165 training loop run on the residual relation (leakage-safe seeds), then served through q172's exact plan — the recall delta vs q172 prices training"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),
@@ -2364,5 +2548,5 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
       "multi-table LSH ANN — the registered 100 TB ANN path: 8 tables x 5 planes (sweep-chosen), any-table collision, MAX-dedup before ranking (q163-measured nDCG ~0.5 vs ~0.05 single-table)"),
     Q("q163_rank_metrics", rankMetrics, Some(rankMetricsSql),
-      "integer-exact nDCG@10/MRR for all six serving lanes (LSH/multi-LSH/IVF/PQ-ADC/IVF-PQ/residual-IVF-PQ) vs their exact counterparts (literal log2-discount LUT)"))
+      "integer-exact nDCG@10/MRR for all seven serving lanes (LSH/multi-LSH/IVF/PQ-ADC/IVF-PQ/residual-IVF-PQ seed+trained) vs their exact counterparts (literal log2-discount LUT); one shared coarse routing feeds the three IVF-family systems"))
 }

@@ -156,6 +156,58 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
           lutVecOf = (qid, cell) => residual(byId(qid), cell))
   }
 
+  /** Independent driver-side Lloyd loop over arbitrary vectors — the
+    * q165 recipe (argmin assignment under the previous round's books,
+    * quantized-integer mean update) re-implemented from scratch for
+    * the q177 differential.
+    */
+  private def lloyd(
+      xs: Seq[(Long, Array[Double])],
+      seed: IndexedSeq[IndexedSeq[(Long, Array[Double])]],
+      rounds: Int): IndexedSeq[IndexedSeq[(Long, Array[Double])]] = {
+    var books = seed
+    def codeOf(v: Array[Double], s: Int): Long = {
+      val vSub = v.slice(s * Sub, s * Sub + Sub)
+      val vv = dot(vSub, vSub)
+      books(s).map { case (cid, cb) =>
+        (vv - 2.0 * dot(vSub, cb) + dot(cb, cb), cid)
+      }.minBy(identity)._2
+    }
+    for (_ <- 1 to rounds) {
+      val asg: Seq[(Int, Long, Array[Double])] = xs.flatMap { case (_, v) =>
+        (0 until M).map(s => (s, codeOf(v, s), v))
+      }
+      books = (0 until M).map { s =>
+        asg.filter(_._1 == s).groupBy(_._2).map { case (code, ms) =>
+          (code, Array.tabulate(Sub) { j =>
+            val qx = ms.map(m => math.floor(m._3(s * Sub + j) * 1e6).toLong).sum
+            (qx.toDouble / 1e6) / ms.size
+          })
+        }.toIndexedSeq.sortBy(_._1)
+      }
+    }
+    books
+  }
+
+  /** q177 rerun: q172's shape with the residual books Lloyd-trained
+    * for PqTrainRounds rounds before coding.
+    */
+  private def rerunTrained(vecs: Array[(Long, Array[Double])]): Seq[(Long, Long, Long, Long)] = {
+    val r = route(vecs)
+    val byId = vecs.toMap
+    def residual(v: Array[Double], cell: Long): Array[Double] = {
+      val cv = byId(cell)
+      Array.tabulate(v.length)(i => v(i) - cv(i))
+    }
+    val resids = vecs.toSeq.map { case (id, v) => (id, residual(v, r.cellOf(id))) }
+    val seeds = resids.filter { case (id, _) => id >= r.k && id < r.k + K }
+    val trained = lloyd(resids, booksFrom(seeds), SimilarityOps.PqTrainRounds)
+    val residOf = resids.toMap
+    score(vecs, r, trained,
+          encOf = residOf,
+          lutVecOf = (qid, cell) => residual(byId(qid), cell))
+  }
+
   test("q171 rows match a full driver-side IVF-PQ rerun") {
     val got = SimilarityOps.ivfPqSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
@@ -166,6 +218,22 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
     val got = SimilarityOps.ivfPqResidual(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == rerunResidual(loadVecs()))
+  }
+
+  test("q177 rows match a full driver-side Lloyd-trained residual IVF-PQ rerun") {
+    val vecs = loadVecs()
+    val got = SimilarityOps.ivfPqResidualTrained(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = rerunTrained(vecs)
+    assert(got == want)
+    // same candidate sets as the seed-book lane (shared routing): the
+    // recall delta isolates what TRAINING buys over the seed books
+    val seedRows = rerunResidual(vecs)
+    assert(got.map(r => (r._1, r._2)) == seedRows.map(r => (r._1, r._2)))
+    def recall(rows: Seq[(Long, Long, Long, Long)]): Double =
+      rows.map(_._4).sum.toDouble / rows.size / 1e6
+    info(f"recall@$Top seed books ${recall(seedRows)}%.2f -> " +
+      f"trained books ${recall(got)}%.2f (${SimilarityOps.PqTrainRounds} Lloyd rounds)")
   }
 
   test("q175 occupancy histogram matches a driver-side routing rerun; cells account for the corpus") {

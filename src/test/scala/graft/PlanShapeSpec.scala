@@ -150,4 +150,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"residual scoring degraded to a sort-merge join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("q174 filtered ANN: label attach and candidate joins broadcast, no cartesian (r10)") {
+    // the bounded scored candidate set must BROADCAST against the
+    // (vec_id, lbl) scan — if that flips, the corpus shuffles for the
+    // label filter, the scale regression the lane's docstring promises
+    // away. Both probe modes ride one routing (ivfRoutingRanked).
+    val allL = ops.SimilarityOps.labeledBase(spark, sf)
+    val df = ops.SimilarityOps.filteredAnnCore(
+      spark, allL, ops.SimilarityOps.ivfKFor(allL.count()))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"label attach degraded to a sort-merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("q176 MMR pool: one broadcast-nested-loop corpus pass, rank collapses before output (r10)") {
+    // the pool stage is q176's ONLY corpus-scale work: the query set
+    // rides a broadcast nested-loop join over the corpus scan and the
+    // rn<=MmrPool window collapses it to queries*pool rows; a
+    // CartesianProduct here means the broadcast was lost and the
+    // corpus shuffles for scoring
+    val all = ops.SimilarityOps.baseFor(spark, sf)
+    val plan = ops.SimilarityOps.mmrPoolOn(all)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
+    // training only changes the BOOK CONTENTS (driver-side values);
+    // the serving plan must stay q172's — bounded candidate + LUT
+    // broadcasts, no corpus exchange for scoring
+    val all = ops.SimilarityOps.baseFor(spark, sf)
+    val df = ops.SimilarityOps.ivfPqResidualTrainedCore(
+      spark, all, ops.SimilarityOps.ivfKFor(all.count()))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
 }
