@@ -52,28 +52,32 @@ object DevAnnSweep {
     val nq = math.min(n, ops.SimilarityOps.NQueries.toLong).toDouble
     val truth = simTopKOn(all).select("qid", "vec_id", "rn").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), K + 1L - r.getLong(2))).toMap
-    // probe cost = mean scored candidates per query (the recall is
-    // bought with exactly these full dot products)
+    // probe cost: scored/query counts every row that PAYS a full dot
+    // product — for multi-table that is the PRE-dedup collision rows
+    // (~T×|bucket| per the header's model; r9 ADVICE: the MAX-deduped
+    // unique count understated this); cand/query is the post-dedup
+    // unique candidate set the ranking sees
     def cost(cand: DataFrame): Double =
       cand.count() / nq
 
     println(s"### ANN geometry sweep — mean nDCG@10 vs exact cosine ($sfDir, n=$n)")
     println()
-    println("| lane | tables T | planes k | mean nDCG@10 | cand/query | % of corpus | note |")
-    println("|---|---|---|---|---|---|---|")
+    println("| lane | tables T | planes k | mean nDCG@10 | scored/query | cand/query | % of corpus scored | note |")
+    println("|---|---|---|---|---|---|---|---|")
     for (planes <- Seq(4, 5, 6, 8, 10)) {
       val ws = planeIntFor(planes)
       val nd = meanNdcg(simAnnLshOn(all, ws), truth)
       val c = cost(lshCandidates(all, ws))
       val note = if (planes == NPlanes) "**registered q39**" else ""
-      println(f"| single | 1 | $planes | $nd%.3f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
+      println(f"| single | 1 | $planes | $nd%.3f | $c%.0f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
     }
     for (tables <- Seq(2, 4, 6, 8); planes <- Seq(4, 5, 6)) {
       val tws = mtPlaneIntFor(tables, planes)
       val nd = meanNdcg(simAnnMultiLshOn(all, tws), truth)
+      val scored = cost(mtCollisions(all, tws))
       val c = cost(mtCandidates(all, tws))
       val note = if (tables == MtTables && planes == MtPlanes) "**registered q164**" else ""
-      println(f"| multi | $tables | $planes | $nd%.3f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
+      println(f"| multi | $tables | $planes | $nd%.3f | $scored%.0f | $c%.0f | ${100 * scored / n}%.1f%% | $note |")
     }
     // IVF: the probe count is the cost knob (cells probed per query);
     // the cell count stays corpus-derived like the registered q50 lane
@@ -82,7 +86,7 @@ object DevAnnSweep {
       val nd = meanNdcg(simAnnIvfOn(all, k, nProbes), truth)
       val c = cost(ivfCandidates(all, k, nProbes))
       val note = if (nProbes == 2) "**registered q50**" else ""
-      println(f"| ivf | - | p=$nProbes | $nd%.3f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
+      println(f"| ivf | - | p=$nProbes | $nd%.3f | $c%.0f | $c%.0f | ${100 * c / n}%.1f%% | $note |")
     }
     all.unpersist(false)
     spark.stop()

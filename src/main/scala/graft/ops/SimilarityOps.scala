@@ -240,7 +240,13 @@ object SimilarityOps {
   /** Any-table candidate set (qid, vec_id, cos_r), MAX-deduped across
     * tables, pre-ranking (DevAnnSweep counts these as probe cost).
     */
-  private[graft] def mtCandidates(
+  /** PRE-dedup collision rows — one per (query, candidate, TABLE)
+    * collision, each paying a full scored dot product. This is the
+    * lane's true probe COST (DevAnnSweep reports it as scored/query;
+    * r9 ADVICE: counting the MAX-deduped uniques understated the
+    * per-table work the T-tables model describes).
+    */
+  private[graft] def mtCollisions(
       all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
     val tagged = all.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array(tws.map(tw => mtBucket(col("v"), tw)): _*))
@@ -254,8 +260,12 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"),
               round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
                 .as("cos_r"))
-      .groupBy("qid", "vec_id").agg(max(col("cos_r")).as("cos_r"))
   }
+
+  private[graft] def mtCandidates(
+      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+    mtCollisions(all, tws)
+      .groupBy("qid", "vec_id").agg(max(col("cos_r")).as("cos_r"))
 
   private[graft] def simAnnMultiLshOn(
       all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =

@@ -585,7 +585,9 @@ object TextOps {
       .persist()
     var cur = base
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (k <- 1 to BpeMergeRounds) {
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMergeRounds && !exhausted) {
       val syms = split(expr("substring(ws, 2, length(ws) - 2)"), "\\|\\|")
       val pairs = when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1),
@@ -595,16 +597,23 @@ object TextOps {
         .groupBy("pair").agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect()
-      require(best.nonEmpty,
-        s"BPE pair supply exhausted at round $k of $BpeMergeRounds — " +
-          "lower BpeMergeRounds for this corpus (fixed count keeps the " +
-          "SQL twin expressible)")
-      val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
-      merges += ((k.toLong, lhs, rhs, lhs + rhs, best.head.getLong(1)))
-      // one native replace applies the merge everywhere; symbols are
-      // [a-z]+ so the inlined literals need no quoting
-      cur = cur.withColumn("ws",
-        expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
+      if (best.isEmpty) {
+        // pair supply exhausted (every surviving word is a single
+        // symbol — a degenerate corpus): emit the merges that exist,
+        // matching the SQL twin, whose b/m CTEs for the remaining
+        // rounds are empty and whose v CTEs pass the vocab through
+        // unchanged (r9 ADVICE: the engines previously diverged here —
+        // hard require() vs silently-short twin output)
+        exhausted = true
+      } else {
+        val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
+        merges += ((k.toLong, lhs, rhs, lhs + rhs, best.head.getLong(1)))
+        // one native replace applies the merge everywhere; symbols are
+        // [a-z]+ so the inlined literals need no quoting
+        cur = cur.withColumn("ws",
+          expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
+        k += 1
+      }
     }
     (merges.result(), cur, base)
   }
@@ -689,12 +698,15 @@ pr$k AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
     i -> syms[i] || ' ' || syms[i + 1])) AS pair
   FROM (SELECT cnt, str_split(substring(ws, 2, length(ws) - 2), '||') AS syms
         FROM v${k - 1})) GROUP BY pair),
-b$k AS (SELECT split_part(pair, ' ', 1) AS lhs,
+b$k AS MATERIALIZED (SELECT split_part(pair, ' ', 1) AS lhs,
   split_part(pair, ' ', 2) AS rhs, n FROM (
   SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rn FROM pr$k)
   WHERE rn = 1),
-v$k AS (SELECT w, cnt, replace(ws, '|' || lhs || '||' || rhs || '|',
-  '|' || lhs || rhs || '|') AS ws FROM v${k - 1}, b$k),
+v$k AS MATERIALIZED (SELECT w, cnt,
+  CASE WHEN (SELECT COUNT(*) FROM b$k) = 0 THEN ws
+  ELSE replace(ws, '|' || (SELECT lhs FROM b$k) || '||' || (SELECT rhs FROM b$k)
+    || '|', '|' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || '|')
+  END AS ws FROM v${k - 1}),
 m$k AS (SELECT CAST($k AS BIGINT) AS step, lhs, rhs,
   lhs || rhs AS merged, n AS pair_count FROM b$k)"""
     }

@@ -87,4 +87,18 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
     info(f"corpus: $chars chars -> $toks BPE tokens (${toks.toDouble / chars}%.2f)")
     assert(toks < chars, "BPE encoding did not compress vs characters")
   }
+
+  test("degenerate corpus: the loop emits the rounds that exist, no hard failure (r10)") {
+    // r9 ADVICE: the Spark loop used to require() when the pair supply
+    // exhausted while the SQL twin silently emitted a short merge
+    // table — both engines now degrade identically. An empty corpus
+    // slice is the extreme case: zero merges, empty vocab, no throw.
+    import org.apache.spark.sql.functions.lit
+    val (merges, vocab, handle) =
+      ops.TextOps.bpeTrainCore(spark, sf, lit(false))
+    try {
+      assert(merges.isEmpty)
+      assert(vocab.count() == 0L)
+    } finally handle.unpersist(false)
+  }
 }
