@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * partition, streaming batches through it, never collecting to the
   * driver).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`FakeDecoder`) deriving pseudo
-  * width/height from an md5 of the payload head. Everything around it —
-  * binary schema, partition batching, feature schema, the oracle — is
-  * real: swap `FakeDecoder.decode` for a JNI/codec call and nothing
-  * else changes.
+  * The container has no external image/audio codec LIBRARIES, so the
+  * generic decode step is a clearly-marked deterministic STUB
+  * (`FakeDecoder`) deriving pseudo width/height from an md5 of the
+  * payload head; everything around it — binary schema, partition
+  * batching, feature schema, the oracle — is real. For one REAL public
+  * format the stub caveat is retired: q178 decodes genuine JDK-encoded
+  * BMP files with [[BmpCodec]], a dependency-free parser of the actual
+  * format (offsets, BGR, bottom-up rows, padding), and runs the resize
+  * verb over the real pixels.
   */
 object MultimodalOps {
 
@@ -266,6 +269,178 @@ object MultimodalOps {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  // ---- q178: REAL image decode — the r9-verdict ask (#6) that retires
+  //      the "the decode step is a stub" caveat for one real public
+  //      format. The staged fixture is a parquet binary column of
+  //      genuine BMP FILES (24-bpp uncompressed, encoded by the JDK's
+  //      own ImageIO BMP writer from a deterministic gray pixel
+  //      formula — we do NOT control the encoder, so the parser is
+  //      honest); [[BmpCodec.decode]] is a dependency-free parser that
+  //      walks the real format (BITMAPFILEHEADER magic + pixel-data
+  //      offset, DIB width/height/bpp/compression, BGR byte order,
+  //      BOTTOM-UP row order, 4-byte row padding — widths are chosen
+  //      so half the corpus has nonzero padding), and the q115 resize
+  //      verb (2x2 integer average pooling + position-weighted
+  //      checksum) then runs over REAL decoded pixels. Same partition-
+  //      batched shape as every lane here — at 100 TB the decoder
+  //      instantiates once per partition and payloads never leave the
+  //      executors. Oracle: the pixel formula in closed form (the
+  //      encode->parse round trip must reproduce it exactly or sums
+  //      drift); BmpSpec additionally holds the parser against
+  //      ImageIO.read — the JDK's INDEPENDENT decoder — pixel for
+  //      pixel. ----
+  object BmpCodec {
+    /** Deterministic gray value at (x, y) of doc `id` — the ground
+      * truth both the fixture encoder and the oracle derive from.
+      */
+    def pixel(id: Long, x: Int, y: Int): Int =
+      ((id * 31 + y * 17 + x * 7) % 251).toInt
+
+    /** Even dims, width cycling mod 4 ∈ {0, 2} so ~half the files
+      * carry real BMP row padding.
+      */
+    def dims(id: Long): (Int, Int) =
+      (16 + 2 * (id % 9).toInt, 8 + 2 * (id % 7).toInt)
+
+    /** Encode doc `id`'s formula grid as a real BMP via the JDK's
+      * ImageIO writer (gray written as r=g=b).
+      */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(id, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "bmp", baos),
+        "JDK BMP writer unavailable")
+      baos.toByteArray
+    }
+
+    /** Dependency-free parser for the files the JDK writer emits:
+      * uncompressed 24-bpp bottom-up BMP. Returns (w, h, row-major
+      * gray grid). Fails loudly on any other BMP flavor — a decoder
+      * that silently mis-reads is worse than one that stops.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def i16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def i32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      val pixOff = i32(10)
+      val w = i32(18)
+      val hRaw = i32(22)
+      require(hRaw > 0, "top-down BMP not produced by the fixture encoder")
+      val h = hRaw
+      require(i16(28) == 24, s"expected 24 bpp, got ${i16(28)}")
+      require(i32(30) == 0, "compressed BMP unsupported")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        // bottom-up: file row y holds image row (h - 1 - y)
+        val src = pixOff + y * rowSize
+        val dstRow = (h - 1 - y) * w
+        var x = 0
+        while (x < w) {
+          val b = u8(src + x * 3)
+          val g = u8(src + x * 3 + 1)
+          val r = u8(src + x * 3 + 2)
+          require(b == g && g == r, "fixture is gray; channels must agree")
+          out(dstRow + x) = b
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  final case class BmpRow(doc_id: Long, img: Array[Byte])
+  final case class BmpPooled(doc_id: Long, w: Int, h: Int, out_w: Int,
+                             out_h: Int, sum_pool: Long, wsum_pool: Long)
+
+  def bmpDecodeResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_bmp_$hex")
+    val marker = dir.resolve("_STAGED")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/documents.parquet")) {
+      graft.Fixtures.clearDir(dir)
+      // distributed ENCODE stage: executors render real BMP files from
+      // the doc ids (ImageIO runs per-partition), parquet stores them
+      // as an opaque binary column — the at-rest shape of an image
+      // corpus
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => BmpRow(id, BmpCodec.encode(id))))
+        .toDF()
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.Fixtures.writeMarker(marker, s"$d/documents.parquet")
+    }
+    s.read.parquet(dir.toString)
+      .select(col("doc_id"), col("img"))
+      .as[BmpRow]
+      .mapPartitions { rows =>
+        rows.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.img)
+          val outW = w / 2
+          val outH = h / 2
+          var sum = 0L
+          var wsum = 0L
+          var rr = 0
+          while (rr < outH) {
+            var cc = 0
+            while (cc < outW) {
+              val base = (2 * rr) * w + 2 * cc
+              val p = (px(base) + px(base + 1) + px(base + w) + px(base + w + 1)) / 4
+              sum += p
+              wsum += p.toLong * (rr.toLong * outW + cc + 1)
+              cc += 1
+            }
+            rr += 1
+          }
+          BmpPooled(rec.doc_id, w, h, outW, outH, sum, wsum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // Closed-form oracle from the pixel formula: if the ImageIO-encode ->
+  // own-parser-decode round trip mangled ANY pixel (row order, padding,
+  // channel order, offset), the pooled sums drift and the hash breaks.
+  private val bmpDecodeResizeSql = {
+    def px(xE: String, yE: String) =
+      s"((doc_id * 31 + ($yE) * 17 + ($xE) * 7) % 251)"
+    s"""WITH g AS (SELECT doc_id,
+       |    16 + 2 * (doc_id % 9) AS w, 8 + 2 * (doc_id % 7) AS h
+       |  FROM documents),
+       |cells AS (SELECT doc_id, w, h, w // 2 AS out_w, h // 2 AS out_h,
+       |    unnest(range(0, (w // 2) * (h // 2))) AS k FROM g),
+       |p AS (SELECT doc_id, w, h, out_w, out_h, k,
+       |    (${px("2 * (k % out_w)", "2 * (k // out_w)")}
+       |     + ${px("2 * (k % out_w) + 1", "2 * (k // out_w)")}
+       |     + ${px("2 * (k % out_w)", "2 * (k // out_w) + 1")}
+       |     + ${px("2 * (k % out_w) + 1", "2 * (k // out_w) + 1")}) // 4 AS v
+       |  FROM cells)
+       |SELECT doc_id, CAST(MIN(w) AS INTEGER) AS w, CAST(MIN(h) AS INTEGER) AS h,
+       |  CAST(MIN(out_w) AS INTEGER) AS out_w, CAST(MIN(out_h) AS INTEGER) AS out_h,
+       |  CAST(SUM(v) AS BIGINT) AS sum_pool,
+       |  CAST(SUM(v * (k + 1)) AS BIGINT) AS wsum_pool
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "binary media column -> partition-batched (stub) decode -> features"),
@@ -274,5 +449,7 @@ object MultimodalOps {
     Q("q70_frame_sample", frameSample, Some(frameSampleSql),
       "media payload -> sampled per-frame rows (map-side 1->N generator)"),
     Q("q95_pcm_energy", pcmEnergy, Some(pcmEnergySql),
-      "audio path: per-window PCM energy via partition-batched expansion"))
+      "audio path: per-window PCM energy via partition-batched expansion"),
+    Q("q178_bmp_decode_resize", bmpDecodeResize, Some(bmpDecodeResizeSql),
+      "REAL image decode: JDK-encoded BMP files in a binary column, own dependency-free parser (bottom-up rows, padding, BGR), resize verb over real pixels"))
 }
