@@ -2182,7 +2182,14 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   //      bounded (queries·probes·~cell-size) and BROADCASTS against
   //      the label scan (the label attach is map-side — the corpus
   //      never shuffles for the filter), truth is the one controlled
-  //      broadcast cross join every eval lane pays. ----
+  //      broadcast cross join every eval lane pays. The 4× boost is
+  //      MEASURED, not guessed (r10): the DevFilteredSweep grid
+  //      (bench_evidence/r10_filtered_sweep.md) shows 4× is the
+  //      largest budget that still prunes at test scale while
+  //      recovering +0.20 recall at the registered label granularity;
+  //      ≥8× saturates probes ≥ k there (degenerate full scan), and
+  //      the cross-granularity rows show boost must track
+  //      1/selectivity. ----
   private[graft] val FilterBoost = 4
 
   def filteredAnn(s: SparkSession, d: String): DataFrame = {
@@ -2251,6 +2258,65 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     mode("post", IvfProbes)
       .unionByName(mode("boost", IvfProbes * FilterBoost))
       .orderBy("mode", "qid")
+  }
+
+  /** Dev-only sweep grid behind bench_evidence/r10_filtered_sweep.md
+    * (r9 VERDICT #7): recall-vs-probe-budget for filtered ANN, per
+    * label granularity. One routing pass at the max budget per
+    * variant; each probe count filters the ranked probe set (the q174
+    * prefix property). Label variants re-derive `lbl` from the raw
+    * label so selectivity sweeps from ~1/2 to ~1/(3·|labels|) without
+    * touching the corpus. Returns (variant, n_labels, probes,
+    * mean n_cand, mean n_kept, mean recall) — NQueries-row collects.
+    */
+  private[graft] def filteredSweepRows(
+      s: SparkSession, d: String, probeCounts: Seq[Int],
+      labelVariants: Seq[(String, Column)]): Seq[(String, Long, Int, Double, Double, Double)] = {
+    val maxP = probeCounts.max
+    labelVariants.flatMap { case (vname, lblCol) =>
+      val allL = Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"), lblCol.as("lbl"))
+        .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+        .persist()
+      val nLabels = allL.select("lbl").distinct().count()
+      val q = allL.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"), col("lbl").as("qlbl"))
+      val qlbl = q.select("qid", "qlbl")
+      val wt = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+      val truth = allL.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid") && col("lbl") === col("qlbl"))
+        .select(col("qid"), col("vec_id"),
+                round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+        .withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= TopK)
+        .select("qid", "vec_id")
+        .localCheckpoint(true)
+      val (assigned0, probesR0) = ivfRoutingRanked(allL, ivfCellCount(s, d), maxP)
+      val assigned = assigned0.localCheckpoint(true)
+      val probesR = probesR0.localCheckpoint(true)
+      val rows = probeCounts.map { p =>
+        val scored = scoreProbed(assigned,
+          probesR.filter(col("crn") <= p).drop("crn"))
+        val kept = allL.select(col("vec_id"), col("lbl"))
+          .join(broadcast(scored), Seq("vec_id"))
+          .join(broadcast(qlbl), Seq("qid"))
+          .filter(col("lbl") === col("qlbl"))
+        val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+        val top = kept.withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= TopK).select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        val agg = truth.join(broadcast(top), Seq("qid", "vec_id"), "left")
+          .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0L))).as("ov"))
+          .collect().map(r => r.getLong(1)).toSeq
+        val nCand = scored.count().toDouble / NQueries
+        val nKept = kept.count().toDouble / NQueries
+        val recall = agg.sum.toDouble / (agg.size.max(1) * TopK)
+        (vname, nLabels, p, nCand, nKept, recall)
+      }
+      allL.unpersist(false)
+      rows
+    }
   }
 
   private val filteredAnnSql = {
