@@ -167,7 +167,18 @@ object Bench {
     val qreps = sys.env.getOrElse("SPARK_GRAFT_QREPS", "2").toInt
     val qMedian = scala.collection.mutable.LinkedHashMap[String, Double]()
     val qRepCount = scala.collection.mutable.LinkedHashMap[String, Int]()
-    Registry.all.foreach { q =>
+    // Optional registry restriction (comma-separated name prefixes) —
+    // the instrument behind like-for-like experiments: bench exactly a
+    // prior round's query set in one JVM to separate suite-growth
+    // pressure (heap/code-cache of new lanes) from box contention
+    // (r9 ADVICE). Not set by the driver; round benches stay full.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val benchSet = only match {
+      case Some(ps) => Registry.all.filter(q => ps.exists(q.name.startsWith))
+      case None => Registry.all
+    }
+    benchSet.foreach { q =>
       try {
         def rep(): Double = {
           spark.catalog.clearCache()

@@ -22,7 +22,20 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private val Rows = 30300000L
 
+  /** 1-minute load average at run start/end — the Bench.loadAvg1m
+    * discipline extended to the scale-smoke artifact (r9 VERDICT #5):
+    * a contended box inflates stage times up to 2×, and without the
+    * annotation that contamination is only detectable forensically.
+    */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg1m()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -156,8 +169,9 @@ object ScaleSmoke {
       .mkString("{", ",", "}")
     val rs = rssMb.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val loadEnd = loadAvg1m()
     val line =
-      s"""{"metric":"scale_smoke_30.3M","value":${num(results.values.sum)},"unit":"sec","queries":$qs,"rss_mb":$rs,"rows":$Rows}"""
+      s"""{"metric":"scale_smoke_30.3M","value":${num(results.values.sum)},"unit":"sec","queries":$qs,"rss_mb":$rs,"rows":$Rows,"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)}}"""
     println(line)
     // machine-readable copy for graft.Plot (O23); partial tuning runs
     // must not clobber the full-run artifact
