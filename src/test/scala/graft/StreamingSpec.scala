@@ -345,11 +345,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("q173 stream vector ingest == batch residual coding of the arrival slice") {
     import org.apache.spark.sql.functions._
-    // the stream encodes via a LITERAL centroid/codebook index
-    // (map-side argmin per arriving vector); the batch twin encodes
-    // via the q172 broadcast-join plan — same semantics, different
-    // physical path, so agreement checks routing, residuals, codes
-    // and errors end to end
+    // the stream carries its centroid index as a one-row stream-static
+    // BROADCAST side (r10 — broadcast data, not plan literals) and
+    // encodes with a map-side argmin per arriving vector; the batch
+    // twin encodes via the q172 broadcast-join plan — same semantics,
+    // different physical path, so agreement checks routing, residuals,
+    // codes and errors end to end
     val got = streaming.StreamingOps.streamVectorIngest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
                  r.getLong(4))).toSeq
@@ -360,5 +361,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, "stream codes != batch residual codes")
     val nDelta = Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 3).count()
     assert(got.size.toLong == nDelta * ops.SimilarityOps.PqM)
+  }
+
+  test("q173 index metadata rides as broadcast DATA, not plan literals (r10)") {
+    // the r9 scale-killer fence: at the 50k-cell cap the centroid
+    // table is ~25 MB — as a plan literal that breaks codegen's
+    // constant pool; as a broadcast side it is routine. Guard that the
+    // one-row kit relation joins in as a BroadcastHashJoin and that
+    // the analyzed stream plan does not embed a centroid-table-sized
+    // literal array.
+    val (kitDf, _) = ops.SimilarityOps.ingestCoderKitDf(spark, sf)
+    import org.apache.spark.sql.functions._
+    val kitRow = kitDf.collect()
+    assert(kitRow.length == 1, "index metadata must be a one-row relation")
+    val nCells = kitRow.head.getSeq[Any](0).size
+    assert(nCells >= 16, s"kit should carry the full centroid table, got $nCells")
+    // the batch twin of the stream stage plans the same broadcast join
+    val plan = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("jk", lit(1))
+      .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
+      .queryExecution.executedPlan.toString
+    // Catalyst constant-folds the lit(1) key, so the batch plan may
+    // come out as BroadcastNestedLoopJoin instead of BroadcastHashJoin
+    // — either way the kit side is a BroadcastExchange, which is the
+    // property under guard (metadata broadcast, never shuffled)
+    assert(plan.contains("BroadcastHashJoin")
+        || plan.contains("BroadcastNestedLoopJoin"),
+      s"kit join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"kit side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"kit join degraded:\n$plan")
   }
 }
