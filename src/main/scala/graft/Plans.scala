@@ -344,6 +344,17 @@ object Plans {
         "is the controlled broadcast cross join every eval lane pays\n\n```\n" +
         plan174 + "```\n")
     }
+    locally {
+      val plan179 = ops.SimilarityOps.indexLayout(spark, d)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q179_index_layout (probe read-back)\n\n" +
+        "the persisted inverted-list index probed: the FileScan's " +
+        "PartitionFilters carries the probe-cell predicate, so a " +
+        "2-of-k-cell probe lists 2-of-k partition directories — at the " +
+        "50k-cell cap that is 1/25000th of the index touched per " +
+        "probe; PlanShapeSpec fails if the filter ever stops pruning\n\n```\n" +
+        plan179 + "```\n")
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.size} plans)")

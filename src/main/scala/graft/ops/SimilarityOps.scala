@@ -2260,6 +2260,63 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       .orderBy("mode", "qid")
   }
 
+  // ---- q179: INDEX STORAGE LAYOUT — the piece that makes IVF probes
+  //      cheap ON DISK at 100 TB. The routed + residual-coded corpus
+  //      (exactly the q172/q173 postings: vec_id, cell, s, code,
+  //      err_e6) is WRITTEN partitioned by cell — hash-repartition on
+  //      cell so each inverted list is owned by one writer task,
+  //      sorted within (cell, vec_id, s) so each list is a contiguous
+  //      clustered run — and a probe then reads ONLY its cells back:
+  //      the partition filter prunes at the FileScan (PlanShapeSpec
+  //      asserts non-empty PartitionFilters), so a 2-of-50k-cell probe
+  //      touches 2/50k of the files instead of scanning the index.
+  //      This closes the serving-index lifecycle: train (q165/q177),
+  //      ingest (q173), serve (q171/q172/q174), audit (q175), eval
+  //      (q163), and now PERSIST. Output = query 0's probe cells'
+  //      postings read back through the pruned scan; oracle derives
+  //      the same postings from the routing + residual-code CTEs
+  //      without seeing the directory (the q124 discipline). ----
+  def indexLayout(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Paths.get(out, "_FIXTURE_OK")
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      val codes = kit.resid.select(col("vec_id"), col("cell"),
+          posexplode(array(pqArgminsOn(col("rv"), kit.books): _*)).as(Seq("s", "c")))
+        .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+                col("c.cid").as("code"),
+                floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+      codes.repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id", "s")
+        .write.partitionBy("cell").mode("overwrite").parquet(out)
+      graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    // the probe: query 0's IvfProbes cells — metadata-scale collect
+    val probeCells = kit.probes.filter(col("qid") === 0)
+      .select("cell").collect().map(_.getLong(0)).sorted
+    s.read.parquet(out)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("s"), col("code"), col("err_e6"))
+      .orderBy("cell", "vec_id", "s")
+  }
+
+  private val indexLayoutSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
+       |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
+       |  (SELECT vec_id, s, scid, dist, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |pc AS (SELECT DISTINCT cell FROM iprb WHERE qid = 0)
+       |SELECT CAST(a.cell AS BIGINT) AS cell, l.vec_id, l.s, l.cid AS code,
+       |       l.err_e6
+       |FROM lcodes l JOIN iasg a ON a.vec_id = l.vec_id
+       |JOIN pc ON pc.cell = a.cell
+       |ORDER BY a.cell, l.vec_id, l.s""".stripMargin
+
   /** Dev-only sweep grid behind bench_evidence/r10_filtered_sweep.md
     * (r9 VERDICT #7): recall-vs-probe-budget for filtered ANN, per
     * label granularity. One routing pass at the max budget per
@@ -2615,6 +2672,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "residual IVF-PQ (FAISS by_residual=true): codes quantize v - centroid(cell), per-(query, probed-cell) residual LUT — same routing as q171, so the recall delta isolates residual encoding"),
     Q("q177_ivfpq_trained", ivfPqResidualTrained, Some(ivfPqTrainedSql),
       "residual IVF-PQ under Lloyd-TRAINED books: the q165 training loop run on the residual relation (leakage-safe seeds), then served through q172's exact plan — the recall delta vs q172 prices training"),
+    Q("q179_index_layout", indexLayout, Some(indexLayoutSql),
+      "index storage layout: postings written partitionBy(cell) — one inverted list per writer, clustered runs — probe cells read back through a partition-PRUNED scan (2-of-k cells touch 2-of-k files)"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),

@@ -236,6 +236,50 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
       f"trained books ${recall(got)}%.2f (${SimilarityOps.PqTrainRounds} Lloyd rounds)")
   }
 
+  test("q179 read-back postings match a driver-side decode; layout is one dir per cell") {
+    val vecs = loadVecs()
+    val r = route(vecs)
+    val byId = vecs.toMap
+    def residual(v: Array[Double], cell: Long): Array[Double] = {
+      val cv = byId(cell)
+      Array.tabulate(v.length)(i => v(i) - cv(i))
+    }
+    val seeds = vecs.filter { case (id, _) => id >= r.k && id < r.k + K }
+      .map { case (id, v) => (id, residual(v, r.cellOf(id))) }
+    val books = booksFrom(seeds.toSeq)
+    def codeRow(v: Array[Double], s: Int): (Long, Long) = {
+      val vSub = v.slice(s * Sub, s * Sub + Sub)
+      val vv = dot(vSub, vSub)
+      val (dist, cid) = books(s).map { case (cid, cb) =>
+        (vv - 2.0 * dot(vSub, cb) + dot(cb, cb), cid)
+      }.minBy(identity)
+      (cid, math.floor(dist * 1000000.0).toLong)
+    }
+    val probeCells = r.probesOf(0L).toSet
+    val want = vecs.toSeq.filter(v => probeCells.contains(r.cellOf(v._1)))
+      .flatMap { case (id, v) =>
+        val rv = residual(v, r.cellOf(id))
+        (0 until M).map { s =>
+          val (cid, err) = codeRow(rv, s)
+          (r.cellOf(id), id, s.toLong, cid, err)
+        }
+      }.sortBy(t => (t._1, t._2, t._3))
+    val got = SimilarityOps.indexLayout(spark, sf).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1), rr.getLong(2),
+                  rr.getLong(3), rr.getLong(4))).toSeq
+    assert(got == want, "read-back postings != driver-side decode")
+    // the on-disk layout really is one directory per inverted list
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+        java.lang.Integer.toHexString(sf.hashCode))
+    val cellDirs = out.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length.toLong == vecs.map(v => r.cellOf(v._1)).distinct.length,
+      "partition directories != occupied cells")
+    info(s"${cellDirs.length} cell= directories; probe read ${got.size} postings " +
+      s"from ${probeCells.size} cells")
+  }
+
   test("q175 occupancy histogram matches a driver-side routing rerun; cells account for the corpus") {
     val vecs = loadVecs()
     val r = route(vecs)

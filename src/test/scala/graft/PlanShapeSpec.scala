@@ -180,6 +180,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
   }
 
+  test("q179 probe read-back prunes partitions at the FileScan (r10)") {
+    // the lane's reason to exist: a 2-of-k-cell probe must touch
+    // 2-of-k partition directories. An empty PartitionFilters means
+    // the probe scans the whole index — the on-disk scale regression.
+    val plan = ops.SimilarityOps.indexLayout(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"probe scan does not prune partitions:\n$plan")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
