@@ -105,7 +105,8 @@ object Scaling {
     ("q176_mmr_rerank", "MMR diversified re-ranking (10 greedy rounds)", "embeddings"),
     ("q177_ivfpq_trained", "residual IVF-PQ under Lloyd-trained books", "embeddings"),
     ("q178_bmp_decode_resize", "REAL BMP decode + resize (own parser)", "documents"),
-    ("q179_index_layout", "index layout: partitionBy(cell) + pruned probe read", "embeddings"))
+    ("q179_index_layout", "index layout: partitionBy(cell) + pruned probe read", "embeddings"),
+    ("q180_stream_ann_query", "streaming ANN query serving (stream-static probe)", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

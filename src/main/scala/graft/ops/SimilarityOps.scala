@@ -394,7 +394,16 @@ object SimilarityOps {
     * filter this instead of re-routing.
     */
   private[graft] def ivfRoutingRanked(
-      all: DataFrame, k: Long, nProbes: Int): (DataFrame, DataFrame) = {
+      all: DataFrame, k: Long, nProbes: Int): (DataFrame, DataFrame) =
+    ivfRoutingRankedFor(all, k, nProbes, col("vec_id") < NQueries)
+
+  /** Routing with an arbitrary QUERY-set predicate — q180's batch twin
+    * probes for the streaming arrival slice instead of the standard
+    * vec_id < NQueries query set.
+    */
+  private[graft] def ivfRoutingRankedFor(
+      all: DataFrame, k: Long, nProbes: Int,
+      queryPred: Column): (DataFrame, DataFrame) = {
     val cents = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
@@ -411,15 +420,34 @@ object SimilarityOps {
            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"),
               col("sc").getField("cid").as("cell"))
-    // probes: top-nProbes cells per QUERY vector only (NQueries×k
-    // rows — window is fine at that cardinality)
+    // probes: top-nProbes cells per QUERY vector only (the predicate
+    // pushes below the centroid cross join, so this scores
+    // |queries|×k rows — window is fine at that cardinality)
     val wp = Window.partitionBy("vec_id").orderBy(col("negsim").asc, col("cid").asc)
-    val probes = scored.filter(col("vec_id") < NQueries)
+    val probes = scored.filter(queryPred)
       .withColumn("crn", row_number().over(wp))
       .filter(col("crn") <= nProbes)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
               col("nrm").as("qn"), col("cid").as("cell"), col("crn"))
     (assigned, probes)
+  }
+
+  /** Exact-cosine scoring of a probe set — q180's batch twin needs the
+    * otherwise-private scorer from outside this object.
+    */
+  private[graft] def scoreProbedOn(
+      assigned: DataFrame, probes: DataFrame): DataFrame =
+    scoreProbed(assigned, probes)
+
+  /** The materialized serving index q180's stream probes against:
+    * every corpus vector routed to its cell (the q50 assignment),
+    * checkpointed once per (session, sf). At 100 TB this relation is
+    * the PERSISTED q179 layout — cell-partitioned postings the
+    * stream-static join prunes by cell.
+    */
+  private[graft] def servingIndex(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) = ivfRouting(base(s, d), ivfCellCount(s, d))
+    assigned.localCheckpoint(true)
   }
 
   /** Exact-cosine scoring of a probe set's cell members — the shared
@@ -1992,6 +2020,25 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |$residTrainedCteSql,
        |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
        |${ivfAdcTailSqlFor("tvcnd", "tvadc")}""".stripMargin
+
+  /** SQL twin of q180's streaming ANN query serving (StreamingOps.
+    * streamAnnQuery): the q50 probe-and-score chain with the QUERY set
+    * being the arrival slice `vec_id % 7 = 5` — `ir0` already ranks
+    * every corpus vector's cells, so the slice's probes come from the
+    * same machinery (identical negsim + tie-break) as `iprb`.
+    */
+  private[graft] val streamAnnQuerySql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |sq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
+       |       FROM ir0 WHERE crn <= $IvfProbes AND vec_id % 7 = 5),
+       |scand AS (SELECT q.qid, a.vec_id,
+       |  round(${dotFoldSql("q.qv", "a.v")} / (q.qn * a.nrm), 6) AS cos_r
+       |  FROM iasg a JOIN sq q ON a.cell = q.cell WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, cos_r, CAST(rn AS BIGINT) AS rn FROM
+       |  (SELECT qid, vec_id, cos_r, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scand)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
   /** SQL twin of q173's streaming ingest coder (StreamingOps.
     * streamVectorIngest): the same residual-code derivation as q172's

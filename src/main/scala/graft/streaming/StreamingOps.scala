@@ -1027,7 +1027,95 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     s.table(qname).orderBy("vec_id", "s")
   }
 
+  // ---- q180: STREAMING ANN QUERY SERVING — the READ path twin of
+  //      q173's ingest: query vectors ARRIVE as a stream and are
+  //      answered online against the static index, the lifecycle's
+  //      last streaming gap (train q165/q177, ingest q173, persist
+  //      q179, audit q175 — and now serve-on-arrival). Fully
+  //      STATELESS: per arriving query, (1) the broadcast one-row
+  //      centroid kit (q173's shape) yields the top-IvfProbes probe
+  //      cells via an array_sort over (negsim, cid) structs — the
+  //      exact ir0 ordering, no state store; (2) a stream-static
+  //      EQUI-join on cell fetches the probed cells' members from the
+  //      materialized serving index (at 100 TB that static side is
+  //      the q179 cell-partitioned layout, so the join prunes to
+  //      probes/k of the postings); (3) the native vec_dot cosine
+  //      scores each candidate map-side and the scored rows append to
+  //      the sink. Ranking the bounded per-query candidate set
+  //      (≤ probes·cell-size rows) happens downstream of the sink —
+  //      where a serving tier ranks — so the stream itself needs no
+  //      watermark and no aggregation state. Oracle: the q50 chain
+  //      with the arrival slice as the query set; StreamingSpec holds
+  //      the stream against the batch routing's plan
+  //      (ivfRoutingRankedFor + scoreProbedOn — same doubles,
+  //      different physical path). ----
+  def streamAnnQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.VecDot.vecDot
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_saq_$hex"
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_saq_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val part = java.nio.file.Files.createTempDirectory("graft_saq_stage")
+      Tables.embeddings(s, d).filter(col("vec_id") % 7 === 5)
+        .select("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve("delta.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    val (kitDf, _) = graft.ops.SimilarityOps.ingestCoderKitDf(s, d)
+    val index = graft.ops.SimilarityOps.servingIndex(s, d)
+    val nProbes = graft.ops.SimilarityOps.IvfProbes
+    withStreamShufflePartitions(s, 2) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(srcDir.toString)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("jk", lit(1))
+        .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
+        .drop("jk")
+        .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
+        // probe cells: the ir0 ordering ((negsim, cid) struct sort)
+        // over the broadcast centroid array, prefix nProbes — all
+        // per-row lambda work, zero state
+        .withColumn("pcells", slice(array_sort(transform(col("cents"), c =>
+          struct((-vecDot(col("qv"), c.getField("cv"))
+                   / (col("qn") * c.getField("cn"))).as("negsim"),
+                 c.getField("cid").as("cid")))), 1, nProbes))
+        .select(col("qid"), col("qv"), col("qn"),
+                explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
+        // stream-static equi-join on cell: the probed inverted lists
+        .join(index, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+                  .as("cos_r"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the serving tier's rank over the bounded per-query candidate set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    s.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.ops.SimilarityOps.TopK)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q180_stream_ann_query", streamAnnQuery,
+      Some(graft.ops.SimilarityOps.streamAnnQuerySql),
+      "streaming ANN query serving: arriving query vectors route via the broadcast centroid kit (stateless), probe the static serving index through a stream-static cell equi-join, cosine-score map-side — the online READ path of the q173-ingested index"),
     Q("q41_stream_windowed", streamWindowed, Some(streamWindowedSql),
       "Structured Streaming windowed agg == batch q26"),
     Q("q138_stream_static_dedup", streamStaticDedup,

@@ -363,6 +363,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size.toLong == nDelta * ops.SimilarityOps.PqM)
   }
 
+  test("q180 stream ANN serving == batch probe-and-score of the arrival slice") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the stream routes via the broadcast kit + stream-static cell
+    // join; the batch twin routes via ivfRoutingRankedFor's n×k
+    // cross-join plan — same doubles, different physical path
+    val got = streaming.StreamingOps.streamAnnQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val all = ops.SimilarityOps.baseFor(spark, sf).persist()
+    val k = ops.SimilarityOps.ivfKFor(all.count())
+    val (assigned, probesR) = ops.SimilarityOps.ivfRoutingRankedFor(
+      all, k, ops.SimilarityOps.IvfProbes, col("vec_id") % 7 === 5)
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    val want = ops.SimilarityOps.scoreProbedOn(assigned, probesR.drop("crn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ops.SimilarityOps.TopK)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3).toLong)).toSeq
+    all.unpersist(false)
+    assert(got == want, "stream serving != batch probe-and-score")
+    val nQ = Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 5).count()
+    assert(got.map(_._1).distinct.size.toLong == nQ,
+      "every arriving query must be answered")
+  }
+
   test("q173 index metadata rides as broadcast DATA, not plan literals (r10)") {
     // the r9 scale-killer fence: at the 50k-cell cap the centroid
     // table is ~25 MB — as a plan literal that breaks codegen's
