@@ -106,7 +106,8 @@ object Scaling {
     ("q177_ivfpq_trained", "residual IVF-PQ under Lloyd-trained books", "embeddings"),
     ("q178_bmp_decode_resize", "REAL BMP decode + resize (own parser)", "documents"),
     ("q179_index_layout", "index layout: partitionBy(cell) + pruned probe read", "embeddings"),
-    ("q180_stream_ann_query", "streaming ANN query serving (stream-static probe)", "embeddings"))
+    ("q180_stream_ann_query", "streaming ANN query serving (stream-static probe)", "embeddings"),
+    ("q181_dataset_card", "per-source dataset card (one-pass release summary)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -1955,7 +1955,89 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
        |       CAST(CAST(SUM(r) AS BIGINT) // COUNT(*) AS BIGINT) AS weight
        |FROM sc GROUP BY doc_id ORDER BY weight DESC, doc_id""".stripMargin
 
+  // ---- q181: DATASET CARD — the one-relation summary a training team
+  //      publishes with a corpus (dataset-card / datasheet practice):
+  //      per source, volume (docs/tokens/chars), exact-dup rate,
+  //      language mix (count + deterministic mode + share), and the
+  //      exact discrete median length. Every stat is integer-exact so
+  //      the card hash-matches. Scale shapes, per column family:
+  //      volume + dup rate = ONE partial+final aggregate (the distinct
+  //      counts are Spark's two-phase expand — no collect, no second
+  //      scan); language mode = a bounded (source × lang) count
+  //      relation ranked by (cnt desc, lang asc); the median uses the
+  //      q67 trick — the cumulative window runs over the per-(source,
+  //      n_chars) COUNT table, never over the docs — so nothing in the
+  //      plan windows corpus-scale rows. At 100 TB this is exactly the
+  //      one-pass card job a dataset release runs. ----
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("source"), col("lang"), col("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tok"), col("text"))
+    val core = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_uniq")).as("n_dup_docs"),
+        expr("((n_docs - n_uniq) * 1000000) div n_docs").as("dup_e6"),
+        col("n_tokens"), col("n_chars"), col("n_langs"),
+        expr("(n_tokens * 1000000) div n_docs").as("mean_tokens_e6"))
+    val lc = base.groupBy("source", "lang").agg(count(lit(1)).as("lc"))
+    val wl = Window.partitionBy("source").orderBy(col("lc").desc, col("lang").asc)
+    val top = lc.withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc").as("top_cnt"))
+    val cc = base.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("source").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = cc.withColumn("cum", sum(col("c")).over(wc))
+      .join(core.select(col("source"), col("n_docs")), Seq("source"))
+      .filter(col("cum") >= expr("(n_docs + 1) div 2"))
+      .groupBy("source").agg(min(col("v")).as("p50_chars"))
+    core.join(broadcast(top), Seq("source"))
+      .join(broadcast(med), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"), col("dup_e6"),
+              col("n_tokens"), col("n_chars"), col("n_langs"), col("top_lang"),
+              expr("(top_cnt * 1000000) div n_docs").as("top_lang_share_e6"),
+              col("p50_chars"), col("mean_tokens_e6"))
+      .orderBy("source")
+  }
+
+  private val datasetCardSql =
+    s"""WITH b AS (SELECT source, lang, n_chars,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok, text
+       |  FROM documents),
+       |core AS (SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT text) AS n_uniq,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM b GROUP BY source),
+       |lc AS (SELECT source, lang, COUNT(*) AS lc FROM b GROUP BY source, lang),
+       |top AS (SELECT source, lang AS top_lang, lc AS top_cnt FROM (
+       |  SELECT source, lang, lc, row_number() OVER
+       |    (PARTITION BY source ORDER BY lc DESC, lang ASC) AS rn FROM lc)
+       |  WHERE rn = 1),
+       |cc AS (SELECT source, n_chars AS v, COUNT(*) AS c
+       |       FROM b GROUP BY source, n_chars),
+       |cs AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ASC
+       |         ROWS UNBOUNDED PRECEDING) AS cum FROM cc),
+       |med AS (SELECT cs.source, MIN(cs.v) AS p50_chars FROM cs
+       |        JOIN core ON core.source = cs.source
+       |        WHERE cs.cum >= (core.n_docs + 1) // 2 GROUP BY cs.source)
+       |SELECT core.source, n_docs, (n_docs - n_uniq) AS n_dup_docs,
+       |  ((n_docs - n_uniq) * 1000000) // n_docs AS dup_e6,
+       |  n_tokens, n_chars, n_langs, top.top_lang,
+       |  (top.top_cnt * 1000000) // n_docs AS top_lang_share_e6,
+       |  med.p50_chars, (n_tokens * 1000000) // n_docs AS mean_tokens_e6
+       |FROM core JOIN top ON top.source = core.source
+       |JOIN med ON med.source = core.source
+       |ORDER BY core.source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q181_dataset_card", datasetCard, Some(datasetCardSql),
+      "per-source dataset card: volume, exact-dup rate, language mix + deterministic mode, exact discrete median length — the one-pass release summary, every stat integer-exact"),
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
       "whitespace + regex token counting"),
     Q("q30_quality", quality, Some(qualitySql),
