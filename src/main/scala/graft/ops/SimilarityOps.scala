@@ -237,9 +237,6 @@ object SimilarityOps {
     * set — the registered q164 lane at [[mtPlaneInt]]; DevAnnSweep
     * passes other (T, k) geometries.
     */
-  /** Any-table candidate set (qid, vec_id, cos_r), MAX-deduped across
-    * tables, pre-ranking (DevAnnSweep counts these as probe cost).
-    */
   /** PRE-dedup collision rows — one per (query, candidate, TABLE)
     * collision, each paying a full scored dot product. This is the
     * lane's true probe COST (DevAnnSweep reports it as scored/query;

@@ -1140,5 +1140,5 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       "ingest-time tokenization metering: corpus-trained BPE vocab as the stream-static broadcast side, stateless per-word enrichment, downstream per-doc rollup"),
     Q("q173_stream_vector_ingest", streamVectorIngest,
       Some(graft.ops.SimilarityOps.streamVectorIngestSql),
-      "streaming vector-index ingest: literal centroid+codebook index metadata, stateless map-side cell routing + residual PQ coding per arriving vector == batch q172 chain on the arrival slice"))
+      "streaming vector-index ingest: centroid kit rides as a one-row stream-static BROADCAST relation (data, not plan literals); only the constant-size PqM x PqK residual codebooks stay literal. Stateless map-side cell routing + residual PQ coding per arriving vector == batch q172 chain on the arrival slice"))
 }
