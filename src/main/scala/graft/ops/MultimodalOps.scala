@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * generic decode step is a clearly-marked deterministic STUB
   * (`FakeDecoder`) deriving pseudo width/height from an md5 of the
   * payload head; everything around it — binary schema, partition
-  * batching, feature schema, the oracle — is real. For one REAL public
-  * format the stub caveat is retired: q178 decodes genuine JDK-encoded
+  * batching, feature schema, the oracle — is real. For two REAL public
+  * formats the stub caveat is retired: q178 decodes genuine JDK-encoded
   * BMP files with [[BmpCodec]], a dependency-free parser of the actual
   * format (offsets, BGR, bottom-up rows, padding), and runs the resize
-  * verb over the real pixels.
+  * verb over the real pixels; q184 does the same for audio — genuine
+  * JDK-encoded RIFF/WAV containers parsed by [[WavCodec]] (chunk walk,
+  * fmt validation, little-endian signed PCM16), energy verb over the
+  * real samples.
   */
 object MultimodalOps {
 
@@ -441,6 +444,177 @@ object MultimodalOps {
        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q184: REAL audio decode — the second real media format
+  //      (r10 VERDICT #4), retiring the stub caveat for the AUDIO path
+  //      the way q178 did for images: the staged fixture is a parquet
+  //      binary column of genuine WAV FILES (RIFF/WAVE containers,
+  //      PCM16 mono, encoded by the JDK's own javax.sound.sampled
+  //      writer from a deterministic sample formula — we do NOT
+  //      control the encoder, so the parser is honest); [[WavCodec
+  //      .decode]] is a dependency-free RIFF parser that walks the
+  //      real container (RIFF magic + WAVE form, chunk walk with
+  //      word-alignment padding, fmt validation — PCM/mono/16-bit —
+  //      little-endian signed sample decode), and the q95 energy verb
+  //      (per-64-sample-window Σs²) then runs over REAL samples.
+  //      Sample counts cycle mod 111 so ragged tail windows are
+  //      exercised. Same partition-batched shape as every lane here.
+  //      Oracle: the sample formula in closed form; WavSpec
+  //      additionally holds the parser against AudioSystem's own
+  //      decoder — the JDK's INDEPENDENT read path — sample for
+  //      sample. ----
+  object WavCodec {
+    val SampleRate = 8000
+
+    /** Deterministic PCM16 sample i of doc `id` — the ground truth
+      * both the fixture encoder and the oracle derive from. Spans the
+      * full signed 16-bit range so endianness/sign bugs can't hide.
+      */
+    def sample(id: Long, i: Int): Int =
+      (((id * 7919 + i.toLong * 523) % 65536L) - 32768L).toInt
+
+    /** Sample count cycling mod 111: tails are ragged vs the 64-sample
+      * energy window, so the last-window arithmetic is exercised.
+      */
+    def nSamples(id: Long): Int = 160 + (id % 111).toInt
+
+    /** Encode doc `id`'s formula samples as a real WAV via the JDK's
+      * javax.sound.sampled writer (RIFF container, PCM16 LE mono).
+      */
+    def encode(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = sample(id, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Dependency-free parser for the files the JDK writer emits:
+      * RIFF/WAVE, PCM16 LE mono. Returns (sampleRate, samples). Walks
+      * chunks honestly (4-byte id + LE size, word-aligned) instead of
+      * assuming a 44-byte header — an encoder is free to insert LIST
+      * or fact chunks. Fails loudly on any other WAV flavor.
+      */
+    def decode(bytes: Array[Byte]): (Int, Array[Int]) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def i32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I'
+        && bytes(2) == 'F' && bytes(3) == 'F', "not a RIFF container")
+      require(bytes(8) == 'W' && bytes(9) == 'A'
+        && bytes(10) == 'V' && bytes(11) == 'E', "not a WAVE form")
+      var pos = 12
+      var sr = -1
+      var samples: Array[Int] = null
+      while (pos + 8 <= bytes.length) {
+        val cid = new String(bytes, pos, 4, "US-ASCII")
+        val sz = i32(pos + 4)
+        val body = pos + 8
+        cid match {
+          case "fmt " =>
+            require(u16(body) == 1, s"expected PCM (1), got ${u16(body)}")
+            require(u16(body + 2) == 1, "expected mono")
+            sr = i32(body + 4)
+            require(u16(body + 14) == 16,
+              s"expected 16-bit samples, got ${u16(body + 14)}")
+          case "data" =>
+            require(sz % 2 == 0, "odd PCM16 data size")
+            val n = sz / 2
+            samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              // little-endian signed: sign-extend the hi byte
+              samples(i) = (bytes(body + 2 * i + 1).toInt << 8) | u8(body + 2 * i)
+              i += 1
+            }
+          case _ => () // skip LIST/fact/other chunks
+        }
+        pos = body + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(sr > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      (sr, samples)
+    }
+  }
+
+  final case class WavRow(doc_id: Long, audio: Array[Byte])
+  final case class WavWindow(doc_id: Long, sr: Int, win: Int,
+                             n_samples: Int, energy: Long)
+
+  def wavDecodeEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_wav_$hex")
+    val marker = dir.resolve("_STAGED")
+    // the generator-version pseudo-source makes the marker stale when
+    // the FORMULA changes, not just the source parquet — a staged
+    // fixture from an older sample formula must not survive
+    val srcs = Seq(s"$d/documents.parquet", "wav-fixture-v2:7919*id+523*i")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(dir)
+      // distributed ENCODE stage: executors render real WAV files from
+      // the doc ids (javax.sound.sampled runs per-partition), parquet
+      // stores them as an opaque binary column
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => WavRow(id, WavCodec.encode(id))))
+        .toDF()
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(dir.toString)
+      .select(col("doc_id"), col("audio"))
+      .as[WavRow]
+      .mapPartitions { rows =>
+        rows.flatMap { rec =>
+          val (sr, smp) = WavCodec.decode(rec.audio)
+          val nWin = (smp.length + 63) / 64
+          (0 until nWin).iterator.map { i =>
+            val lo = i * 64
+            val hi = math.min(lo + 64, smp.length)
+            var e = 0L
+            var j = lo
+            while (j < hi) {
+              val v = smp(j).toLong
+              e += v * v
+              j += 1
+            }
+            WavWindow(rec.doc_id, sr, i, hi - lo, e)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "win")
+  }
+
+  // Closed-form oracle from the sample formula: if the JDK-encode ->
+  // own-parser-decode round trip mangled ANY sample (endianness, sign,
+  // chunk offsets, alignment), the window energies drift and the hash
+  // breaks.
+  private val wavDecodeEnergySql = {
+    def smp(j: String) = s"(((doc_id * 7919 + ($j) * 523) % 65536) - 32768)"
+    s"""WITH g AS (SELECT doc_id, 160 + (doc_id % 111) AS n FROM documents),
+       |w AS (SELECT doc_id, n, unnest(range(0, (n + 63) // 64)) AS i FROM g)
+       |SELECT doc_id, CAST(${WavCodec.SampleRate} AS INTEGER) AS sr,
+       | CAST(i AS INTEGER) AS win,
+       | CAST(least((i + 1) * 64, n) - i * 64 AS INTEGER) AS n_samples,
+       | CAST(list_sum(list_transform(range(i * 64, least((i + 1) * 64, n)),
+       |   j -> ${smp("j")} * ${smp("j")})) AS BIGINT) AS energy
+       |FROM w ORDER BY doc_id, win""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "binary media column -> partition-batched (stub) decode -> features"),
@@ -451,5 +625,7 @@ object MultimodalOps {
     Q("q95_pcm_energy", pcmEnergy, Some(pcmEnergySql),
       "audio path: per-window PCM energy via partition-batched expansion"),
     Q("q178_bmp_decode_resize", bmpDecodeResize, Some(bmpDecodeResizeSql),
-      "REAL image decode: JDK-encoded BMP files in a binary column, own dependency-free parser (bottom-up rows, padding, BGR), resize verb over real pixels"))
+      "REAL image decode: JDK-encoded BMP files in a binary column, own dependency-free parser (bottom-up rows, padding, BGR), resize verb over real pixels"),
+    Q("q184_wav_decode_energy", wavDecodeEnergy, Some(wavDecodeEnergySql),
+      "REAL audio decode: JDK-encoded RIFF/WAV files in a binary column, own dependency-free chunk-walking parser (fmt validation, LE signed PCM16), per-window energy verb over real samples"))
 }
