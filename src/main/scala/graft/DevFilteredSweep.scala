@@ -24,15 +24,22 @@ object DevFilteredSweep {
       ("fine lbl*3+id%3", col("label").cast("long") * 3 + col("vec_id") % 3))
     val rows = ops.SimilarityOps.filteredSweepRows(spark, sfDir, probes, variants)
 
-    println(s"### Filtered-ANN probe sweep — recall vs probe budget per label granularity ($sfDir)")
+    println(s"### Filtered-ANN probe sweep — recall vs probe budget per label granularity and serving mode ($sfDir)")
     println()
-    println("| label set | #labels | probes | boost vs q50 | cand/query | kept/query | recall@10 |")
-    println("|---|---|---|---|---|---|---|")
-    rows.foreach { case (v, nl, p, c, kp, r) =>
+    println("recall is TRUTH-ADJUSTED (overlap / min(TopK, per-query filtered-truth size));")
+    println("mode `post` scores the whole probed membership then filters (q174),")
+    println("mode `part` reads only the (label, cell) lists so cand == kept (q183).")
+    println()
+    println("| label set | #labels | mode | probes | boost vs q50 | cand/query | kept/query | recall@10 | truthless |")
+    println("|---|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (v, nl, m, p, c, kp, r, ntl) =>
       val boost = p.toDouble / ops.SimilarityOps.IvfProbes
-      val mark = if (v.startsWith("registered") &&
-        p == ops.SimilarityOps.IvfProbes * ops.SimilarityOps.FilterBoost) " **registered boost**" else ""
-      println(f"| $v | $nl | $p | ${boost}%.0fx | $c%.0f | $kp%.1f | $r%.2f |$mark")
+      val reg = p == ops.SimilarityOps.IvfProbes * ops.SimilarityOps.FilterBoost
+      val mark =
+        if (v.startsWith("registered") && reg && m == "post") " **registered q174 boost**"
+        else if (v.startsWith("registered") && reg && m == "part") " **registered q183**"
+        else ""
+      println(f"| $v | $nl | $m | $p | ${boost}%.0fx | $c%.0f | $kp%.1f | $r%.2f | $ntl |$mark")
     }
     spark.stop()
   }

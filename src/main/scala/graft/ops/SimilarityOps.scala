@@ -436,16 +436,48 @@ object SimilarityOps {
       assigned: DataFrame, probes: DataFrame): DataFrame =
     scoreProbed(assigned, probes)
 
-  /** The materialized serving index q180's stream probes against:
-    * every corpus vector routed to its cell (the q50 assignment),
-    * checkpointed once per (session, sf). At 100 TB this relation is
-    * the PERSISTED q179 layout — cell-partitioned postings the
-    * stream-static join prunes by cell.
+  /** ON-DISK serving index for the exact-rerank read path (r10 VERDICT
+    * #1, closing the q173→q179→q180 lifecycle loop): every corpus
+    * vector routed to its cell (the q50 assignment) WRITTEN
+    * partitionBy(cell) — the raw (v, nrm) sibling of q179's PQ-code
+    * postings, i.e. the piece of the index a serving tier re-ranks
+    * with. q180 no longer probes an in-memory checkpoint: each
+    * micro-batch reads ONLY its probed cells back through
+    * [[probedVectorRead]]'s partition-PRUNED scan, so a probes-of-k
+    * fetch touches probes-of-k partition directories on disk at any
+    * scale. Fixture-markered against the source parquet (the r7
+    * stale-fixture discipline).
     */
-  private[graft] def servingIndex(s: SparkSession, d: String): DataFrame = {
-    val (assigned, _) = ivfRouting(base(s, d), ivfCellCount(s, d))
-    assigned.localCheckpoint(true)
+  private[graft] def vectorLayoutDir(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_srvvec_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Paths.get(out, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(out))
+      val (assigned, _) = ivfRouting(base(s, d), ivfCellCount(s, d))
+      // one writer task per cell, clustered by vec_id within the list
+      assigned.repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell").mode("overwrite").parquet(out)
+      graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    out
   }
+
+  /** Partition-pruned read of the probed cells' vector lists — the
+    * serving tier's per-request fetch against [[vectorLayoutDir]].
+    * `cells` is metadata-scale (arrivals × probes), inlined as a
+    * literal isin so pruning happens at the FileScan (PlanShapeSpec
+    * asserts PartitionFilters non-empty). The partition column comes
+    * back as the directory-inferred integer type — cast to long so
+    * joins against the routing's long cells line up.
+    */
+  private[graft] def probedVectorRead(
+      s: SparkSession, dir: String, cells: Seq[Long]): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("v"), col("nrm"))
 
   /** Exact-cosine scoring of a probe set's cell members — the shared
     * candidate generator behind [[ivfCandidates]] and q174's modes.
@@ -2361,18 +2393,142 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |JOIN pc ON pc.cell = a.cell
        |ORDER BY a.cell, l.vec_id, l.s""".stripMargin
 
-  /** Dev-only sweep grid behind bench_evidence/r10_filtered_sweep.md
-    * (r9 VERDICT #7): recall-vs-probe-budget for filtered ANN, per
-    * label granularity. One routing pass at the max budget per
-    * variant; each probe count filters the ranked probe set (the q174
-    * prefix property). Label variants re-derive `lbl` from the raw
-    * label so selectivity sweeps from ~1/2 to ~1/(3·|labels|) without
-    * touching the corpus. Returns (variant, n_labels, probes,
-    * mean n_cand, mean n_kept, mean recall) — NQueries-row collects.
+  // ---- q182: INDEX COMPACTION — the LSM step every serving system
+  //      needs between q173 (deltas stream IN) and q179/q180 (probes
+  //      read the layout): fold an arrival delta into the base
+  //      cell-partitioned layout WITHOUT a full rebuild. The base
+  //      index is the corpus minus the q173 arrival slice
+  //      (vec_id % 7 = 3), bulk-loaded once as a q179-shaped layout;
+  //      compaction then (1) derives the delta's codes (exactly what
+  //      q173's stream already produced), (2) reads back ONLY the
+  //      delta-touched cells through a partition-PRUNED scan — at
+  //      100 TB an hourly delta touches a small fraction of 50k
+  //      cells, and untouched cells are never read OR rewritten —
+  //      (3) merges and rewrites those cells via a stage-and-swap
+  //      (write merged lists to a staging dir, then atomically swap
+  //      the touched cell directories — the manifest-commit a real
+  //      compactor does, so readers never see a half-written list).
+  //      The merge plan carries ONE exchange, on the DELTA side only:
+  //      the touched base lists are already cell-pure files, so each
+  //      base task reads one clustered list and writes it straight
+  //      back (union, no repartition), while the delta hash-partitions
+  //      by cell to co-group — cost ∝ delta + touched lists, never
+  //      ∝ corpus. Output = q179's probe read-back against the
+  //      COMPACTED index; oracle = the full-rebuild derivation
+  //      (indexLayoutSql verbatim), so the green row IS the proof
+  //      that minor compaction and a from-scratch rebuild are
+  //      hash-indistinguishable. ----
+  def indexCompaction(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_lsmidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Paths.get(out, "_COMPACTED_OK")
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(out))
+      // bulk load: the base index = corpus minus the arrival slice
+      compactionCodes(kit, col("vec_id") % 7 =!= 3)
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id", "s")
+        .write.partitionBy("cell").mode("overwrite").parquet(out)
+      // the delta: the q173 arrival slice's codes, materialized so the
+      // merge plan below is exactly Union(prunedBaseScan, Exchange(delta))
+      val delta = compactionCodes(kit, col("vec_id") % 7 === 3)
+        .localCheckpoint(true)
+      val (merged, touched) = compactionMerge(s, out, delta)
+      val stage = out + "_stage"
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+      merged.write.partitionBy("cell").mode("overwrite").parquet(stage)
+      touched.foreach { c =>
+        val src = java.nio.file.Paths.get(stage, s"cell=$c")
+        val dst = java.nio.file.Paths.get(out, s"cell=$c")
+        graft.Fixtures.clearDir(dst)
+        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+      }
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+      graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    // q179's probe against the compacted index — must be
+    // hash-indistinguishable from the full rebuild
+    val probeCells = kit.probes.filter(col("qid") === 0)
+      .select("cell").collect().map(_.getLong(0)).sorted
+    s.read.parquet(out)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("s"), col("code"), col("err_e6"))
+      .orderBy("cell", "vec_id", "s")
+  }
+
+  /** The delta/base code derivation shared by q182's two stages —
+    * q172's residual-code chain (the same rows q173 streams in),
+    * restricted by `pred`.
+    */
+  private def compactionCodes(kit: ResidKit, pred: Column): DataFrame =
+    kit.resid.filter(pred)
+      .select(col("vec_id"), col("cell"),
+        posexplode(array(pqArgminsOn(col("rv"), kit.books): _*)).as(Seq("s", "c")))
+      .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+              col("c.cid").as("code"),
+              floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+
+  /** q182's lazy merge relation over an existing base layout — split
+    * out so PlanShapeSpec can hold its physical plan: one pruned
+    * FileScan on the base (PartitionFilters non-empty) unioned with
+    * ONE Exchange on the delta, and nothing corpus-scale. Returns the
+    * merged relation plus the touched cell ids (metadata-scale —
+    * bounded by min(delta rows, k)).
+    */
+  private[graft] def compactionMerge(
+      s: SparkSession, out: String, delta: DataFrame): (DataFrame, Seq[Long]) = {
+    val touched = delta.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val baseTouched = s.read.parquet(out)
+      .filter(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("s"), col("code"), col("err_e6"))
+    val merged = baseTouched.unionByName(
+      delta.repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id", "s")
+        .select("vec_id", "cell", "s", "code", "err_e6"))
+    (merged, touched)
+  }
+
+  /** The arrival-slice delta codes over the existing fixture — the
+    * spec-side handle for building [[compactionMerge]]'s plan without
+    * re-running the bulk load.
+    */
+  private[graft] def compactionDeltaFor(s: SparkSession, d: String): DataFrame =
+    compactionCodes(residKit(base(s, d), ivfCellCount(s, d)),
+      col("vec_id") % 7 === 3).localCheckpoint(true)
+
+  /** q182's fixture directory — for specs needing the on-disk base. */
+  private[graft] def compactionDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lsmidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  /** Dev-only sweep grid behind bench_evidence/r10_filtered_sweep.md +
+    * r11_filtered_sweep.md (r9 VERDICT #7, r10 VERDICT #3): recall vs
+    * probe budget for filtered ANN, per label granularity AND per
+    * serving mode — "post" scores the whole probed membership then
+    * filters (q174), "part" reads only the query-label's (lbl, cell)
+    * lists so every fetched candidate already matches (q183); the two
+    * modes share the kept set and therefore the recall at a given
+    * probe count — what differs is the CANDIDATE COST column, which is
+    * the entire point of the partitioned layout. One routing pass at
+    * the max budget per variant; each probe count filters the ranked
+    * probe set (the q174 prefix property). Label variants re-derive
+    * `lbl` from the raw label so selectivity sweeps from ~1/2 to
+    * ~1/(3·|labels|) without touching the corpus. Recall is
+    * TRUTH-ADJUSTED (r10 ADVICE): each query's overlap divides by
+    * min(TopK, its filtered-truth size) so fine granularities with
+    * small label classes aren't understated, and queries with NO
+    * same-label mate are counted explicitly instead of silently
+    * dropped. Returns (variant, n_labels, mode, probes, mean n_cand,
+    * mean n_kept, mean adjusted recall, n_truthless).
     */
   private[graft] def filteredSweepRows(
       s: SparkSession, d: String, probeCounts: Seq[Int],
-      labelVariants: Seq[(String, Column)]): Seq[(String, Long, Int, Double, Double, Double)] = {
+      labelVariants: Seq[(String, Column)])
+      : Seq[(String, Long, String, Int, Double, Double, Double, Long)] = {
     val maxP = probeCounts.max
     labelVariants.flatMap { case (vname, lblCol) =>
       val allL = Tables.embeddings(s, d)
@@ -2394,10 +2550,14 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
         .filter(col("rn") <= TopK)
         .select("qid", "vec_id")
         .localCheckpoint(true)
+      // per-query filtered-truth sizes: the adjusted-recall denominator
+      val truthCnt = truth.groupBy("qid").agg(count(lit(1)).as("tc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nTruthless = NQueries.toLong - truthCnt.size
       val (assigned0, probesR0) = ivfRoutingRanked(allL, ivfCellCount(s, d), maxP)
       val assigned = assigned0.localCheckpoint(true)
       val probesR = probesR0.localCheckpoint(true)
-      val rows = probeCounts.map { p =>
+      val rows = probeCounts.flatMap { p =>
         val scored = scoreProbed(assigned,
           probesR.filter(col("crn") <= p).drop("crn"))
         val kept = allL.select(col("vec_id"), col("lbl"))
@@ -2407,13 +2567,20 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
         val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
         val top = kept.withColumn("rn", row_number().over(wk))
           .filter(col("rn") <= TopK).select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-        val agg = truth.join(broadcast(top), Seq("qid", "vec_id"), "left")
+        val ovByQ = truth.join(broadcast(top), Seq("qid", "vec_id"), "left")
           .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0L))).as("ov"))
-          .collect().map(r => r.getLong(1)).toSeq
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val recall =
+          if (truthCnt.isEmpty) 0.0
+          else truthCnt.map { case (qid, tc) =>
+            ovByQ.getOrElse(qid, 0L).toDouble / math.min(TopK.toLong, tc)
+          }.sum / truthCnt.size
         val nCand = scored.count().toDouble / NQueries
         val nKept = kept.count().toDouble / NQueries
-        val recall = agg.sum.toDouble / (agg.size.max(1) * TopK)
-        (vname, nLabels, p, nCand, nKept, recall)
+        // "part" fetches exactly the kept set (pre-filter lists), so
+        // its candidate cost IS nKept; recall is shared by construction
+        Seq((vname, nLabels, "post", p, nCand, nKept, recall, nTruthless),
+            (vname, nLabels, "part", p, nKept, nKept, recall, nTruthless))
       }
       allL.unpersist(false)
       rows
@@ -2472,6 +2639,176 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |JOIN fbf ON fbf.qid = fq.qid
        |ORDER BY mode, qid""".stripMargin
   }
+
+  // ---- q183: LABEL-PARTITIONED PRE-FILTER ANN — the fine-granularity
+  //      filtered-ANN design q174's own sweep called for
+  //      (bench_evidence/r10_filtered_sweep.md reading #3: at fine
+  //      label granularity, post-filter recall craters and unbounded
+  //      probe boost pays linearly for candidates the filter then
+  //      throws away). Here the index itself is partitioned by
+  //      (label, cell): the corpus is routed once (same argmin as
+  //      q50) and written partitionBy(lbl, cell), so each inverted
+  //      list holds ONE label's members of ONE cell. A filtered query
+  //      then reads ONLY its own label's lists for its probed cells —
+  //      the filter prunes at the FileScan, BEFORE any scoring — and
+  //      every candidate fetched already satisfies the filter:
+  //      n_cand == n_kept by construction, vs q174's boost mode which
+  //      scores the whole probed membership and discards ~(1-1/|lbl|)
+  //      of it. Same boosted probe budget as q174 (sweep-chosen 4x),
+  //      so the q174-vs-q183 rows price exactly the layout: equal
+  //      recall at ~1/|labels| the scored candidates. Scale shapes:
+  //      routing is the one n×k broadcast argmin, the probe relation
+  //      is NQueries·probes rows (its label/cell sets are
+  //      metadata-scale literals for the pruned read), candidates
+  //      join the pruned lists against a BROADCAST probe set. The
+  //      tradeoff a deployment weighs — label-partitioned lists
+  //      fragment the index (|labels|×k directories, skewed label
+  //      marginals make skewed files) — is the documented cost of
+  //      buying pre-filter reads. ----
+  def partitionedFilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val allL = labeledBase(s, d).persist()
+    val k = ivfCellCount(s, d)
+    val q = allL.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn"), col("lbl").as("qlbl"))
+    val qlbl = q.select("qid", "qlbl")
+    // exact FILTERED truth (q174's control)
+    val wt = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    val truth = allL.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") && col("lbl") === col("qlbl"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id")
+      .localCheckpoint(true)
+    // boosted probe routing (q174's budget); the query label rides on
+    // the bounded probe relation, not the corpus
+    val (_, probesR) = ivfRoutingRanked(allL, k, IvfProbes * FilterBoost)
+    val probes = probesR.drop("crn")
+      .join(broadcast(qlbl), Seq("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("qlbl"),
+              col("cell").as("pcell"))
+      .localCheckpoint(true) // NQueries·probes rows — metadata-scale
+    val dir = labelLayoutDir(s, d)
+    val qlbls = probes.select("qlbl").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val pcells = probes.select("pcell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the pre-filter read: only (query-label, probed-cell) lists leave disk
+    val lists = labelProbedRead(s, dir, qlbls, pcells)
+    val cand = lists.join(broadcast(probes),
+        col("lbl") === col("qlbl") && col("cell") === col("pcell")
+          && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_r"))
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val wk = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id").asc)
+    val top = cand.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    val result = truth.join(broadcast(top), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+           expr(s"(sum(coalesce(hit, 0)) * 1000000) div $TopK").as("recall_millionths"))
+      .join(broadcast(nCand), Seq("qid"))
+      .join(broadcast(qlbl), Seq("qid"))
+      .select(lit("part").as("mode"), col("qid"), col("qlbl"),
+              col("n_cand"), col("n_cand").as("n_kept"),
+              col("n_overlap"), col("recall_millionths"))
+      .orderBy("qid")
+      .localCheckpoint(true)
+    allL.unpersist(false)
+    result
+  }
+
+  /** Corpus routed to cells WITH the label kept — the (lbl, cell)
+    * layout's write relation. Same centroids, negsim and min(struct)
+    * tie-break as [[ivfRoutingRankedFor]]'s assignment.
+    */
+  private def labeledAssigned(allL: DataFrame, k: Long): DataFrame = {
+    val cents = allL.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
+              col("nrm").as("cn"))
+    allL.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("lbl"), col("cid"),
+        (-vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("negsim"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("negsim"), col("cid"))).as("sc"),
+           first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+           first(col("lbl")).as("lbl"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("lbl"),
+              col("sc").getField("cid").as("cell"))
+  }
+
+  /** q183's on-disk (label, cell)-partitioned index — one inverted
+    * list per (label, cell), clustered by vec_id. Fixture-markered.
+    */
+  private[graft] def labelLayoutDir(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_lblidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Paths.get(out, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(out))
+      labeledAssigned(labeledBase(s, d), ivfCellCount(s, d))
+        .repartition(col("lbl"), col("cell"))
+        .sortWithinPartitions("lbl", "cell", "vec_id")
+        .write.partitionBy("lbl", "cell").mode("overwrite").parquet(out)
+      graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    out
+  }
+
+  /** Partition-pruned read of the (query-label, probed-cell) lists —
+    * both literal isin sets are metadata-scale, so BOTH partition
+    * levels prune at the FileScan (PlanShapeSpec guards this).
+    */
+  private[graft] def labelProbedRead(
+      s: SparkSession, dir: String,
+      lbls: Seq[Long], cells: Seq[Long]): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("lbl").isin(lbls: _*) && col("cell").isin(cells: _*))
+      .select(col("lbl").cast("long").as("lbl"),
+              col("cell").cast("long").as("cell"),
+              col("vec_id"), col("v"), col("nrm"))
+
+  private val partitionedFilteredAnnSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |el AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v,
+       |       CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |nl AS (SELECT vec_id, v, lbl, ${normSql("v")} AS nrm FROM el),
+       |fq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, lbl AS qlbl FROM nl
+       |       WHERE vec_id < $NQueries),
+       |ft AS (SELECT fq.qid, nl.vec_id,
+       |  round(${dotFoldSql("fq.qv", "nl.v")} / (fq.qn * nl.nrm), 6) AS cos_r
+       |  FROM nl CROSS JOIN fq
+       |  WHERE nl.vec_id <> fq.qid AND nl.lbl = fq.qlbl),
+       |ftt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
+       |  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM ft)
+       |  WHERE rn <= $TopK),
+       |ipb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
+       |        FROM ir0 WHERE crn <= ${IvfProbes * FilterBoost}
+       |          AND vec_id < $NQueries),
+       |pcand AS (SELECT p.qid, s.vec_id,
+       |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
+       |  FROM iasg s JOIN nl ON nl.vec_id = s.vec_id
+       |  JOIN ipb p ON s.cell = p.cell JOIN fq ON fq.qid = p.qid
+       |  WHERE nl.lbl = fq.qlbl AND s.vec_id <> p.qid),
+       |pn AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |       FROM pcand GROUP BY qid),
+       |pt AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC)
+       |    AS rn FROM pcand) WHERE rn <= $TopK),
+       |pf AS (SELECT ftt.qid,
+       |        CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_overlap,
+       |        (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
+       |          AS recall_millionths
+       |      FROM ftt LEFT JOIN pt USING (qid, vec_id) GROUP BY ftt.qid)
+       |SELECT 'part' AS mode, fq.qid, fq.qlbl, pn.n_cand,
+       |       pn.n_cand AS n_kept, pf.n_overlap, pf.recall_millionths
+       |FROM fq JOIN pn ON pn.qid = fq.qid JOIN pf ON pf.qid = fq.qid
+       |ORDER BY fq.qid""".stripMargin
 
   // ---- q163: retrieval rank-quality metrics (nDCG@10, MRR, hits) for
   //      the approximate ANN lanes — the "measure, don't guess" eval
@@ -2718,6 +3055,11 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "residual IVF-PQ under Lloyd-TRAINED books: the q165 training loop run on the residual relation (leakage-safe seeds), then served through q172's exact plan — the recall delta vs q172 prices training"),
     Q("q179_index_layout", indexLayout, Some(indexLayoutSql),
       "index storage layout: postings written partitionBy(cell) — one inverted list per writer, clustered runs — probe cells read back through a partition-PRUNED scan (2-of-k cells touch 2-of-k files)"),
+    Q("q182_index_compaction", indexCompaction, Some(indexLayoutSql),
+      "LSM index compaction: the q173 arrival delta folds into the base cell-partitioned layout — pruned read of ONLY the delta-touched cells, one exchange on the delta, stage-and-swap commit; oracle = the full-rebuild chain, so green == compaction is hash-indistinguishable from rebuild"),
+    Q("q183_partitioned_filtered_ann", partitionedFilteredAnn,
+      Some(partitionedFilteredAnnSql),
+      "label-PARTITIONED pre-filter ANN: (label, cell) inverted lists on disk, a filtered query reads only its own label's probed lists (filter prunes at the FileScan, before scoring) — q174's boost recall at ~1/|labels| the scored candidates"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+/** q182 LSM compaction held against its ground truth: merging the q173
+  * arrival delta into the base layout must be HASH-INDISTINGUISHABLE
+  * from rebuilding the whole index from scratch — over ALL cells, not
+  * just the probed ones the registered lane returns (the oracle
+  * already pins those). Plus the marker-idempotence property: a
+  * re-entrant call must not double-insert the delta.
+  */
+class CompactionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def readAll() =
+    spark.read.parquet(SimilarityOps.compactionDir(sf))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("s"), col("code"), col("err_e6"))
+      .orderBy("vec_id", "s", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+
+  test("compacted index == full rebuild, over ALL cells") {
+    SimilarityOps.indexCompaction(spark, sf).collect() // build + compact
+    val got = readAll()
+    val want = SimilarityOps.residualCodesBatch(spark, sf, lit(true))
+      .select("vec_id", "cell", "s", "code", "err_e6")
+      .orderBy("vec_id", "s", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got.size == want.size,
+      s"row-count drift: compacted ${got.size} vs rebuild ${want.size}")
+    assert(got == want, "compaction is distinguishable from a full rebuild")
+  }
+
+  test("compaction is idempotent: a second call must not re-apply the delta") {
+    SimilarityOps.indexCompaction(spark, sf).collect()
+    val first = readAll()
+    SimilarityOps.indexCompaction(spark, sf).collect()
+    assert(readAll() == first, "re-entrant compaction mutated the index")
+  }
+
+  test("the delta is genuinely non-trivial at this sf (slice non-empty, cells a strict subset)") {
+    val delta = SimilarityOps.compactionDeltaFor(spark, sf)
+    val deltaCells = delta.select("cell").distinct().count()
+    val n = delta.count()
+    assert(n > 0, "empty arrival slice — the lane tests nothing")
+    val totalCells = spark.read.parquet(SimilarityOps.compactionDir(sf))
+      .select("cell").distinct().count()
+    assert(deltaCells <= totalCells)
+  }
+}

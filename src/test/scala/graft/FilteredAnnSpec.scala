@@ -97,4 +97,26 @@ class FilteredAnnSpec extends AnyFunSuite with SparkTestBase {
       assert(rm == ov * 1000000L / Top)
     }
   }
+
+  test("q183 partitioned pre-filter == q174 boost mode's KEPT set at the same probe budget (r11)") {
+    // the (lbl, cell) layout changes WHERE candidates are read from
+    // (label lists, pruned at the scan) — never WHAT is scored: its
+    // candidate set must equal boost mode's post-filter survivors
+    // exactly, with q183's n_cand equal to q174's n_kept (the cost the
+    // layout saves is boost's n_cand - n_kept discarded reads)
+    val part = SimilarityOps.partitionedFilteredAnn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+                 r.getLong(6))).toSeq // (qid, qlbl, n_cand, n_overlap, recall)
+    val q174 = SimilarityOps.filteredAnn(spark, sf).collect()
+      .filter(_.getString(0) == "boost")
+    val boostKept = q174.map(r => (r.getLong(1), r.getLong(2), r.getLong(4),
+                 r.getLong(5), r.getLong(6))).toSeq // n_kept in n_cand's slot
+    assert(part == boostKept,
+      "pre-filter layout changed WHAT is scored, not just where it is read from")
+    val saved = q174.map(r => r.getLong(3) - r.getLong(4)).sum
+    assert(saved > 0,
+      "boost mode discards nothing here — the layout comparison is vacuous at this sf")
+    info(s"q183 reads ${q174.map(_.getLong(4)).sum} candidates where " +
+      s"q174 boost scores ${q174.map(_.getLong(3)).sum} (saved $saved reads)")
+  }
 }

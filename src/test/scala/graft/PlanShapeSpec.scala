@@ -191,6 +191,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"probe scan does not prune partitions:\n$plan")
   }
 
+  test("q180 serving fetch prunes partitions at the on-disk layout's FileScan (r11)") {
+    // the r10 verdict ask #1: q180's static side must BE the
+    // cell-partitioned parquet layout, read pruned per micro-batch —
+    // this is the exact fetch relation foreachBatch issues
+    val dir = ops.SimilarityOps.vectorLayoutDir(spark, sf)
+    val plan = ops.SimilarityOps.probedVectorRead(spark, dir, Seq(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"serving fetch does not prune partitions:\n$plan")
+  }
+
+  test("q182 compaction merge: pruned base scan + ONE exchange on the delta only (r11)") {
+    // LSM minor compaction's scale contract: untouched cells are never
+    // read (PartitionFilters on the base scan), the touched base lists
+    // ride partition-aligned with no exchange, and the delta is the
+    // only side that shuffles
+    ops.SimilarityOps.indexCompaction(spark, sf).collect() // ensure fixture
+    val delta = ops.SimilarityOps.compactionDeltaFor(spark, sf)
+    val (merged, _) = ops.SimilarityOps.compactionMerge(
+      spark, ops.SimilarityOps.compactionDir(sf), delta)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"base scan does not prune to the delta's cells:\n$plan")
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one exchange (the delta side), got $exchanges:\n$plan")
+  }
+
+  test("q183 pre-filter read prunes BOTH partition levels at the FileScan (r11)") {
+    // the lane's reason to exist: the label filter must prune at the
+    // scan, BEFORE any scoring — both the label level and the cell
+    // level of the (lbl, cell) layout appear in PartitionFilters
+    ops.SimilarityOps.partitionedFilteredAnn(spark, sf).collect() // ensure layout
+    val dir = ops.SimilarityOps.labelLayoutDir(spark, sf)
+    val plan = ops.SimilarityOps.labelProbedRead(spark, dir, Seq(0L), Seq(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"pre-filter read does not prune partitions:\n$plan")
+    val pfSeg = plan.substring(plan.indexOf("PartitionFilters: ["))
+    val pf = pfSeg.substring(0, pfSeg.indexOf("]") + 1)
+    assert(pf.contains("lbl") && pf.contains("cell"),
+      s"both partition levels must prune, got: $pf")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
