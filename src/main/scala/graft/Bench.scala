@@ -174,8 +174,14 @@ object Bench {
     // (r9 ADVICE). Not set by the driver; round benches stay full.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // Match a selector against the full name OR the bare "qNN" prefix
+    // (the token before the first underscore) — `startsWith` alone let
+    // "q17" silently select q170-q179 (r10 ADVICE), corrupting
+    // like-for-like subset experiments.
     val benchSet = only match {
-      case Some(ps) => Registry.all.filter(q => ps.exists(q.name.startsWith))
+      case Some(ps) =>
+        Registry.all.filter(q =>
+          ps.exists(p => p == q.name || p == q.name.takeWhile(_ != '_')))
       case None => Registry.all
     }
     benchSet.foreach { q =>
@@ -197,8 +203,16 @@ object Bench {
         // draws can only fall), BENCH_DETAIL records the per-query rep
         // count AND the median-of-reps alongside the min — adjudicate
         // a suspect delta on the median, which is sample-size-robust.
+        // Sub-2s lanes get a TIGHTER trigger and one more allowed
+        // resample: their absolute jitter (~0.2-0.5 s of JIT/GC/cleaner
+        // noise) is a large RELATIVE fraction, and r10's rebaseline
+        // caught five untouched short lanes reading 1.5-1.9x because
+        // both cold reps were slow together, under the 1.3 trigger.
+        def spreadTrigger: Double = if (times.min < 2.0) 1.15 else 1.3
+        def maxExtra: Int = if (times.min < 2.0) 3 else 2
         var extra = 0
-        while (extra < 2 && times.max / math.max(times.min, 1e-9) > 1.3) {
+        while (extra < maxExtra &&
+               times.max / math.max(times.min, 1e-9) > spreadTrigger) {
           times = times :+ rep(); extra += 1
         }
         results(q.name) = times.min
