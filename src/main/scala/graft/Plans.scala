@@ -355,6 +355,49 @@ object Plans {
         "probe; PlanShapeSpec fails if the filter ever stops pruning\n\n```\n" +
         plan179 + "```\n")
     }
+    locally {
+      val dir180 = ops.SimilarityOps.vectorLayoutDir(spark, d)
+      val plan180 = ops.SimilarityOps.probedVectorRead(spark, dir180, Seq(0L, 1L))
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q180_stream_ann_query (per-micro-batch serving fetch)\n\n" +
+        "the streaming serving path's static side IS the on-disk " +
+        "cell-partitioned layout (r10 verdict #1): each micro-batch " +
+        "collects its arrivals' probe cells (metadata-scale) and " +
+        "issues exactly this read — the FileScan's PartitionFilters " +
+        "carries the probed-cell predicate, so a probes-of-k fetch " +
+        "lists probes-of-k partition directories per batch\n\n```\n" +
+        plan180 + "```\n")
+    }
+    locally {
+      ops.SimilarityOps.indexCompaction(spark, d).collect()
+      val delta = ops.SimilarityOps.compactionDeltaFor(spark, d)
+      val (merged, touched) = ops.SimilarityOps.compactionMerge(
+        spark, ops.SimilarityOps.compactionDir(d), delta)
+      val plan182 = merged.queryExecution.explainString(SimpleMode)
+      sb.append("\n## q182_index_compaction (merge relation, " +
+        s"${touched.size} touched cells)\n\n" +
+        "LSM minor compaction: the base scan prunes to the delta's " +
+        "touched cells (PartitionFilters — untouched inverted lists " +
+        "are never read or rewritten) and rides partition-aligned " +
+        "into the union with NO exchange; the delta is the only side " +
+        "that shuffles (one hash exchange on cell) — compaction cost " +
+        "is proportional to the delta and its touched lists, never " +
+        "the index\n\n```\n" + plan182 + "```\n")
+    }
+    locally {
+      ops.SimilarityOps.partitionedFilteredAnn(spark, d).collect()
+      val dir183 = ops.SimilarityOps.labelLayoutDir(spark, d)
+      val plan183 = ops.SimilarityOps.labelProbedRead(
+          spark, dir183, Seq(0L), Seq(0L, 1L))
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q183_partitioned_filtered_ann (pre-filter read)\n\n" +
+        "label-partitioned pre-filter ANN: the (lbl, cell) layout " +
+        "prunes BOTH partition levels at the FileScan — a filtered " +
+        "query reads only its own label's probed lists, so the label " +
+        "filter executes before any candidate is fetched or scored " +
+        "(q174's boost recall at ~1/|labels| the scored candidates)\n\n```\n" +
+        plan183 + "```\n")
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.size} plans)")

@@ -106,8 +106,11 @@ object Scaling {
     ("q177_ivfpq_trained", "residual IVF-PQ under Lloyd-trained books", "embeddings"),
     ("q178_bmp_decode_resize", "REAL BMP decode + resize (own parser)", "documents"),
     ("q179_index_layout", "index layout: partitionBy(cell) + pruned probe read", "embeddings"),
-    ("q180_stream_ann_query", "streaming ANN query serving (stream-static probe)", "embeddings"),
-    ("q181_dataset_card", "per-source dataset card (one-pass release summary)", "documents"))
+    ("q180_stream_ann_query", "streaming ANN serving (on-disk pruned fetch)", "embeddings"),
+    ("q181_dataset_card", "per-source dataset card (one-pass release summary)", "documents"),
+    ("q182_index_compaction", "LSM index compaction (delta into base layout)", "embeddings"),
+    ("q183_partitioned_filtered_ann", "label-partitioned pre-filter ANN", "embeddings"),
+    ("q184_wav_decode_energy", "REAL WAV decode + energy (own parser)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
