@@ -106,4 +106,28 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(adcNd.sum.toDouble / adcNd.size / 1e6 > 0.15,
       s"mean ADC nDCG suspiciously low: ${adcNd.mkString(",")}")
   }
+
+  test("quality floors hold at sf0.1 — the trends survive cells filling (r11)") {
+    // r10 VERDICT #6: the floors above run at the small sf; the bench
+    // corpus is 4x bigger (2000 vectors, k = 32 cells). The full
+    // three-sf grid lives in bench_evidence/r11_grid_sf.md — measured
+    // there: ivf 0.976 (IMPROVES with scale), mlsh 0.652 (stable
+    // band), lsh <= 0.174 (stays the labeled-weak lane). Floors sit
+    // with generous margin so this guards regressions, not noise.
+    val rows = ops.SimilarityOps.rankMetrics(spark, "/root/testdata/sf0.1")
+      .select("sys", "ndcg_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def meanNd(sys: String): Double = {
+      val vs = rows.collect { case (s, v) if s == sys => v }
+      vs.sum.toDouble / vs.length / 1e6
+    }
+    info(f"sf0.1 mean nDCG@10: ivf ${meanNd("ivf")}%.3f " +
+      f"mlsh ${meanNd("mlsh")}%.3f lsh ${meanNd("lsh")}%.3f")
+    assert(meanNd("ivf") >= 0.7,
+      f"ivf quality collapsed at sf0.1: ${meanNd("ivf")}%.3f < 0.7")
+    assert(meanNd("mlsh") >= 0.35,
+      f"registered ANN path floor at sf0.1: ${meanNd("mlsh")}%.3f < 0.35")
+    assert(meanNd("mlsh") > meanNd("lsh"),
+      "multi-table LSH did not improve on single-table at sf0.1")
+  }
 }
