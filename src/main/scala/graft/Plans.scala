@@ -385,6 +385,17 @@ object Plans {
         "the index\n\n```\n" + plan182 + "```\n")
     }
     locally {
+      val plan185 = ops.SimilarityOps.adcServePostingsFor(spark, d)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q185_adc_serve_disk (serving postings read)\n\n" +
+        "ADC serving against the COMPACTED on-disk index: the postings " +
+        "scan prunes to the probed cells (PartitionFilters, plus " +
+        "runtime dynamic pruning from the probe subquery) and the " +
+        "NQueries*probes probe relation broadcasts — per-query-batch " +
+        "read cost is probes-of-k partition directories, never the " +
+        "index; scores are integer LUT sums, byte-identical to q172's " +
+        "in-memory lane (shared oracle + CompactionSpec differential)\n\n```\n" +
+        plan185 + "```\n")
       ops.SimilarityOps.partitionedFilteredAnn(spark, d).collect()
       val dir183 = ops.SimilarityOps.labelLayoutDir(spark, d)
       val plan183 = ops.SimilarityOps.labelProbedRead(

@@ -110,7 +110,8 @@ object Scaling {
     ("q181_dataset_card", "per-source dataset card (one-pass release summary)", "documents"),
     ("q182_index_compaction", "LSM index compaction (delta into base layout)", "embeddings"),
     ("q183_partitioned_filtered_ann", "label-partitioned pre-filter ANN", "embeddings"),
-    ("q184_wav_decode_energy", "REAL WAV decode + energy (own parser)", "documents"))
+    ("q184_wav_decode_energy", "REAL WAV decode + energy (own parser)", "documents"),
+    ("q185_adc_serve_disk", "ADC serving from the compacted on-disk index", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -1865,10 +1865,30 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       .select(col("vec_id"), posexplode(array(pqArgminsOn(col("rv"), books): _*))
         .as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("long").as("s"), col("c.cid").as("code"))
-    // per-(query, probed cell) residual LUT — the query's residual is
-    // cell-dependent; NQueries·probes rows collected, LUT built driver-side
+    val lut = residLutDf(s, kit, books)
+    val cand = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"))
+    val adc = codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(lut),
+            col("qid") === col("lqid") && col("cell") === col("lcell") &&
+              col("s") === col("ls") && col("code") === col("lcid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
+    (cand, adc)
+  }
+
+  /** Per-(query, probed cell) residual ADC lookup table — the query's
+    * residual is cell-dependent; NQueries·probes rows collected, LUT
+    * built driver-side (NQueries·probes·PqM·PqK integer rows —
+    * metadata-scale, broadcasts). Shared by [[residualAdcOn]] (q172/
+    * q177 in-memory serving) and [[adcServeFromDisk]] (q185, the same
+    * LUT against the compacted on-disk postings).
+    */
+  private def residLutDf(
+      s: SparkSession, kit: ResidKit, books: PqBooks): DataFrame = {
     val qRes: Array[(Long, Long, Array[Double])] =
-      probes.join(broadcast(kit.cents), col("cell") === col("cid"))
+      kit.probes.join(broadcast(kit.cents), col("cell") === col("cid"))
         .select(col("qid"), col("cell"),
                 zip_with(toDouble(col("qv")), col("cv"), (a, b) => a - b).as("qr"))
         .collect()
@@ -1883,17 +1903,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       (qid, cell, sIdx.toLong, cid, math.floor(acc * 1000000.0).toLong)
     }
     import s.implicits._
-    val lut = lutRows.toDF("lqid", "lcell", "ls", "lcid", "dlut")
-    val cand = assigned.select(col("vec_id"), col("cell"))
-      .join(broadcast(probes.select(col("qid"), col("cell"))), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("cell"))
-    val adc = codes.join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(lut),
-            col("qid") === col("lqid") && col("cell") === col("lcell") &&
-              col("s") === col("ls") && col("code") === col("lcid"))
-      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
-    (cand, adc)
+    lutRows.toDF("lqid", "lcell", "ls", "lcid", "dlut")
   }
 
   /** Σ over subspace sI of (x1[i]-x2[i])·(y1[i]-y2[i]) — the residual
@@ -2505,6 +2515,64 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     s"${System.getProperty("java.io.tmpdir")}/graft_lsmidx_" +
       java.lang.Integer.toHexString(d.hashCode)
 
+  // ---- q185: ADC SERVING FROM THE COMPACTED ON-DISK INDEX — the
+  //      final stitch in the lifecycle loop: q165/q177 train, q173
+  //      ingests, q179 persists, q182 compacts, and NOW the q172
+  //      serving path runs against that compacted layout instead of
+  //      re-deriving codes in memory. Per query set: route (the
+  //      shared broadcast argmin), collect the probed cell ids
+  //      (metadata-scale), read ONLY those cells' code postings back
+  //      from q182's compacted parquet (partition-PRUNED FileScan —
+  //      PlanShapeSpec-guarded), broadcast the NQueries·probes probe
+  //      relation and the per-(query, cell) integer LUT against the
+  //      pruned postings, sum lookups map-side, rank. The scores are
+  //      integer sums of LUT entries — order-independent — so the
+  //      results are BYTE-IDENTICAL to q172's in-memory lane
+  //      (CompactionSpec holds the full collect equal): oracle =
+  //      q172's twin verbatim, proving serve-from-compacted-disk ==
+  //      serve-from-rebuilt-memory end to end. Cost per query batch ∝
+  //      probes × cell size postings read, never ∝ index size. ----
+  def adcServeFromDisk(s: SparkSession, d: String): DataFrame = {
+    indexCompaction(s, d) // ensure the compacted layout fixture exists
+    val all = base(s, d).persist()
+    val kit = residKit(all, ivfCellCount(s, d))
+    val lut = residLutDf(s, kit, kit.books)
+    val probeCells = kit.probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the serving read: probed cells' postings only, pruned on disk
+    val postings = s.read.parquet(compactionDir(d))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("s"), col("code"))
+      .join(broadcast(kit.probes.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    val cand = postings.filter(col("s") === 0).select("qid", "vec_id")
+    val adc = postings.join(broadcast(lut),
+        col("qid") === col("lqid") && col("cell") === col("lcell") &&
+          col("s") === col("ls") && col("code") === col("lcid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
+    val result = prunedAdcResult(all, cand, adc).localCheckpoint(true)
+    all.unpersist(false)
+    result
+  }
+
+  /** q185's lazy serving relation over the existing fixture — the
+    * spec-side handle for the plan guard (the registered entry
+    * checkpoints eagerly, the q168 precedent).
+    */
+  private[graft] def adcServePostingsFor(
+      s: SparkSession, d: String): DataFrame = {
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    val probeCells = kit.probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    s.read.parquet(compactionDir(d))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("s"), col("code"))
+      .join(broadcast(kit.probes.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+  }
+
   /** Dev-only sweep grid behind bench_evidence/r10_filtered_sweep.md +
     * r11_filtered_sweep.md (r9 VERDICT #7, r10 VERDICT #3): recall vs
     * probe budget for filtered ANN, per label granularity AND per
@@ -3060,6 +3128,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     Q("q183_partitioned_filtered_ann", partitionedFilteredAnn,
       Some(partitionedFilteredAnnSql),
       "label-PARTITIONED pre-filter ANN: (label, cell) inverted lists on disk, a filtered query reads only its own label's probed lists (filter prunes at the FileScan, before scoring) — q174's boost recall at ~1/|labels| the scored candidates"),
+    Q("q185_adc_serve_disk", adcServeFromDisk, Some(ivfPqResidualSql),
+      "ADC serving from the COMPACTED on-disk index: probed cells' code postings read through a partition-pruned scan, broadcast probe relation + per-(query, cell) integer LUT, map-side lookup sums — byte-identical to q172's in-memory lane (shared oracle), closing train -> ingest -> persist -> compact -> serve on disk"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),

@@ -41,6 +41,17 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(readAll() == first, "re-entrant compaction mutated the index")
   }
 
+  test("q185 serve-from-compacted-disk == q172 serve-from-memory, byte for byte") {
+    // the lifecycle stitch: the ADC scores are integer LUT sums
+    // (order-independent), so reading the codes from the compacted
+    // layout must reproduce q172's in-memory results exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val disk = rows(SimilarityOps.adcServeFromDisk(spark, sf))
+    val mem = rows(SimilarityOps.ivfPqResidual(spark, sf))
+    assert(disk == mem, "compacted-disk serving drifted from the in-memory lane")
+  }
+
   test("the delta is genuinely non-trivial at this sf (slice non-empty, cells a strict subset)") {
     val delta = SimilarityOps.compactionDeltaFor(spark, sf)
     val deltaCells = delta.select("cell").distinct().count()

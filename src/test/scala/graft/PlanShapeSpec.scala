@@ -238,6 +238,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"both partition levels must prune, got: $pf")
   }
 
+  test("q185 disk serving: pruned postings scan, probe join broadcasts (r11)") {
+    // the serving read must prune to the probed cells at the FileScan
+    // and the NQueries·probes probe relation must broadcast against
+    // the postings — if either degrades, serving cost tracks the
+    // index instead of the probe set
+    ops.SimilarityOps.indexCompaction(spark, sf).collect() // ensure fixture
+    val plan = ops.SimilarityOps.adcServePostingsFor(spark, sf)
+      .queryExecution.executedPlan.toString
+    // target the INDEX scan's own line: the plan also embeds the
+    // routing's embeddings scans (not partitioned — their empty
+    // PartitionFilters are expected)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_lsmidx") && l.contains("PartitionFilters: [cell")),
+      s"serving postings scan does not prune on cell:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join degraded to a sort-merge join:\n$plan")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
