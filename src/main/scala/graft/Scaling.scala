@@ -111,7 +111,8 @@ object Scaling {
     ("q182_index_compaction", "LSM index compaction (delta into base layout)", "embeddings"),
     ("q183_partitioned_filtered_ann", "label-partitioned pre-filter ANN", "embeddings"),
     ("q184_wav_decode_energy", "REAL WAV decode + energy (own parser)", "documents"),
-    ("q185_adc_serve_disk", "ADC serving from the compacted on-disk index", "embeddings"))
+    ("q185_adc_serve_disk", "ADC serving from the compacted on-disk index", "embeddings"),
+    ("q186_png_decode_gradient", "REAL PNG decode (inflate + unfilter) + gradient", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

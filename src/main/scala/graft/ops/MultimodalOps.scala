@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   * generic decode step is a clearly-marked deterministic STUB
   * (`FakeDecoder`) deriving pseudo width/height from an md5 of the
   * payload head; everything around it — binary schema, partition
-  * batching, feature schema, the oracle — is real. For two REAL public
-  * formats the stub caveat is retired: q178 decodes genuine JDK-encoded
-  * BMP files with [[BmpCodec]], a dependency-free parser of the actual
-  * format (offsets, BGR, bottom-up rows, padding), and runs the resize
-  * verb over the real pixels; q184 does the same for audio — genuine
-  * JDK-encoded RIFF/WAV containers parsed by [[WavCodec]] (chunk walk,
-  * fmt validation, little-endian signed PCM16), energy verb over the
-  * real samples.
+  * batching, feature schema, the oracle — is real. For three REAL
+  * public formats the stub caveat is retired: q178 decodes genuine
+  * JDK-encoded BMP files with [[BmpCodec]], a dependency-free parser of
+  * the actual format (offsets, BGR, bottom-up rows, padding), and runs
+  * the resize verb over the real pixels; q184 does the same for audio —
+  * genuine JDK-encoded RIFF/WAV containers parsed by [[WavCodec]]
+  * (chunk walk, fmt validation, little-endian signed PCM16), energy
+  * verb over the real samples; q186 adds the first COMPRESSED
+  * container — JDK-encoded PNG parsed by [[PngCodec]] on java.util.zip
+  * only (CRC-verified chunk walk, multi-IDAT inflate, all five row
+  * unfilters), gradient-energy verb over the real pixels.
   */
 object MultimodalOps {
 
@@ -549,6 +552,270 @@ object MultimodalOps {
     }
   }
 
+  // ---- q186: REAL compressed-image decode — the third real format,
+  //      and the first with actual COMPRESSION in the container: PNG
+  //      (zlib-deflated IDAT, per-row filter bytes). The staged
+  //      fixture is a parquet binary column of genuine PNG FILES
+  //      (8-bit truecolor, encoded by the JDK's own ImageIO PNG
+  //      writer from a deterministic gray formula — we do NOT control
+  //      the encoder, including its per-row adaptive filter choices);
+  //      [[PngCodec.decode]] is a parser of the real format built on
+  //      nothing but java.util.zip (JDK): signature check, chunk walk
+  //      with CRC32 verification, IHDR validation, multi-IDAT
+  //      concatenation, Inflater decompression, and ALL FIVE PNG row
+  //      unfilters (None/Sub/Up/Average/Paeth with the Paeth
+  //      predictor) — any unfilter bug corrupts every pixel below the
+  //      affected row and the oracle hash breaks. The feature verb is
+  //      gradient energy (Σ|horizontal diffs| + Σ|vertical diffs| —
+  //      the texture statistic an image-quality gate uses), integer
+  //      end-to-end. PngSpec holds the parser pixel-for-pixel against
+  //      ImageIO.read (the JDK's independent decoder), unit-tests
+  //      each unfilter against hand-built rows, and records which
+  //      filter types the JDK encoder actually emitted. ----
+  object PngCodec {
+    /** Deterministic gray value at (x, y) of doc `id`. */
+    def pixel(id: Long, x: Int, y: Int): Int =
+      ((id * 37 + y * 101 + x * 13) % 251).toInt
+
+    /** Dims cycle over co-prime ranges so row lengths (and the
+      * encoder's adaptive filter choices) vary across the corpus.
+      */
+    def dims(id: Long): (Int, Int) =
+      (12 + (id % 11).toInt, 6 + (id % 9).toInt)
+
+    /** Encode doc `id`'s formula grid as a real PNG via the JDK's
+      * ImageIO writer (gray written as r=g=b truecolor).
+      */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(id, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", baos),
+        "JDK PNG writer unavailable")
+      baos.toByteArray
+    }
+
+    /** The Paeth predictor (PNG spec §9.4). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Undo one row's filter in place (PNG spec §9): `cur` holds the
+      * filtered row bytes, `prev` the already-reconstructed prior row
+      * (zeros for the first row), `bpp` the bytes per pixel.
+      */
+    private[graft] def unfilterRow(
+        ft: Int, cur: Array[Byte], prev: Array[Byte], bpp: Int): Unit = {
+      val n = cur.length
+      var i = 0
+      ft match {
+        case 0 => // None
+        case 1 => // Sub
+          while (i < n) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            cur(i) = ((cur(i) & 0xff) + left).toByte; i += 1
+          }
+        case 2 => // Up
+          while (i < n) {
+            cur(i) = ((cur(i) & 0xff) + (prev(i) & 0xff)).toByte; i += 1
+          }
+        case 3 => // Average
+          while (i < n) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            cur(i) = ((cur(i) & 0xff) + (left + (prev(i) & 0xff)) / 2).toByte
+            i += 1
+          }
+        case 4 => // Paeth
+          while (i < n) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            cur(i) = ((cur(i) & 0xff) + paeth(left, prev(i) & 0xff, ul)).toByte
+            i += 1
+          }
+        case other => throw new IllegalArgumentException(
+          s"unknown PNG filter type $other")
+      }
+    }
+
+    /** Parse the files the JDK writer emits: 8-bit non-interlaced PNG,
+      * truecolor (bpp 3) or grayscale (bpp 1). Returns (w, h,
+      * row-major gray grid, per-filter-type usage counts). Verifies
+      * every chunk's CRC32 and fails loudly on any other PNG flavor.
+      */
+    def decodeFull(bytes: Array[Byte]): (Int, Int, Array[Int], Map[Int, Int]) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def i32be(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      require(bytes.length >= 8 && sig.indices.forall(i => u8(i) == sig(i)),
+        "not a PNG signature")
+      var pos = 8
+      var w = -1; var h = -1; var bpp = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (pos + 8 <= bytes.length && !sawEnd) {
+        val len = i32be(pos)
+        val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+        val body = pos + 8
+        // CRC covers the type bytes + data (PNG spec §5.3)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + len)
+        require(crc.getValue.toInt == i32be(body + len),
+          s"CRC mismatch in $ctype chunk")
+        ctype match {
+          case "IHDR" =>
+            w = i32be(body); h = i32be(body + 4)
+            require(u8(body + 8) == 8, s"expected bit depth 8, got ${u8(body + 8)}")
+            bpp = u8(body + 9) match {
+              case 2 => 3 // truecolor
+              case 0 => 1 // grayscale
+              case ct => throw new IllegalArgumentException(
+                s"unsupported PNG color type $ct")
+            }
+            require(u8(body + 10) == 0 && u8(body + 11) == 0,
+              "unsupported compression/filter method")
+            require(u8(body + 12) == 0, "interlaced PNG unsupported")
+          case "IDAT" => idat.write(bytes, body, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks skipped (CRC still checked)
+        }
+        pos = body + len + 4
+      }
+      require(w > 0 && h > 0 && bpp > 0, "missing IHDR")
+      require(sawEnd, "missing IEND")
+      // zlib-inflate the concatenated IDAT stream
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte]((w * bpp + 1) * h)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        require(k > 0, "truncated or stalled IDAT stream")
+        off += k
+      }
+      inf.end()
+      require(off == raw.length,
+        s"inflated ${off} bytes, expected ${raw.length}")
+      // unfilter row by row, collect gray values
+      val stride = w * bpp
+      val out = new Array[Int](w * h)
+      var prev = new Array[Byte](stride)
+      val filterSeen = scala.collection.mutable.Map.empty[Int, Int]
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        filterSeen(ft) = filterSeen.getOrElse(ft, 0) + 1
+        val cur = java.util.Arrays.copyOfRange(
+          raw, y * (stride + 1) + 1, (y + 1) * (stride + 1))
+        unfilterRow(ft, cur, prev, bpp)
+        var x = 0
+        while (x < w) {
+          val v = cur(x * bpp) & 0xff
+          if (bpp == 3) {
+            require((cur(x * bpp + 1) & 0xff) == v && (cur(x * bpp + 2) & 0xff) == v,
+              "fixture is gray; channels must agree")
+          }
+          out(y * w + x) = v
+          x += 1
+        }
+        prev = cur
+        y += 1
+      }
+      (w, h, out, filterSeen.toMap)
+    }
+
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val (w, h, px, _) = decodeFull(bytes)
+      (w, h, px)
+    }
+  }
+
+  final case class PngRow(doc_id: Long, img: Array[Byte])
+  final case class PngFeat(doc_id: Long, w: Int, h: Int, sum_px: Long,
+                           grad_h: Long, grad_v: Long)
+
+  def pngDecodeGradient(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_png_$hex")
+    val marker = dir.resolve("_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "png-fixture-v1:37*id+101*y+13*x")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(dir)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => PngRow(id, PngCodec.encode(id))))
+        .toDF()
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(dir.toString)
+      .select(col("doc_id"), col("img"))
+      .as[PngRow]
+      .mapPartitions { rows =>
+        rows.map { rec =>
+          val (w, h, px) = PngCodec.decode(rec.img)
+          var sum = 0L; var gh = 0L; var gv = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = px(y * w + x)
+              sum += v
+              if (x + 1 < w) gh += math.abs(px(y * w + x + 1) - v)
+              if (y + 1 < h) gv += math.abs(px((y + 1) * w + x) - v)
+              x += 1
+            }
+            y += 1
+          }
+          PngFeat(rec.doc_id, w, h, sum, gh, gv)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // Closed-form oracle from the pixel formula: CRC walk, inflate and
+  // all five unfilters must reproduce every pixel or the three sums
+  // drift and the hash breaks.
+  private val pngDecodeGradientSql = {
+    def px(xE: String, yE: String) =
+      s"((doc_id * 37 + ($yE) * 101 + ($xE) * 13) % 251)"
+    s"""WITH g AS (SELECT doc_id, 12 + (doc_id % 11) AS w,
+       |    6 + (doc_id % 9) AS h FROM documents),
+       |sp AS (SELECT doc_id, SUM(${px("k % w", "k // w")}) AS sum_px
+       |  FROM (SELECT doc_id, w, unnest(range(0, w * h)) AS k FROM g)
+       |  GROUP BY doc_id),
+       |gh AS (SELECT doc_id, SUM(ABS(${px("k % (w - 1) + 1", "k // (w - 1)")}
+       |    - ${px("k % (w - 1)", "k // (w - 1)")})) AS grad_h
+       |  FROM (SELECT doc_id, w, unnest(range(0, (w - 1) * h)) AS k FROM g)
+       |  GROUP BY doc_id),
+       |gv AS (SELECT doc_id, SUM(ABS(${px("k % w", "k // w + 1")}
+       |    - ${px("k % w", "k // w")})) AS grad_v
+       |  FROM (SELECT doc_id, w, unnest(range(0, w * (h - 1))) AS k FROM g)
+       |  GROUP BY doc_id)
+       |SELECT g.doc_id, CAST(g.w AS INTEGER) AS w, CAST(g.h AS INTEGER) AS h,
+       |  CAST(sp.sum_px AS BIGINT) AS sum_px,
+       |  CAST(gh.grad_h AS BIGINT) AS grad_h,
+       |  CAST(gv.grad_v AS BIGINT) AS grad_v
+       |FROM g JOIN sp USING (doc_id) JOIN gh USING (doc_id)
+       |JOIN gv USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   final case class WavRow(doc_id: Long, audio: Array[Byte])
   final case class WavWindow(doc_id: Long, sr: Int, win: Int,
                              n_samples: Int, energy: Long)
@@ -627,5 +894,7 @@ object MultimodalOps {
     Q("q178_bmp_decode_resize", bmpDecodeResize, Some(bmpDecodeResizeSql),
       "REAL image decode: JDK-encoded BMP files in a binary column, own dependency-free parser (bottom-up rows, padding, BGR), resize verb over real pixels"),
     Q("q184_wav_decode_energy", wavDecodeEnergy, Some(wavDecodeEnergySql),
-      "REAL audio decode: JDK-encoded RIFF/WAV files in a binary column, own dependency-free chunk-walking parser (fmt validation, LE signed PCM16), per-window energy verb over real samples"))
+      "REAL audio decode: JDK-encoded RIFF/WAV files in a binary column, own dependency-free chunk-walking parser (fmt validation, LE signed PCM16), per-window energy verb over real samples"),
+    Q("q186_png_decode_gradient", pngDecodeGradient, Some(pngDecodeGradientSql),
+      "REAL compressed-image decode: JDK-encoded PNG files, own parser on java.util.zip only — CRC-verified chunk walk, multi-IDAT inflate, all five row unfilters incl. Paeth — gradient-energy verb over real pixels"))
 }
