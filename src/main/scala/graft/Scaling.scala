@@ -112,7 +112,9 @@ object Scaling {
     ("q183_partitioned_filtered_ann", "label-partitioned pre-filter ANN", "embeddings"),
     ("q184_wav_decode_energy", "REAL WAV decode + energy (own parser)", "documents"),
     ("q185_adc_serve_disk", "ADC serving from the compacted on-disk index", "embeddings"),
-    ("q186_png_decode_gradient", "REAL PNG decode (inflate + unfilter) + gradient", "documents"))
+    ("q186_png_decode_gradient", "REAL PNG decode (inflate + unfilter) + gradient", "documents"),
+    ("q187_index_delete", "index tombstone deletes (pruned anti-join rewrite)", "embeddings"),
+    ("q188_stream_ingest_compact", "stream-ingested delta folded into the base index", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -2510,10 +2510,163 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     compactionCodes(residKit(base(s, d), ivfCellCount(s, d)),
       col("vec_id") % 7 === 3).localCheckpoint(true)
 
+  /** Predicate-sliced corpus codes (q172's derivation) — q188's
+    * streaming-compaction lane bulk-loads its base through this.
+    */
+  private[graft] def compactionCodesFor(
+      s: SparkSession, d: String, pred: Column): DataFrame =
+    compactionCodes(residKit(base(s, d), ivfCellCount(s, d)), pred)
+
+  /** The stage-and-swap commit shared by q182/q187/q188: write the
+    * merged cells to a staging dir, then atomically replace exactly
+    * the touched cell directories (a fully-emptied cell writes no
+    * stage dir — the cleared destination IS its correct final state).
+    */
+  private[graft] def stageAndSwap(
+      out: String, merged: DataFrame, touched: Seq[Long]): Unit = {
+    val stage = out + "_stage"
+    graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+    merged.write.partitionBy("cell").mode("overwrite").parquet(stage)
+    touched.foreach { c =>
+      val src = java.nio.file.Paths.get(stage, s"cell=$c")
+      val dst = java.nio.file.Paths.get(out, s"cell=$c")
+      graft.Fixtures.clearDir(dst)
+      if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+    }
+    graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+  }
+
+  /** q179's probe read-back tail, shared by every on-disk index lane:
+    * query 0's probe cells read through the pruned scan.
+    */
+  private[graft] def probeReadBack(
+      s: SparkSession, d: String, dir: String): DataFrame = {
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    val probeCells = kit.probes.filter(col("qid") === 0)
+      .select("cell").collect().map(_.getLong(0)).sorted
+    s.read.parquet(dir)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("s"), col("code"), col("err_e6"))
+      .orderBy("cell", "vec_id", "s")
+  }
+
+  /** The shared rebuild oracle text — q182/q188 register it as their
+    * twin (green == indistinguishable from a full rebuild).
+    */
+  private[graft] def indexLayoutOracle: String = indexLayoutSql
+
   /** q182's fixture directory — for specs needing the on-disk base. */
   private[graft] def compactionDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_lsmidx_" +
       java.lang.Integer.toHexString(d.hashCode)
+
+  // ---- q187: INDEX TOMBSTONE DELETES — the LSM write path q182
+  //      doesn't cover and every production corpus eventually needs
+  //      (a right-to-be-forgotten request, a licensing takedown, a
+  //      poisoned-source purge): remove a set of vectors from the
+  //      persisted index WITHOUT a rebuild. The tombstone set is
+  //      (vec_id, cell) pairs — delete-window-scale, not corpus-scale;
+  //      its cell list is the only thing collected. Compaction reads
+  //      back ONLY the tombstone-touched cells through a
+  //      partition-PRUNED scan, drops the deleted postings with a
+  //      broadcast LEFT ANTI join (map-side — deletes never shuffle
+  //      anything), and rewrites those cells via the q182
+  //      stage-and-swap. The merge plan carries ZERO exchanges: the
+  //      touched lists ride partition-aligned and the anti join
+  //      broadcasts, so a delete costs the touched lists, never the
+  //      index. Oracle = the rebuild-from-retained-corpus derivation
+  //      (q179's twin + the delete predicate), so the green row IS
+  //      the proof that tombstone compaction == rebuild-without-the-
+  //      deleted; DeleteSpec additionally holds the FULL index equal
+  //      to the filtered rebuild and proves no survivor row was
+  //      touched. ----
+  private[graft] val DeletePredSql = "l.vec_id % 11 <> 4"
+
+  def indexDelete(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_delidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Paths.get(out, "_DELETED_OK")
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(out))
+      // bulk load: the full-corpus index (q179's shape)
+      compactionCodes(kit, lit(true))
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id", "s")
+        .write.partitionBy("cell").mode("overwrite").parquet(out)
+      // the tombstone set: delete-window-scale (vec_id, cell) pairs
+      val tombstones = kit.assigned.filter(col("vec_id") % 11 === 4)
+        .select("vec_id", "cell").localCheckpoint(true)
+      val (survivors, touched) = deleteMerge(s, out, tombstones)
+      val stage = out + "_stage"
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+      survivors.write.partitionBy("cell").mode("overwrite").parquet(stage)
+      touched.foreach { c =>
+        val src = java.nio.file.Paths.get(stage, s"cell=$c")
+        val dst = java.nio.file.Paths.get(out, s"cell=$c")
+        graft.Fixtures.clearDir(dst)
+        // a cell whose every posting was tombstoned writes no stage
+        // dir — the cleared destination IS the correct final state
+        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+      }
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+      graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    val probeCells = kit.probes.filter(col("qid") === 0)
+      .select("cell").collect().map(_.getLong(0)).sorted
+    s.read.parquet(out)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("s"), col("code"), col("err_e6"))
+      .orderBy("cell", "vec_id", "s")
+  }
+
+  /** q187's lazy merge relation: the tombstone-touched cells' postings
+    * minus the tombstoned vec_ids — pruned FileScan + broadcast anti
+    * join, ZERO exchanges (PlanShapeSpec holds this). Returns the
+    * survivor relation plus the touched cell ids.
+    */
+  private[graft] def deleteMerge(
+      s: SparkSession, out: String, tombstones: DataFrame): (DataFrame, Seq[Long]) = {
+    val touched = tombstones.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val survivors = s.read.parquet(out)
+      .filter(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("s"), col("code"), col("err_e6"))
+      .join(broadcast(tombstones.select("vec_id")), Seq("vec_id"), "left_anti")
+    (survivors, touched)
+  }
+
+  /** The tombstone set over the existing fixture — the spec-side
+    * handle for building [[deleteMerge]]'s plan.
+    */
+  private[graft] def deleteTombstonesFor(s: SparkSession, d: String): DataFrame =
+    residKit(base(s, d), ivfCellCount(s, d)).assigned
+      .filter(col("vec_id") % 11 === 4)
+      .select("vec_id", "cell").localCheckpoint(true)
+
+  /** q187's fixture directory — for specs needing the on-disk state. */
+  private[graft] def deleteDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_delidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  private val indexDeleteSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
+       |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
+       |  (SELECT vec_id, s, scid, dist, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |pc AS (SELECT DISTINCT cell FROM iprb WHERE qid = 0)
+       |SELECT CAST(a.cell AS BIGINT) AS cell, l.vec_id, l.s, l.cid AS code,
+       |       l.err_e6
+       |FROM lcodes l JOIN iasg a ON a.vec_id = l.vec_id
+       |JOIN pc ON pc.cell = a.cell
+       |WHERE $DeletePredSql
+       |ORDER BY a.cell, l.vec_id, l.s""".stripMargin
 
   // ---- q185: ADC SERVING FROM THE COMPACTED ON-DISK INDEX — the
   //      final stitch in the lifecycle loop: q165/q177 train, q173
@@ -3128,6 +3281,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     Q("q183_partitioned_filtered_ann", partitionedFilteredAnn,
       Some(partitionedFilteredAnnSql),
       "label-PARTITIONED pre-filter ANN: (label, cell) inverted lists on disk, a filtered query reads only its own label's probed lists (filter prunes at the FileScan, before scoring) — q174's boost recall at ~1/|labels| the scored candidates"),
+    Q("q187_index_delete", indexDelete, Some(indexDeleteSql),
+      "index tombstone deletes (right-to-be-forgotten): tombstone-touched cells read through a pruned scan, deleted postings dropped by a broadcast LEFT ANTI join (zero exchanges), stage-and-swap rewrite — oracle = rebuild-from-retained-corpus, hash-equal"),
     Q("q185_adc_serve_disk", adcServeFromDisk, Some(ivfPqResidualSql),
       "ADC serving from the COMPACTED on-disk index: probed cells' code postings read through a partition-pruned scan, broadcast probe relation + per-(query, cell) integer LUT, map-side lookup sums — byte-identical to q172's in-memory lane (shared oracle), closing train -> ingest -> persist -> compact -> serve on disk"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),

@@ -969,11 +969,11 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   //      arrival slice; StreamingSpec additionally holds the stream
   //      against the broadcast-join BATCH plan of the same semantics
   //      (residualCodesBatch). ----
-  def streamVectorIngest(s: SparkSession, d: String): DataFrame = {
-    import graft.expressions.VecDot.vecDot
-    import graft.functions.VectorFns.toDouble
+  /** Stage the q173/q188 arrival slice (vec_id % 7 = 3) as a one-file
+    * parquet stream source; fixture-markered, returns the source dir.
+    */
+  private def stageIngestSource(s: SparkSession, d: String): java.nio.file.Path = {
     val hex = java.lang.Integer.toHexString(d.hashCode)
-    val qname = s"graft_svi_$hex"
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_svi_src_$hex")
     val marker = srcDir.resolve("_STAGED")
@@ -990,41 +990,116 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
     }
+    srcDir
+  }
+
+  /** The q173 ingest coder as a STREAMING relation — arriving vectors
+    * routed (broadcast one-row centroid kit, stateless argmin) and
+    * residual-PQ-coded to (vec_id, cell, s, code, err_e6). q173 sinks
+    * it to memory for the oracle; q188 sinks it to the delta area a
+    * compaction then folds.
+    */
+  private def ingestCodedStream(
+      s: SparkSession, d: String, srcDir: java.nio.file.Path): DataFrame = {
+    import graft.expressions.VecDot.vecDot
+    import graft.functions.VectorFns.toDouble
     val (kitDf, books) = graft.ops.SimilarityOps.ingestCoderKitDf(s, d)
+    s.readStream.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(srcDir.toString)
+      .select(col("vec_id"), col("embedding").as("v"))
+      // stream-static broadcast of the one-row index-metadata
+      // relation (dummy key → BroadcastHashJoin; a plain cross
+      // join is rejected by the streaming checker)
+      .withColumn("jk", lit(1))
+      .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
+      .drop("jk")
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct((-vecDot(col("v"), c.getField("cv"))
+                 / (col("nrm") * c.getField("cn"))).as("negsim"),
+               c.getField("cid").as("cid")))))
+      .withColumn("cell", col("best").getField("cid"))
+      .withColumn("rv", zip_with(toDouble(col("v")),
+        element_at(col("cents"), (col("cell") + 1).cast("int"))
+          .getField("cv"),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("cell"),
+        posexplode(array(graft.ops.SimilarityOps.residArgmins(col("rv"), books): _*))
+          .as(Seq("s", "c")))
+      .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
+              col("c.cid").as("code"),
+              floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+  }
+
+  def streamVectorIngest(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val qname = s"graft_svi_$hex"
+    val srcDir = stageIngestSource(s, d)
     withStreamShufflePartitions(s, 2) {
-      val q = s.readStream.schema(StructType(Seq(
-          StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType)))))
-        .parquet(srcDir.toString)
-        .select(col("vec_id"), col("embedding").as("v"))
-        // stream-static broadcast of the one-row index-metadata
-        // relation (dummy key → BroadcastHashJoin; a plain cross
-        // join is rejected by the streaming checker)
-        .withColumn("jk", lit(1))
-        .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
-        .drop("jk")
-        .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-        .withColumn("best", array_min(transform(col("cents"), c =>
-          struct((-vecDot(col("v"), c.getField("cv"))
-                   / (col("nrm") * c.getField("cn"))).as("negsim"),
-                 c.getField("cid").as("cid")))))
-        .withColumn("cell", col("best").getField("cid"))
-        .withColumn("rv", zip_with(toDouble(col("v")),
-          element_at(col("cents"), (col("cell") + 1).cast("int"))
-            .getField("cv"),
-          (a, b) => a - b))
-        .select(col("vec_id"), col("cell"),
-          posexplode(array(graft.ops.SimilarityOps.residArgmins(col("rv"), books): _*))
-            .as(Seq("s", "c")))
-        .select(col("vec_id"), col("cell"), col("s").cast("long").as("s"),
-                col("c.cid").as("code"),
-                floor(col("c.dist") * 1000000.0).cast("long").as("err_e6"))
+      val q = ingestCodedStream(s, d, srcDir)
         .writeStream.outputMode("append").format("memory").queryName(qname)
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
     s.table(qname).orderBy("vec_id", "s")
+  }
+
+  // ---- q188: STREAM-INGESTED DELTA FOLDED INTO THE BASE INDEX — the
+  //      maintenance loop run end-to-end with the STREAM's own output
+  //      as the delta (q182 proves compaction against a batch-derived
+  //      delta; here the delta postings are literally what q173's
+  //      coder appended). Three phases, each in its at-scale shape:
+  //      (1) bulk-load the base index (corpus minus the arrival
+  //      slice) as the q179 cell-partitioned layout; (2) run the q173
+  //      ingest stream — stateless broadcast-kit routing + residual
+  //      coding — with foreachBatch appending each micro-batch's
+  //      postings to the delta area (a real ingest tier's L0 files);
+  //      (3) fold: read the delta area back, prune the base scan to
+  //      the delta-touched cells, one delta-side exchange, stage-and-
+  //      swap the touched cells (q182's merge machinery verbatim).
+  //      Oracle = the full-rebuild chain (q179's twin), so green ==
+  //      the streamed-ingest + compaction pipeline is hash-
+  //      indistinguishable from rebuilding the index from scratch —
+  //      the lifecycle claim (ingest → persist → compact → serve)
+  //      held end to end with real streaming I/O in the middle. ----
+  def streamIngestCompact(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_slsmidx_$hex"
+    val deltaDir = s"${System.getProperty("java.io.tmpdir")}/graft_slsmdelta_$hex"
+    val marker = java.nio.file.Paths.get(out, "_FOLDED_OK")
+    if (!Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      Fixtures.clearDir(java.nio.file.Paths.get(out))
+      Fixtures.clearDir(java.nio.file.Paths.get(deltaDir))
+      // (1) bulk-load the base: corpus minus the arrival slice
+      graft.ops.SimilarityOps.compactionCodesFor(s, d, col("vec_id") % 7 =!= 3)
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id", "s")
+        .write.partitionBy("cell").mode("overwrite").parquet(out)
+      // (2) the q173 ingest stream appends its postings to the delta
+      // area — the L0 files a serving tier accumulates between folds
+      val srcDir = stageIngestSource(s, d)
+      withStreamShufflePartitions(s, 2) {
+        val q = ingestCodedStream(s, d, srcDir)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(deltaDir)
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      // (3) fold the streamed delta into the base (q182's merge)
+      val delta = s.read.parquet(deltaDir)
+        .select("vec_id", "cell", "s", "code", "err_e6")
+      val (merged, touched) =
+        graft.ops.SimilarityOps.compactionMerge(s, out, delta)
+      graft.ops.SimilarityOps.stageAndSwap(out, merged, touched)
+      Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    graft.ops.SimilarityOps.probeReadBack(s, d, out)
   }
 
   // ---- q180: STREAMING ANN QUERY SERVING — the READ path twin of
@@ -1137,6 +1212,9 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q188_stream_ingest_compact", streamIngestCompact,
+      Some(graft.ops.SimilarityOps.indexLayoutOracle),
+      "stream-ingested delta folded into the base index: q173's coder streams postings into an L0 delta area via foreachBatch, compaction prunes the base to the touched cells and stage-and-swaps them — oracle = the full-rebuild chain, so the streamed maintenance loop is hash-indistinguishable from a rebuild"),
     Q("q180_stream_ann_query", streamAnnQuery,
       Some(graft.ops.SimilarityOps.streamAnnQuerySql),
       "streaming ANN query serving against the ON-DISK index: arriving query vectors route via the broadcast centroid kit (stateless), each micro-batch fetches only its probed cells from the cell-partitioned parquet layout (partition-PRUNED FileScan), cosine-scores map-side — the online READ path of the q173-ingested, q179-persisted index"),

@@ -41,6 +41,29 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(readAll() == first, "re-entrant compaction mutated the index")
   }
 
+  test("q188 STREAM-ingested delta folds to the same index as the rebuild, over ALL cells") {
+    // q182 proves the fold against a batch-derived delta; q188's delta
+    // is literally the q173 stream's appended postings — the whole
+    // maintenance loop (stream-ingest L0 files, prune, fold) must
+    // still be hash-indistinguishable from a from-scratch rebuild
+    streaming.StreamingOps.streamIngestCompact(spark, sf).collect() // ensure fold
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_slsmidx_" +
+      java.lang.Integer.toHexString(sf.hashCode)
+    val got = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("s"), col("code"), col("err_e6"))
+      .orderBy("vec_id", "s", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    val want = SimilarityOps.residualCodesBatch(spark, sf, lit(true))
+      .select("vec_id", "cell", "s", "code", "err_e6")
+      .orderBy("vec_id", "s", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got == want,
+      "stream-ingested fold is distinguishable from a full rebuild")
+  }
+
   test("q185 serve-from-compacted-disk == q172 serve-from-memory, byte for byte") {
     // the lifecycle stitch: the ADC scores are integer LUT sums
     // (order-independent), so reading the codes from the compacted

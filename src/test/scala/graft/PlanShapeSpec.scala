@@ -238,6 +238,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"both partition levels must prune, got: $pf")
   }
 
+  test("q187 delete merge: pruned scan + broadcast anti join, ZERO shuffle exchanges (r11)") {
+    // the delete path's scale contract: only tombstone-touched cells
+    // are read, the deleted postings drop in a map-side broadcast
+    // LEFT ANTI join, and nothing shuffles — a delete costs the
+    // touched lists, never the index
+    ops.SimilarityOps.indexDelete(spark, sf).collect() // ensure fixture
+    val tombstones = ops.SimilarityOps.deleteTombstonesFor(spark, sf)
+    val (survivors, _) = ops.SimilarityOps.deleteMerge(
+      spark, ops.SimilarityOps.deleteDir(sf), tombstones)
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_delidx") && l.contains("PartitionFilters: [cell")),
+      s"delete scan does not prune to touched cells:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone drop is not a broadcast anti join:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0,
+      s"expected zero shuffle exchanges in the delete merge, got $shuffles:\n$plan")
+  }
+
   test("q185 disk serving: pruned postings scan, probe join broadcasts (r11)") {
     // the serving read must prune to the probed cells at the FileScan
     // and the NQueries·probes probe relation must broadcast against
