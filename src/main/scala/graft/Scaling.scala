@@ -114,7 +114,8 @@ object Scaling {
     ("q185_adc_serve_disk", "ADC serving from the compacted on-disk index", "embeddings"),
     ("q186_png_decode_gradient", "REAL PNG decode (inflate + unfilter) + gradient", "documents"),
     ("q187_index_delete", "index tombstone deletes (pruned anti-join rewrite)", "embeddings"),
-    ("q188_stream_ingest_compact", "stream-ingested delta folded into the base index", "embeddings"))
+    ("q188_stream_ingest_compact", "stream-ingested delta folded into the base index", "embeddings"),
+    ("q189_png_phash_neardup", "perceptual dHash near-dup over real decoded pixels", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -573,9 +573,15 @@ object MultimodalOps {
   //      each unfilter against hand-built rows, and records which
   //      filter types the JDK encoder actually emitted. ----
   object PngCodec {
-    /** Deterministic gray value at (x, y) of doc `id`. */
+    /** Deterministic gray value at (x, y) of doc `id` — the
+      * id-dependent quadratic terms give every doc its own curvature,
+      * so perceptual hashes (q189) decorrelate across the corpus the
+      * way real image content does (a purely linear gradient formula
+      * made 13% of all pairs band-collide — a degenerate LSH).
+      */
     def pixel(id: Long, x: Int, y: Int): Int =
-      ((id * 37 + y * 101 + x * 13) % 251).toInt
+      ((id * 37 + y * 101 + x * 13
+        + (id % 7 + 1) * x * x * 3 + (id % 5 + 1) * y * y * 11) % 251).toInt
 
     /** Dims cycle over co-prime ranges so row lengths (and the
       * encoder's adaptive filter choices) vary across the corpus.
@@ -747,13 +753,17 @@ object MultimodalOps {
   final case class PngFeat(doc_id: Long, w: Int, h: Int, sum_px: Long,
                            grad_h: Long, grad_v: Long)
 
-  def pngDecodeGradient(s: SparkSession, d: String): DataFrame = {
+  /** The staged real-PNG corpus (binary column of genuine JDK-encoded
+    * files) — shared by q186's gradient verb and q189's perceptual
+    * hashing. Generator-versioned marker (the q184 discipline).
+    */
+  private def pngFixtureDir(s: SparkSession, d: String): String = {
     import s.implicits._
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_png_$hex")
     val marker = dir.resolve("_STAGED")
-    val srcs = Seq(s"$d/documents.parquet", "png-fixture-v1:37*id+101*y+13*x")
+    val srcs = Seq(s"$d/documents.parquet", "png-fixture-v2:37*id+101*y+13*x+idmod7*xx*3+idmod5*yy*11")
     if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
       graft.Fixtures.clearDir(dir)
       Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -762,7 +772,12 @@ object MultimodalOps {
         .write.mode("overwrite").parquet(dir.toString)
       graft.Fixtures.writeMarker(marker, srcs: _*)
     }
-    s.read.parquet(dir.toString)
+    dir.toString
+  }
+
+  def pngDecodeGradient(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(pngFixtureDir(s, d))
       .select(col("doc_id"), col("img"))
       .as[PngRow]
       .mapPartitions { rows =>
@@ -793,7 +808,9 @@ object MultimodalOps {
   // drift and the hash breaks.
   private val pngDecodeGradientSql = {
     def px(xE: String, yE: String) =
-      s"((doc_id * 37 + ($yE) * 101 + ($xE) * 13) % 251)"
+      s"((doc_id * 37 + ($yE) * 101 + ($xE) * 13" +
+        s" + (doc_id % 7 + 1) * ($xE) * ($xE) * 3" +
+        s" + (doc_id % 5 + 1) * ($yE) * ($yE) * 11) % 251)"
     s"""WITH g AS (SELECT doc_id, 12 + (doc_id % 11) AS w,
        |    6 + (doc_id % 9) AS h FROM documents),
        |sp AS (SELECT doc_id, SUM(${px("k % w", "k // w")}) AS sum_px
@@ -814,6 +831,102 @@ object MultimodalOps {
        |FROM g JOIN sp USING (doc_id) JOIN gh USING (doc_id)
        |JOIN gv USING (doc_id)
        |ORDER BY g.doc_id""".stripMargin
+  }
+
+  // ---- q189: PERCEPTUAL-HASH NEAR-DUP CANDIDATES over REAL decoded
+  //      pixels — the multimodal twin of the text near-dup family
+  //      (q34 MinHash bands, q35 SimHash): a dHash (difference hash,
+  //      the standard perceptual image fingerprint) computed from
+  //      q186's REAL PNG corpus — decode (inflate + unfilter), sample
+  //      a 9×7 grid (nearest-neighbor downscale, integer positions
+  //      j·w/9, i·h/7), emit 56 brightness-gradient bits (adjacent-
+  //      column comparisons; 56 keeps every shift inside a signed
+  //      64-bit long in BOTH engines) — then banded LSH: 4 bands × 14
+  //      bits, candidates = band equi-join collisions (never
+  //      all-pairs), verified by the exact 56-bit Hamming distance
+  //      (bit_count(xor)). The hash is map-side work on the decoded
+  //      partition batch; the band join is the q34/q35 bucketed
+  //      exchange; the bounded candidate set broadcasts back against
+  //      the hash relation for verification. Oracle computes the SAME
+  //      grid/bits/bands/Hamming closed-form from the pixel formula —
+  //      a green row proves decode, sampling, bit packing, banding
+  //      and the Hamming verify all agree with ground truth. ----
+  private[graft] def pngDHash(w: Int, h: Int, px: Array[Int]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < 7) {
+      val y = i * h / 7
+      var j = 0
+      while (j < 8) {
+        val x0 = j * w / 9
+        val x1 = (j + 1) * w / 9
+        if (px(y * w + x1) > px(y * w + x0)) hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  final case class PhashRow(doc_id: Long, dhash: Long)
+
+  def pngPhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = s.read.parquet(pngFixtureDir(s, d))
+      .select(col("doc_id"), col("img"))
+      .as[PngRow]
+      .mapPartitions { rows =>
+        rows.map { rec =>
+          val (w, h, px) = PngCodec.decode(rec.img)
+          PhashRow(rec.doc_id, pngDHash(w, h, px))
+        }
+      }
+      .toDF()
+      .localCheckpoint(true) // decoded once; three consumers below
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("dhash"), k * 14).bitwiseAND(lit(16383L))): _*))
+        .as(Seq("bk", "bv")))
+    // banded candidate generation — the q34/q35 bucketed equi-join
+    val cand = bands.select(col("doc_id").as("da"), col("bk"), col("bv"))
+      .join(bands.select(col("doc_id").as("db"), col("bk"), col("bv")),
+            Seq("bk", "bv"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    // exact Hamming verify: the bounded candidate set broadcasts
+    val withA = hashes.select(col("doc_id").as("da"), col("dhash").as("hda"))
+      .join(broadcast(cand), Seq("da"))
+    hashes.select(col("doc_id").as("db"), col("dhash").as("hdb"))
+      .join(broadcast(withA), Seq("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+              bit_count(col("hda").bitwiseXOR(col("hdb"))).cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val pngPhashPairsSql = {
+    def px(xE: String, yE: String) =
+      s"((doc_id * 37 + ($yE) * 101 + ($xE) * 13" +
+        s" + (doc_id % 7 + 1) * ($xE) * ($xE) * 3" +
+        s" + (doc_id % 5 + 1) * ($yE) * ($yE) * 11) % 251)"
+    s"""WITH gp AS (SELECT doc_id, 12 + (doc_id % 11) AS w,
+       |    6 + (doc_id % 9) AS h FROM documents),
+       |hs AS (SELECT doc_id,
+       |    SUM(CASE WHEN ${px("(((k % 8) + 1) * w) // 9", "((k // 8) * h) // 7")}
+       |           > ${px("((k % 8) * w) // 9", "((k // 8) * h) // 7")}
+       |        THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS dhash
+       |  FROM (SELECT doc_id, w, h, unnest(range(0, 56)) AS k FROM gp)
+       |  GROUP BY doc_id),
+       |bv AS (SELECT doc_id, dhash, bk,
+       |    (dhash >> CAST(bk * 14 AS INTEGER)) & 16383 AS bval
+       |  FROM (SELECT doc_id, dhash, unnest(range(0, 4)) AS bk FROM hs)),
+       |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bv a JOIN bv b ON a.bk = b.bk AND a.bval = b.bval
+       |    AND a.doc_id < b.doc_id)
+       |SELECT cp.doc_a, cp.doc_b,
+       |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+       |FROM cp JOIN hs x ON x.doc_id = cp.doc_a
+       |JOIN hs y ON y.doc_id = cp.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   final case class WavRow(doc_id: Long, audio: Array[Byte])
@@ -896,5 +1009,7 @@ object MultimodalOps {
     Q("q184_wav_decode_energy", wavDecodeEnergy, Some(wavDecodeEnergySql),
       "REAL audio decode: JDK-encoded RIFF/WAV files in a binary column, own dependency-free chunk-walking parser (fmt validation, LE signed PCM16), per-window energy verb over real samples"),
     Q("q186_png_decode_gradient", pngDecodeGradient, Some(pngDecodeGradientSql),
-      "REAL compressed-image decode: JDK-encoded PNG files, own parser on java.util.zip only — CRC-verified chunk walk, multi-IDAT inflate, all five row unfilters incl. Paeth — gradient-energy verb over real pixels"))
+      "REAL compressed-image decode: JDK-encoded PNG files, own parser on java.util.zip only — CRC-verified chunk walk, multi-IDAT inflate, all five row unfilters incl. Paeth — gradient-energy verb over real pixels"),
+    Q("q189_png_phash_neardup", pngPhashPairs, Some(pngPhashPairsSql),
+      "perceptual near-dup candidates over REAL decoded pixels: 56-bit dHash from the PNG corpus (map-side decode + 9x7 grid), 4x14-bit banded LSH equi-join (never all-pairs), exact Hamming verify on the bounded candidate set"))
 }
