@@ -385,6 +385,18 @@ object Plans {
         "the index\n\n```\n" + plan182 + "```\n")
     }
     locally {
+      ops.SimilarityOps.indexDelete(spark, d).collect()
+      val tombstones = ops.SimilarityOps.deleteTombstonesFor(spark, d)
+      val (survivors, touched) = ops.SimilarityOps.deleteMerge(
+        spark, ops.SimilarityOps.deleteDir(d), tombstones)
+      val plan187 = survivors.queryExecution.explainString(SimpleMode)
+      sb.append("\n## q187_index_delete (tombstone merge, " +
+        s"${touched.size} touched cells)\n\n" +
+        "tombstone deletes without a rebuild: the base scan prunes to " +
+        "the tombstone-touched cells and the deleted postings drop in " +
+        "a broadcast LEFT ANTI join — ZERO shuffle exchanges " +
+        "(PlanShapeSpec-counted), so a delete costs the touched " +
+        "lists, never the index\n\n```\n" + plan187 + "```\n")
       val plan185 = ops.SimilarityOps.adcServePostingsFor(spark, d)
         .queryExecution.explainString(SimpleMode)
       sb.append("\n## q185_adc_serve_disk (serving postings read)\n\n" +
