@@ -115,7 +115,8 @@ object Scaling {
     ("q186_png_decode_gradient", "REAL PNG decode (inflate + unfilter) + gradient", "documents"),
     ("q187_index_delete", "index tombstone deletes (pruned anti-join rewrite)", "embeddings"),
     ("q188_stream_ingest_compact", "stream-ingested delta folded into the base index", "embeddings"),
-    ("q189_png_phash_neardup", "perceptual dHash near-dup over real decoded pixels", "documents"))
+    ("q189_png_phash_neardup", "perceptual dHash near-dup over real decoded pixels", "documents"),
+    ("q190_gif_frames", "REAL animated-GIF frame sampling (own LZW decoder)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

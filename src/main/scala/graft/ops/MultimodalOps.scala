@@ -995,6 +995,322 @@ object MultimodalOps {
        |FROM w ORDER BY doc_id, win""".stripMargin
   }
 
+  // ---- q190: REAL VIDEO-SHAPED container decode — the frame-sampling
+  //      story (q70) made real on an actual multi-frame compressed
+  //      container: animated GIF (the one multi-frame format the JDK
+  //      can ENCODE headlessly, via ImageIO's sequence writer — we do
+  //      not control the encoder). [[GifCodec.decodeFrames]] is a
+  //      dependency-free parser of the real format: signature +
+  //      logical-screen descriptor, global/local color tables,
+  //      extension-block skipping, image-descriptor walk, sub-block
+  //      reassembly, and a full GIF-flavor LZW decompressor
+  //      (LSB-first variable-width codes, clear/EOI, KwKwK case,
+  //      dictionary growth to 4096 with deferred-clear tolerance) —
+  //      any LZW bug corrupts every later pixel of the frame and the
+  //      oracle hash breaks. The verb is the video-pipeline shape:
+  //      decode ALL frames, emit every 2nd (the sampling policy), and
+  //      score each sampled frame with spatial energy (Σ px) plus
+  //      MOTION energy vs its UNSAMPLED predecessor (Σ|Δpx| against
+  //      frame f-1) — motion forces the decoder to reconstruct frames
+  //      the sampler drops, exactly what a real frame-sampling
+  //      pipeline does. GifSpec holds the parser frame-for-frame and
+  //      pixel-for-pixel against ImageIO's independent GIF reader. ----
+  object GifCodec {
+    /** Deterministic gray value at (x, y) of frame `f` in doc `id` —
+      * the q186 curvature formula plus a frame term so consecutive
+      * frames differ by a non-constant field (real motion energy).
+      */
+    def pixel(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 37 + f * 59 + y * 101 + x * 13
+        + (id % 7 + 1) * x * x * 3 + (id % 5 + 1) * y * y * 11) % 251).toInt
+
+    /** Dims cycle over co-prime ranges (the q178/q186 discipline). */
+    def dims(id: Long): (Int, Int) = (8 + (id % 7).toInt, 5 + (id % 5).toInt)
+
+    /** Frame count varies 2..6 so the container walk sees different
+      * sequence lengths.
+      */
+    def nFrames(id: Long): Int = 2 + (id % 5).toInt
+
+    private def grayIcm: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Encode doc `id`'s frame sequence as a real animated GIF via the
+      * JDK's ImageIO sequence writer (indexed 256-gray palette, so the
+      * LZW-compressed indices ARE the formula values).
+      */
+    def encode(id: Long): Array[Byte] =
+      encodeFrames(id, interlaced = false)
+
+    /** `interlaced = true` keeps the writer's default 4-pass row
+      * interlacing — the corpus fixture disables it, but the parser
+      * supports both and GifSpec drives the interlaced path too.
+      */
+    def encodeFrames(id: Long, interlaced: Boolean): Array[Byte] = {
+      val (w, h) = dims(id)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      if (!interlaced)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames(id)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayIcm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, pixel(id, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.flush(); writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+
+    /** Parse a real GIF: returns (w, h, per-frame row-major gray
+      * grids). Handles global AND local color tables, skips extension
+      * blocks, and requires the flavors the JDK writer emits
+      * (full-canvas frames, non-interlaced) — failing loudly on
+      * anything else rather than guessing.
+      */
+    def decodeFrames(bytes: Array[Byte]): (Int, Int, IndexedSeq[Array[Int]]) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      require(bytes.length > 13 &&
+        new String(bytes, 0, 6, "US-ASCII").matches("GIF8[79]a"),
+        "not a GIF signature")
+      val w = u16(6); val h = u16(8)
+      val packed = u8(10)
+      var pos = 13
+      var gct: Array[Int] = null
+      def grayTable(at: Int, size: Int, which: String): Array[Int] =
+        Array.tabulate(size) { i =>
+          val o = at + i * 3
+          require(u8(o) == u8(o + 1) && u8(o + 1) == u8(o + 2),
+            s"non-gray $which palette entry $i")
+          u8(o)
+        }
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        gct = grayTable(pos, n, "global"); pos += n * 3
+      }
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var done = false
+      while (!done) {
+        u8(pos) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            pos += 2
+            while (u8(pos) != 0) pos += 1 + u8(pos)
+            pos += 1
+          case 0x2c =>
+            val (left, top) = (u16(pos + 1), u16(pos + 3))
+            val (fw, fh) = (u16(pos + 5), u16(pos + 7))
+            val ip = u8(pos + 9)
+            require(left == 0 && top == 0 && fw == w && fh == h,
+              s"partial frame rect unsupported: ($left,$top,$fw,$fh)")
+            val interlaced = (ip & 0x40) != 0
+            pos += 10
+            var pal = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              pal = grayTable(pos, n, "local"); pos += n * 3
+            }
+            require(pal != null, "frame with no color table")
+            val minCode = u8(pos); pos += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (u8(pos) != 0) {
+              val len = u8(pos)
+              data.write(bytes, pos + 1, len)
+              pos += 1 + len
+            }
+            pos += 1
+            val palette = pal
+            val gray = lzwDecode(data.toByteArray, minCode, w * h).map { i =>
+              require(i < palette.length, s"index $i beyond palette")
+              palette(i)
+            }
+            frames += (if (interlaced) deinterlace(gray, w, h) else gray)
+          case other => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$other%02x at offset $pos")
+        }
+      }
+      require(frames.nonEmpty, "GIF contains no frames")
+      (w, h, frames.toIndexedSeq)
+    }
+
+    /** GIF 4-pass interlacing (GIF89a spec appendix E): rows are
+      * transmitted 0,8,16…, then 4,12…, then 2,6,10…, then odd rows —
+      * map the i-th transmitted row back to its actual y.
+      */
+    private[graft] def deinterlace(px: Array[Int], w: Int, h: Int): Array[Int] = {
+      val order = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        .flatMap { case (start, step) => start until h by step }
+      val out = new Array[Int](px.length)
+      order.zipWithIndex.foreach { case (y, i) =>
+        System.arraycopy(px, i * w, out, y * w, w)
+      }
+      out
+    }
+
+    /** GIF-flavor LZW: LSB-first bitstream of variable-width codes
+      * starting at minCode+1, clear/EOI codes, dictionary as
+      * prefix-link arrays growing to 4096 (deferred-clear tolerated:
+      * past 4095 no entries are added and the width stays 12).
+      */
+    private[graft] def lzwDecode(
+        data: Array[Byte], minCode: Int, expect: Int): Array[Int] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      val out = new Array[Int](expect)
+      var outN = 0
+      var width = minCode + 1
+      var dictN = eoi + 1
+      var bitPos = 0
+      def read(): Int = {
+        var v = 0; var got = 0
+        while (got < width) {
+          val bi = bitPos >> 3
+          if (bi >= data.length) return eoi // truncated pad == end
+          val take = math.min(8 - (bitPos & 7), width - got)
+          v |= (((data(bi) & 0xff) >> (bitPos & 7)) & ((1 << take) - 1)) << got
+          got += take; bitPos += take
+        }
+        v
+      }
+      def firstOf(c0: Int): Int = {
+        var c = c0; while (c >= clear) c = prefix(c); c
+      }
+      def emitByte(b: Int): Unit = {
+        require(outN < expect, "LZW output overflow"); out(outN) = b; outN += 1
+      }
+      def emit(code: Int): Unit = {
+        var stack = List.empty[Int]
+        var c = code
+        while (c >= clear) { stack = suffix(c) :: stack; c = prefix(c) }
+        (c :: stack).foreach(emitByte)
+      }
+      def grow(pfx: Int, sfx: Int): Unit = if (dictN < 4096) {
+        prefix(dictN) = pfx; suffix(dictN) = sfx; dictN += 1
+        if (dictN == (1 << width) && width < 12) width += 1
+      }
+      var prev = -1
+      var running = true
+      while (running && outN < expect) {
+        val code = read()
+        if (code == eoi) running = false
+        else if (code == clear) { width = minCode + 1; dictN = eoi + 1; prev = -1 }
+        else if (prev < 0) {
+          require(code < clear, s"first LZW code $code must be a literal")
+          emit(code); prev = code
+        } else if (code < dictN) {
+          emit(code); grow(prev, firstOf(code)); prev = code
+        } else { // KwKwK: the only legal out-of-dictionary code
+          require(code == dictN, s"LZW code $code beyond dictionary $dictN")
+          val f = firstOf(prev)
+          emit(prev); emitByte(f); grow(prev, f); prev = code
+        }
+      }
+      require(outN == expect, s"LZW produced $outN of $expect pixels")
+      out
+    }
+  }
+
+  final case class GifRow(doc_id: Long, gif: Array[Byte])
+  final case class GifFrameFeat(doc_id: Long, n_frames: Int, frame_idx: Int,
+                                w: Int, h: Int, sum_px: Long, motion: Long)
+
+  /** The staged real-GIF corpus (binary column of genuine JDK-encoded
+    * animated GIFs) — generator-versioned marker (q184 discipline).
+    */
+  private def gifFixtureDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_gif_$hex")
+    val marker = dir.resolve("_STAGED")
+    val srcs = Seq(s"$d/documents.parquet",
+      "gif-fixture-v1:37*id+59*f+101*y+13*x+idmod7*xx*3+idmod5*yy*11")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(dir)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => GifRow(id, GifCodec.encode(id))))
+        .toDF()
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    dir.toString
+  }
+
+  def gifFrameFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(gifFixtureDir(s, d))
+      .select(col("doc_id"), col("gif"))
+      .as[GifRow]
+      .mapPartitions { rows =>
+        rows.flatMap { rec =>
+          val (w, h, frames) = GifCodec.decodeFrames(rec.gif)
+          frames.indices.iterator.filter(_ % 2 == 0).map { f =>
+            val px = frames(f)
+            var sum = 0L; var motion = 0L
+            var k = 0
+            while (k < px.length) {
+              sum += px(k)
+              if (f > 0) motion += math.abs(px(k) - frames(f - 1)(k))
+              k += 1
+            }
+            GifFrameFeat(rec.doc_id, frames.length, f, w, h, sum, motion)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // Closed-form oracle from the frame-pixel formula: the container
+  // walk, LZW decompression and palette mapping must reproduce every
+  // pixel of every frame (sampled AND dropped — motion reads f-1) or
+  // the sums drift and the hash breaks.
+  private val gifFrameFeaturesSql = {
+    def px(fE: String, xE: String, yE: String) =
+      s"((doc_id * 37 + ($fE) * 59 + ($yE) * 101 + ($xE) * 13" +
+        s" + (doc_id % 7 + 1) * ($xE) * ($xE) * 3" +
+        s" + (doc_id % 5 + 1) * ($yE) * ($yE) * 11) % 251)"
+    s"""WITH g AS (SELECT doc_id, 8 + (doc_id % 7) AS w, 5 + (doc_id % 5) AS h,
+       |    2 + (doc_id % 5) AS n FROM documents),
+       |sf AS (SELECT doc_id, w, h, n, unnest(range(0, n)) AS f FROM g),
+       |sp AS (SELECT doc_id, f,
+       |    SUM(${px("f", "k % w", "k // w")}) AS sum_px,
+       |    SUM(CASE WHEN f > 0 THEN ABS(${px("f", "k % w", "k // w")}
+       |      - ${px("f - 1", "k % w", "k // w")}) ELSE 0 END) AS motion
+       |  FROM (SELECT doc_id, w, f, unnest(range(0, w * h)) AS k FROM sf
+       |        WHERE f % 2 = 0)
+       |  GROUP BY doc_id, f)
+       |SELECT g.doc_id, CAST(g.n AS INTEGER) AS n_frames,
+       |  CAST(sp.f AS INTEGER) AS frame_idx,
+       |  CAST(g.w AS INTEGER) AS w, CAST(g.h AS INTEGER) AS h,
+       |  CAST(sp.sum_px AS BIGINT) AS sum_px,
+       |  CAST(sp.motion AS BIGINT) AS motion
+       |FROM g JOIN sp USING (doc_id)
+       |ORDER BY g.doc_id, frame_idx""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "binary media column -> partition-batched (stub) decode -> features"),
@@ -1011,5 +1327,7 @@ object MultimodalOps {
     Q("q186_png_decode_gradient", pngDecodeGradient, Some(pngDecodeGradientSql),
       "REAL compressed-image decode: JDK-encoded PNG files, own parser on java.util.zip only — CRC-verified chunk walk, multi-IDAT inflate, all five row unfilters incl. Paeth — gradient-energy verb over real pixels"),
     Q("q189_png_phash_neardup", pngPhashPairs, Some(pngPhashPairsSql),
-      "perceptual near-dup candidates over REAL decoded pixels: 56-bit dHash from the PNG corpus (map-side decode + 9x7 grid), 4x14-bit banded LSH equi-join (never all-pairs), exact Hamming verify on the bounded candidate set"))
+      "perceptual near-dup candidates over REAL decoded pixels: 56-bit dHash from the PNG corpus (map-side decode + 9x7 grid), 4x14-bit banded LSH equi-join (never all-pairs), exact Hamming verify on the bounded candidate set"),
+    Q("q190_gif_frames", gifFrameFeatures, Some(gifFrameFeaturesSql),
+      "REAL multi-frame container decode: JDK-encoded animated GIFs, own parser with a full GIF-LZW decompressor — decode ALL frames, sample every 2nd, spatial + motion energy (vs the unsampled predecessor) per sampled frame"))
 }
