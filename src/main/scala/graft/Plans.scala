@@ -397,6 +397,17 @@ object Plans {
         "a broadcast LEFT ANTI join — ZERO shuffle exchanges " +
         "(PlanShapeSpec-counted), so a delete costs the touched " +
         "lists, never the index\n\n```\n" + plan187 + "```\n")
+      ops.SimilarityOps.indexVersions(spark, d).collect()
+      val plan191 = ops.SimilarityOps.genPinnedRead(
+          spark, ops.SimilarityOps.versionDir(d), 1, Seq(0L, 1L))
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q191_index_versions (generation-pinned read, pin=1)\n\n" +
+        "versioned-manifest serving read: owner resolution is " +
+        "manifest-scale (the only collect), and EVERY generation " +
+        "directory in the pinned union is scanned with its own " +
+        "non-empty PartitionFilters (PlanShapeSpec-guarded for both " +
+        "pins) — snapshot isolation costs a tiny manifest read, never " +
+        "a second copy of the index\n\n```\n" + plan191 + "```\n")
       val plan185 = ops.SimilarityOps.adcServePostingsFor(spark, d)
         .queryExecution.explainString(SimpleMode)
       sb.append("\n## q185_adc_serve_disk (serving postings read)\n\n" +

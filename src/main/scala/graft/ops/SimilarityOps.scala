@@ -2726,6 +2726,142 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       .filter(col("vec_id") =!= col("qid"))
   }
 
+  // ---- q191: VERSIONED INDEX MANIFEST — generation-pinned reads,
+  //      the snapshot-isolation piece the LSM family (q179 layout,
+  //      q182 compaction, q187 deletes, q188 stream fold) still
+  //      lacked: a real serving tier swaps indexes ATOMICALLY and
+  //      keeps old snapshots readable while queries pinned to them
+  //      drain. The manifest is the Iceberg/Delta idea at cell
+  //      granularity: generation g0 = the bulk-loaded base layout,
+  //      g1 = the compaction fold of the arrival delta written to its
+  //      OWN directory (never touching g0's files), and a tiny
+  //      manifest relation (gen, cell, dir) — committed LAST, so the
+  //      manifest write IS the atomic swap: a reader pinned at gen 0
+  //      resolves every cell to g0 and cannot observe a half-written
+  //      g1, and after the commit a reader pinned at gen 1 resolves
+  //      delta-touched cells to g1 and untouched cells to g0 (reads
+  //      span generations — the whole point of the manifest). Owner
+  //      resolution is manifest-scale (≤ k cells; the only collect),
+  //      and each generation directory is read through a
+  //      partition-PRUNED FileScan on exactly its owned probe cells.
+  //      Output = query 0's probe postings under BOTH pins; oracle
+  //      derives pin 1 from the full corpus and pin 0 from the
+  //      corpus minus the delta slice — green proves time travel
+  //      (the old snapshot is byte-identical to pre-delta state) AND
+  //      the post-swap read (identical to a full rebuild). ----
+  def indexVersions(s: SparkSession, d: String): DataFrame = {
+    val out = versionDir(d)
+    val marker = java.nio.file.Paths.get(out, "_VERSIONED_OK")
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(out))
+      // generation 0: bulk load of the pre-delta corpus
+      compactionCodes(kit, col("vec_id") % 7 =!= 3)
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id", "s")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/g0")
+      commitManifest(s, out, gen = 0, dir = "g0", cells = listCells(s"$out/g0"))
+      // generation 1: the q182 fold, written to its OWN directory —
+      // g0's files are never modified, so pin-0 readers stay correct
+      val delta = compactionCodes(kit, col("vec_id") % 7 === 3)
+        .localCheckpoint(true)
+      val touched = delta.select("cell").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val merged = s.read.parquet(s"$out/g0")
+        .filter(col("cell").isin(touched: _*))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+                col("s"), col("code"), col("err_e6"))
+        .unionByName(delta.repartition(col("cell"))
+          .sortWithinPartitions("cell", "vec_id", "s")
+          .select("vec_id", "cell", "s", "code", "err_e6"))
+      merged.write.partitionBy("cell").mode("overwrite").parquet(s"$out/g1")
+      // the ATOMIC swap: commit gen 1's manifest rows last
+      commitManifest(s, out, gen = 1, dir = "g1", cells = touched)
+      graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    val probeCells = kit.probes.filter(col("qid") === 0)
+      .select("cell").collect().map(_.getLong(0)).sorted.toSeq
+    Seq(0, 1).map { pin =>
+      genPinnedRead(s, out, pin, probeCells)
+        .select(lit(pin).as("gen_pin"), col("cell"), col("vec_id"),
+                col("s"), col("code"), col("err_e6"))
+    }.reduce(_ unionByName _)
+      .orderBy("gen_pin", "cell", "vec_id", "s")
+  }
+
+  /** One manifest commit: a (cell, dir) relation written under
+    * manifest/gen=N — append-only, generation-partitioned, and tiny
+    * (cell-granularity metadata, never postings).
+    */
+  private def commitManifest(
+      s: SparkSession, out: String, gen: Int, dir: String, cells: Seq[Long]): Unit = {
+    import s.implicits._
+    cells.map(c => (c, dir)).toDF("cell", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/manifest/gen=$gen")
+  }
+
+  /** The cells a generation directory owns — pure directory-listing
+    * metadata (cell=N partition dirs), no data files opened.
+    */
+  private def listCells(dir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.list(p).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("cell="))
+      .map(_.substring(5).toLong).toSeq.sorted
+  }
+
+  /** A generation-pinned probe read: resolve each probe cell's owner
+    * directory from the manifest (max gen ≤ pin — manifest-scale, the
+    * only collect), then read each owner directory through a
+    * partition-PRUNED scan of exactly its owned cells.
+    */
+  private[graft] def genPinnedRead(
+      s: SparkSession, out: String, pin: Int, probeCells: Seq[Long]): DataFrame = {
+    val owners = s.read.parquet(s"$out/manifest")
+      .filter(col("gen") <= pin && col("cell").isin(probeCells: _*))
+      .groupBy("cell").agg(max(struct(col("gen"), col("dir"))).as("o"))
+      .select(col("cell"), col("o.dir").as("dir"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val empty = s.read.parquet(s"$out/g0").filter(lit(false))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("s"), col("code"), col("err_e6"))
+    owners.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, cs) =>
+      val cells = cs.map(_._1).sorted
+      s.read.parquet(s"$out/$dir")
+        .filter(col("cell").isin(cells: _*))
+        .select(col("cell").cast("long").as("cell"), col("vec_id"),
+                col("s"), col("code"), col("err_e6"))
+    }.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** q191's fixture directory — for specs needing the on-disk state. */
+  private[graft] def versionDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_genidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  private val indexVersionsSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
+       |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
+       |  (SELECT vec_id, s, scid, dist, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |pc AS (SELECT DISTINCT cell FROM iprb WHERE qid = 0),
+       |pfull AS (SELECT CAST(a.cell AS BIGINT) AS cell, l.vec_id, l.s,
+       |    l.cid AS code, l.err_e6
+       |  FROM lcodes l JOIN iasg a ON a.vec_id = l.vec_id
+       |  JOIN pc ON pc.cell = a.cell)
+       |SELECT CAST(0 AS INTEGER) AS gen_pin, cell, vec_id, s, code, err_e6
+       |FROM pfull WHERE vec_id % 7 <> 3
+       |UNION ALL
+       |SELECT CAST(1 AS INTEGER) AS gen_pin, cell, vec_id, s, code, err_e6
+       |FROM pfull
+       |ORDER BY gen_pin, cell, vec_id, s""".stripMargin
+
   /** Dev-only sweep grid behind bench_evidence/r10_filtered_sweep.md +
     * r11_filtered_sweep.md (r9 VERDICT #7, r10 VERDICT #3): recall vs
     * probe budget for filtered ANN, per label granularity AND per
@@ -3283,6 +3419,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "label-PARTITIONED pre-filter ANN: (label, cell) inverted lists on disk, a filtered query reads only its own label's probed lists (filter prunes at the FileScan, before scoring) — q174's boost recall at ~1/|labels| the scored candidates"),
     Q("q187_index_delete", indexDelete, Some(indexDeleteSql),
       "index tombstone deletes (right-to-be-forgotten): tombstone-touched cells read through a pruned scan, deleted postings dropped by a broadcast LEFT ANTI join (zero exchanges), stage-and-swap rewrite — oracle = rebuild-from-retained-corpus, hash-equal"),
+    Q("q191_index_versions", indexVersions, Some(indexVersionsSql),
+      "versioned index manifest (snapshot isolation): g0 bulk load + g1 compaction fold in its OWN directory, tiny (gen, cell, dir) manifest committed LAST as the atomic swap — pin-0 reads are byte-identical to the pre-delta snapshot (time travel), pin-1 reads span generations via manifest resolution, every generation scan partition-pruned"),
     Q("q185_adc_serve_disk", adcServeFromDisk, Some(ivfPqResidualSql),
       "ADC serving from the COMPACTED on-disk index: probed cells' code postings read through a partition-pruned scan, broadcast probe relation + per-(query, cell) integer LUT, map-side lookup sums — byte-identical to q172's in-memory lane (shared oracle), closing train -> ingest -> persist -> compact -> serve on disk"),
     Q("q174_filtered_ann", filteredAnn, Some(filteredAnnSql),

@@ -191,6 +191,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"probe scan does not prune partitions:\n$plan")
   }
 
+  test("q191 generation-pinned reads prune partitions in EVERY generation's FileScan (r11)") {
+    // the manifest must buy metadata-cost resolution, not save it and
+    // then scan whole generation directories: each per-dir read in the
+    // pinned union carries its own non-empty PartitionFilters
+    ops.SimilarityOps.indexVersions(spark, sf).collect() // fixture
+    val dir = ops.SimilarityOps.versionDir(sf)
+    Seq(0, 1).foreach { pin =>
+      val plan = ops.SimilarityOps.genPinnedRead(spark, dir, pin, Seq(0L, 1L))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), s"pin $pin plan:\n$plan")
+      assert(!plan.contains("PartitionFilters: []"),
+        s"pin-$pin generation scan does not prune partitions:\n$plan")
+    }
+  }
+
   test("q180 serving fetch prunes partitions at the on-disk layout's FileScan (r11)") {
     // the r10 verdict ask #1: q180's static side must BE the
     // cell-partitioned parquet layout, read pruned per micro-batch —
