@@ -1143,6 +1143,153 @@ object SimilarityOps {
        |GROUP BY qid ORDER BY qid""".stripMargin
   }
 
+  // ---- q192: SCALAR-QUANTIZATION (SQ8) SEARCH — the OTHER standard
+  //      index compression (FAISS IndexScalarQuantizer QT_8bit): one
+  //      byte PER DIMENSION instead of PQ's one code per subspace.
+  //      Train = a single mergeable per-dimension min/max aggregate
+  //      (Dim keys — no Lloyd loop at all, SQ's whole selling point);
+  //      encode = a map-side transform (clamped half-up affine code,
+  //      span-0 dims pinned to 0 like q96's zero-vector guard);
+  //      serve = the ADC discipline of q157 with M=Dim, K=256: the
+  //      per-(query, dim) 256-entry distance LUT is floor-e6 INTEGER
+  //      rows (NQueries·Dim·256 ≈ 82k — per-query-batch metadata,
+  //      broadcast), so scoring is Dim integer lookups + an
+  //      order-independent sum, and the one exchange is the score
+  //      groupBy. Quantization params and query vectors are collected
+  //      from the engine's own relation and inlined (the
+  //      literalCentroids discipline); the oracle re-derives min/max,
+  //      codes, LUT and ranking closed-form. Output = q157's measured
+  //      per-query recall shape, so PQ-8-bytes vs SQ-64-bytes quality
+  //      at the same TopK reads off the q157/q192 pair directly. ----
+  private[graft] val SqK = 256
+
+  /** SQ8 training: per-dim (min, span) from one mergeable aggregate —
+    * Dim rows, collected as quantization params (the literalCentroids
+    * discipline: params come from the engine's own relation).
+    */
+  private[graft] def sqStats(all: DataFrame): (Array[Double], Array[Double]) = {
+    val stats = all.select(posexplode(toDouble(col("v"))).as(Seq("s", "x")))
+      .groupBy("s").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (stats.map(_._2), stats.map(t => t._3 - t._2))
+  }
+
+  /** The map-side SQ8 encoder: clamped half-up affine byte code per
+    * dimension, span-0 dims pinned to 0.
+    */
+  private[graft] def sqCodesExpr(
+      mins: Array[Double], spans: Array[Double]): Column = {
+    val minsArr = array(mins.map(lit): _*)
+    val spansArr = array(spans.map(lit): _*)
+    transform(toDouble(col("v")), (x, j) => {
+      val mn = element_at(minsArr, (j + 1).cast("int"))
+      val sp = element_at(spansArr, (j + 1).cast("int"))
+      when(sp === 0.0, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((x - mn) * lit(255.0) / sp + lit(0.5)).cast("long"))))
+    })
+  }
+
+  /** Spec-side audit relation: every (vec_id, dim, raw x, code) with
+    * its params — for the reconstruction-error-bound property.
+    */
+  private[graft] def sqEncodedFor(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val (mins, spans) = sqStats(all)
+    val minsArr = array(mins.map(lit): _*)
+    val spansArr = array(spans.map(lit): _*)
+    all.select(col("vec_id"),
+        posexplode(arrays_zip(toDouble(col("v")),
+          sqCodesExpr(mins, spans)).as("z")).as(Seq("s", "zc")))
+      .select(col("vec_id"), col("s"),
+        col("zc.0").as("x"), col("zc.1").as("code"),
+        element_at(minsArr, (col("s") + 1).cast("int")).as("mn"),
+        element_at(spansArr, (col("s") + 1).cast("int")).as("sp"))
+  }
+
+  def sqSearch(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val vd = toDouble(col("v")) // raw floats widen exactly; SQL's v is double
+    val (mins, spans) = sqStats(all)
+    val codes = sqCodesExpr(mins, spans)
+    val enc = all.select(col("vec_id"), posexplode(codes).as(Seq("s", "code")))
+      .select(col("vec_id"), col("s").cast("long").as("s"), col("code"))
+    // the SQ-ADC LUT: query × dim × 256 codes, floor-e6 integers
+    val qs = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), vd.as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val lutRows: Seq[(Long, Long, Long, Long)] = for {
+      (qid, qv) <- qs.toSeq
+      j <- 0 until Dim
+      c <- 0 until SqK
+    } yield {
+      val dd = qv(j) - (mins(j) + c * spans(j) / 255.0)
+      (qid, j.toLong, c.toLong, math.floor(dd * dd * 1000000.0).toLong)
+    }
+    import s.implicits._
+    val lut = lutRows.toDF("qid", "ls", "lcid", "dlut")
+    val adc = enc
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("sq_e6"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("qv"), col("v"))
+          + vecDot(col("qv"), col("qv")), 6).as("d_r"))
+    val we = Window.partitionBy("qid").orderBy(col("d_r").asc, col("vec_id").asc)
+    val wa = Window.partitionBy("qid").orderBy(col("sq_e6").asc, col("vec_id").asc)
+    val topExact = exact.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    val topSq = adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    pqOverlap(topSq, topExact)
+  }
+
+  private val sqSearchSql =
+    s"""WITH $baseCte,
+       |dims AS (SELECT CAST(t.j AS BIGINT) AS j FROM range(0, $Dim) t(j)),
+       |st AS (SELECT d.j, MIN(n.v[CAST(d.j + 1 AS INTEGER)]) AS mn,
+       |         MAX(n.v[CAST(d.j + 1 AS INTEGER)]) AS mx
+       |       FROM n CROSS JOIN dims d GROUP BY d.j),
+       |cd AS (SELECT n.vec_id, st.j,
+       |         CASE WHEN st.mx = st.mn THEN 0
+       |           ELSE greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+       |             CAST(floor((n.v[CAST(st.j + 1 AS INTEGER)] - st.mn) * 255.0
+       |               / (st.mx - st.mn) + 0.5) AS BIGINT))) END AS code
+       |       FROM n CROSS JOIN st),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
+       |l0 AS (SELECT q.qid, st.j, CAST(t.c AS BIGINT) AS c,
+       |         q.qv[CAST(st.j + 1 AS INTEGER)]
+       |           - (st.mn + t.c * (st.mx - st.mn) / 255.0) AS dd
+       |       FROM q CROSS JOIN st CROSS JOIN range(0, $SqK) t(c)),
+       |lut AS (SELECT qid, j, c,
+       |          CAST(floor(dd * dd * 1000000.0) AS BIGINT) AS dlut FROM l0),
+       |adc AS (SELECT lut.qid, cd.vec_id, CAST(SUM(dlut) AS BIGINT) AS sq_e6
+       |        FROM cd JOIN lut ON lut.j = cd.j AND lut.c = cd.code
+       |        WHERE cd.vec_id <> lut.qid
+       |        GROUP BY lut.qid, cd.vec_id),
+       |exact AS (SELECT q.qid, n.vec_id,
+       |  round(${dotFoldSql("n.v", "n.v")} - 2.0 * ${dotFoldSql("q.qv", "n.v")}
+       |    + ${dotFoldSql("q.qv", "q.qv")}, 6) AS d_r
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |te AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER
+       |  (PARTITION BY qid ORDER BY d_r ASC, vec_id ASC) AS rn FROM exact)
+       |  WHERE rn <= $TopK),
+       |ta AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sq_e6 ASC, vec_id ASC)
+       |    AS rn FROM adc) WHERE rn <= $TopK)
+       |SELECT qid, CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_overlap,
+       |       (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // $TopK
+       |         AS recall_millionths
+       |FROM te LEFT JOIN ta USING (qid, vec_id)
+       |GROUP BY qid ORDER BY qid""".stripMargin
+
   // ---- q160: one Lloyd refinement of the PQ codebooks — the training
   //      step q155/q157 document as "the knob" for ADC recall. Pass 1
   //      is ONE corpus scan: each vector's 8 argmin codes are a pure
@@ -3396,6 +3543,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "product quantization: 8x16 literal subspace codebooks, map-side argmin codes + reconstruction error"),
     Q("q157_pq_search", pqSearch, Some(pqSearchSql),
       "ADC top-k over PQ codes: broadcast 640-row integer LUT, 8 lookups + sum per candidate, measured recall vs exact L2"),
+    Q("q192_sq8_search", sqSearch, Some(sqSearchSql),
+      "scalar-quantization (SQ8) search: train = one per-dim min/max aggregate (no Lloyd), encode = map-side affine byte codes, serve = q157's ADC discipline with M=Dim K=256 (82k-row integer LUT broadcast) — measured recall pairs directly against q157's PQ for the bytes-vs-quality trade"),
     Q("q160_pq_refine", pqRefine, Some(pqRefineSql),
       "one Lloyd refinement of the PQ codebooks: quantized-exact update in one scan, broadcast re-assignment, per-entry error audit"),
     Q("q165_pq_train", pqTrain, Some(pqTrainSql),
