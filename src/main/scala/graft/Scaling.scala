@@ -118,7 +118,8 @@ object Scaling {
     ("q189_png_phash_neardup", "perceptual dHash near-dup over real decoded pixels", "documents"),
     ("q190_gif_frames", "REAL animated-GIF frame sampling (own LZW decoder)", "documents"),
     ("q191_index_versions", "versioned index manifest (generation-pinned reads)", "embeddings"),
-    ("q192_sq8_search", "SQ8 scalar-quantization ADC search (measured recall)", "embeddings"))
+    ("q192_sq8_search", "SQ8 scalar-quantization ADC search (measured recall)", "embeddings"),
+    ("q193_stream_versioned_serve", "zero-downtime index swap under a live query stream", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

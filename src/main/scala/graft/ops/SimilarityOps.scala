@@ -2226,6 +2226,37 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |    (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scand)
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  /** SQL twin of q193's versioned serving stream (StreamingOps.
+    * streamVersionedServe): arriving queries are the % 7 = 5 slice,
+    * routed by the same `ir0` machinery; EVEN qids arrive in batch 0
+    * and are served from the gen-0 snapshot (postings exclude the
+    * % 7 = 3 delta slice), ODD qids arrive in batch 1 — after the
+    * mid-stream manifest commit — and are served from gen 1 (all
+    * postings). Green == each batch's fetch is snapshot-consistent
+    * with the generation committed at its fetch time.
+    */
+  private[graft] val streamVersionedServeSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
+       |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
+       |  (SELECT vec_id, s, scid, dist, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |sq AS (SELECT vec_id AS qid, cid AS cell FROM ir0
+       |       WHERE crn <= $IvfProbes AND vec_id % 7 = 5),
+       |post AS (SELECT q.qid, CAST(a.cell AS BIGINT) AS cell, l.vec_id, l.s,
+       |    l.cid AS code, l.err_e6
+       |  FROM sq q JOIN iasg a ON a.cell = q.cell
+       |  JOIN lcodes l ON l.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT CAST(0 AS INTEGER) AS gen_served, qid, cell, vec_id, s, code,
+       |  err_e6 FROM post WHERE qid % 2 = 0 AND vec_id % 7 <> 3
+       |UNION ALL
+       |SELECT CAST(1 AS INTEGER) AS gen_served, qid, cell, vec_id, s, code,
+       |  err_e6 FROM post WHERE qid % 2 = 1
+       |ORDER BY gen_served, qid, cell, vec_id, s""".stripMargin
+
   /** SQL twin of q173's streaming ingest coder (StreamingOps.
     * streamVectorIngest): the same residual-code derivation as q172's
     * chain, restricted to the arrival slice `vec_id % 7 = 3`.
@@ -2966,18 +2997,28 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     * partition-PRUNED scan of exactly its owned cells.
     */
   private[graft] def genPinnedRead(
-      s: SparkSession, out: String, pin: Int, probeCells: Seq[Long]): DataFrame = {
-    val owners = s.read.parquet(s"$out/manifest")
+      s: SparkSession, out: String, pin: Int, probeCells: Seq[Long]): DataFrame =
+    manifestPinnedRead(s, s"$out/manifest", out, pin, probeCells)
+
+  /** The same resolution against a manifest living OUTSIDE the data
+    * root — q193's serving stream keeps a run-local manifest (the
+    * mid-stream commit mutates it) over q191's immutable generation
+    * directories.
+    */
+  private[graft] def manifestPinnedRead(
+      s: SparkSession, manifestDir: String, dataRoot: String, pin: Int,
+      probeCells: Seq[Long]): DataFrame = {
+    val owners = s.read.parquet(manifestDir)
       .filter(col("gen") <= pin && col("cell").isin(probeCells: _*))
       .groupBy("cell").agg(max(struct(col("gen"), col("dir"))).as("o"))
       .select(col("cell"), col("o.dir").as("dir"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val empty = s.read.parquet(s"$out/g0").filter(lit(false))
+    val empty = s.read.parquet(s"$dataRoot/g0").filter(lit(false))
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
               col("s"), col("code"), col("err_e6"))
     owners.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, cs) =>
       val cells = cs.map(_._1).sorted
-      s.read.parquet(s"$out/$dir")
+      s.read.parquet(s"$dataRoot/$dir")
         .filter(col("cell").isin(cells: _*))
         .select(col("cell").cast("long").as("cell"), col("vec_id"),
                 col("s"), col("code"), col("err_e6"))

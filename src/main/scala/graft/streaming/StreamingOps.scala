@@ -1211,7 +1211,124 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .orderBy("qid", "rn")
   }
 
+  // ---- q193: VERSIONED SERVING UNDER A LIVE QUERY STREAM — the
+  //      zero-downtime index swap, stitching q180 (serve-on-arrival)
+  //      to q191 (manifest generations): query vectors keep arriving
+  //      while the compactor commits generation 1 BETWEEN micro-
+  //      batches, and each batch's fetch resolves the manifest AT
+  //      FETCH TIME — so batch 0 (the even-qid arrivals) serves the
+  //      gen-0 snapshot, the commit lands, and batch 1 (the odd-qid
+  //      arrivals) serves gen 1, with no restart, no partial state,
+  //      and no batch ever observing a half-committed generation
+  //      (q191's atomicity property, now exercised mid-stream). The
+  //      stream is q180's stateless routing (broadcast centroid kit,
+  //      per-row probe-cell sort); the fetch is manifest-pinned
+  //      (owner resolution manifest-scale, every generation scan
+  //      partition-PRUNED); generation DATA directories are q191's
+  //      immutable fixtures — only the run-local manifest mutates,
+  //      exactly the mutation boundary a real manifest design buys.
+  //      Output = each arrival's fetched postings tagged with the
+  //      generation that served it; oracle derives batch 0 from the
+  //      pre-delta corpus and batch 1 from the full corpus. ----
+  def streamVersionedServe(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.VecDot.vecDot
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    graft.ops.SimilarityOps.indexVersions(s, d) // ensure g0/g1 + manifest
+    val versionRoot = graft.ops.SimilarityOps.versionDir(d)
+    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_svsrv_$hex"
+    val laneManifest = s"$laneRoot/manifest"
+    val outDir = s"$laneRoot/out"
+    // run-local manifest starts at generation 0 ONLY — the stream's
+    // foreachBatch commits gen 1 mid-flight, so this must reset per run
+    Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
+    s.read.parquet(s"$versionRoot/manifest").filter(col("gen") === 0)
+      .select("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$laneManifest/gen=0")
+    // the arrival stream: two files with ordered mtimes → two
+    // deterministic micro-batches (evens then odds)
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_svsrv_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      Seq(("evens", col("vec_id") % 2 === 0, 20000L),
+          ("odds", col("vec_id") % 2 =!= 0, 10000L)).foreach {
+        case (name, pred, ageMs) =>
+          val part = java.nio.file.Files.createTempDirectory("graft_svsrv_stage")
+          Tables.embeddings(s, d).filter(col("vec_id") % 7 === 5 && pred)
+            .select("vec_id", "embedding")
+            .coalesce(1).write.mode("overwrite").parquet(part.toString)
+          val f = new java.io.File(part.toString).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val dst = srcDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(f.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(System.currentTimeMillis() - ageMs)
+      }
+      Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    val (kitDf, _) = graft.ops.SimilarityOps.ingestCoderKitDf(s, d)
+    val nProbes = graft.ops.SimilarityOps.IvfProbes
+    withStreamShufflePartitions(s, 2) {
+      val routed = s.readStream.schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("jk", lit(1))
+        .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
+        .drop("jk")
+        .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
+        .withColumn("pcells", slice(array_sort(transform(col("cents"), c =>
+          struct((-vecDot(col("qv"), c.getField("cv"))
+                   / (col("qn") * c.getField("cn"))).as("negsim"),
+                 c.getField("cid").as("cid")))), 1, nProbes))
+        .select(col("qid"),
+                explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
+      val q = routed.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try {
+            val cells = b.select("cell").distinct()
+              .collect().map(_.getLong(0)).sorted.toSeq
+            if (cells.nonEmpty) {
+              // resolve the generation COMMITTED AT FETCH TIME
+              val pin = s.read.parquet(laneManifest)
+                .agg(max(col("gen"))).collect()(0).getInt(0)
+              graft.ops.SimilarityOps
+                .manifestPinnedRead(s, laneManifest, versionRoot, pin, cells)
+                .join(broadcast(b.select("qid", "cell")), Seq("cell"))
+                .filter(col("vec_id") =!= col("qid"))
+                .select(lit(pin).as("gen_served"), col("qid"), col("cell"),
+                        col("vec_id"), col("s"), col("code"), col("err_e6"))
+                .write.mode("append").parquet(outDir)
+            }
+            // the production moment: the compactor commits generation
+            // 1 while queries keep arriving — the NEXT batch resolves
+            // it atomically, this one never saw it
+            if (batchId == 0) {
+              s.read.parquet(s"$versionRoot/manifest")
+                .filter(col("gen") === 1).select("cell", "dir").coalesce(1)
+                .write.mode("overwrite").parquet(s"$laneManifest/gen=1")
+            }
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+      .select("gen_served", "qid", "cell", "vec_id", "s", "code", "err_e6")
+      .orderBy("gen_served", "qid", "cell", "vec_id", "s")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q193_stream_versioned_serve", streamVersionedServe,
+      Some(graft.ops.SimilarityOps.streamVersionedServeSql),
+      "zero-downtime index swap under a live query stream: stateless q180 routing, manifest-pinned fetch per micro-batch, generation 1 committed BETWEEN batches — batch 0 serves the gen-0 snapshot, batch 1 serves gen 1, both snapshot-consistent (oracle splits the corpus accordingly)"),
     Q("q188_stream_ingest_compact", streamIngestCompact,
       Some(graft.ops.SimilarityOps.indexLayoutOracle),
       "stream-ingested delta folded into the base index: q173's coder streams postings into an L0 delta area via foreachBatch, compaction prunes the base to the touched cells and stage-and-swaps them — oracle = the full-rebuild chain, so the streamed maintenance loop is hash-indistinguishable from a rebuild"),

@@ -388,6 +388,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "every arriving query must be answered")
   }
 
+  test("q193 mid-stream swap: batch 0 serves gen 0, batch 1 serves gen 1, snapshot-consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = streaming.StreamingOps.streamVersionedServe(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3))) // (gen, qid, vec_id)
+    val gens = rows.map(_._1).distinct.sorted.toSeq
+    assert(gens == Seq(0, 1),
+      s"expected both generations to serve, saw $gens — the two-file " +
+        "batch split or the mid-stream commit did not happen")
+    // the deterministic arrival split: evens in batch 0 (gen 0), odds
+    // in batch 1 (gen 1)
+    assert(rows.filter(_._1 == 0).forall(_._2 % 2 == 0),
+      "an odd-qid arrival was served from the gen-0 snapshot")
+    assert(rows.filter(_._1 == 1).forall(_._2 % 2 == 1),
+      "an even-qid arrival was served from generation 1")
+    // the swap is OBSERVABLE in the data: the gen-0 snapshot predates
+    // the delta fold, so no batch-0 fetch may contain a delta posting,
+    // while gen-1 fetches must surface some (the probed cells all
+    // received delta vectors at this sf)
+    assert(rows.filter(_._1 == 0).forall(_._3 % 7 != 3),
+      "a gen-0 fetch returned a posting from the not-yet-folded delta")
+    assert(rows.exists(t => t._1 == 1 && t._3 % 7 == 3),
+      "no gen-1 fetch surfaced any folded delta posting — the swap " +
+        "served stale data")
+  }
+
   test("q173 index metadata rides as broadcast DATA, not plan literals (r10)") {
     // the r9 scale-killer fence: at the 50k-cell cap the centroid
     // table is ~25 MB — as a plan literal that breaks codegen's
