@@ -119,7 +119,8 @@ object Scaling {
     ("q190_gif_frames", "REAL animated-GIF frame sampling (own LZW decoder)", "documents"),
     ("q191_index_versions", "versioned index manifest (generation-pinned reads)", "embeddings"),
     ("q192_sq8_search", "SQ8 scalar-quantization ADC search (measured recall)", "embeddings"),
-    ("q193_stream_versioned_serve", "zero-downtime index swap under a live query stream", "embeddings"))
+    ("q193_stream_versioned_serve", "zero-downtime index swap under a live query stream", "embeddings"),
+    ("q194_jsonl_ingest", "nested JSONL ingest via sampled schema inference", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -307,6 +307,49 @@ object CoreOps {
        | strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q194: JSONL ingest with NESTED metadata — the interchange
+  //      format LLM corpora actually ship in (one object per line,
+  //      metadata as a nested struct), read through JsonIngest's
+  //      sampled single-file inference (q125's contract, but the
+  //      inferred schema is a TREE: meta lands as a StructType and
+  //      the aggregate addresses it by dot path — flattening at
+  //      inference would break the lane). The fixture is the
+  //      documents table re-shaped to {doc_id, meta:{lang, source,
+  //      n_chars}, text} and written as real multi-file JSONL, so
+  //      inference genuinely sees one file of many; the oracle
+  //      derives the same per-source rollup from the parquet — green
+  //      proves JSON write → sampled-infer → nested read → dot-path
+  //      aggregation round-trips every field exactly. ----
+  def jsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/documents.parquet")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+                col("text"))
+        .repartition(4) // real multi-file JSONL — inference sees 1 of 4
+        .write.mode("overwrite").json(tmp)
+      graft.Fixtures.writeMarker(marker, s"$d/documents.parquet")
+    }
+    graft.sources.JsonIngest.readInferFast(s, tmp)
+      .groupBy(col("meta.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).as("sum_id"),
+           sum(col("meta.n_chars")).as("sum_chars"),
+           sum(length(col("text"))).as("sum_len"),
+           countDistinct(col("meta.lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  private val jsonlIngestSql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       | CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+       | COUNT(DISTINCT lang) AS n_langs
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q136: multi-file CSV file-order prefix (CsvIngest.readPrefix)
   //      with the cap landing MID-FILE — the oracle proves the
   //      boundary-file path takes exactly the FIRST remaining rows of
@@ -631,6 +674,8 @@ object CoreOps {
     Q("q13_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), "O3/O5 CSV write+read"),
     Q("q125_csv_infer", csvInferFast, Some(csvInferFastSql),
       "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
+    Q("q194_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql),
+      "JSONL ingest with nested metadata: sampled single-file schema inference preserving the struct tree (JsonIngest), dot-path rollup — the LLM-corpus interchange format as a first-class source"),
     Q("q130_url_csv", urlCsvRead, Some(urlCsvReadSql),
       "O24 URL CSV fetch: stream-to-spool + distributed parse (file:// in-sandbox)"),
     Q("q136_csv_prefix", csvPrefix, Some(csvPrefixSql),
