@@ -350,6 +350,62 @@ object CoreOps {
        | COUNT(DISTINCT lang) AS n_langs
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q196: gzip-compressed text ingestion with an OWN DEFLATE
+  //      decoder (GzipIngest) — the fixture is a parquet binary column
+  //      of genuine gzip members (JDK Deflater bitstreams at levels
+  //      cycling 0/1/6/9, so stored, fixed- and dynamic-Huffman blocks
+  //      all occur; own RFC 1952 framing with an FNAME header field
+  //      exercising the variable-length walk). The read path inflates
+  //      every member with graft.sources.GzipIngest.gunzipMember —
+  //      own bit reader, canonical Huffman, LZ77 window copy, CRC32 +
+  //      ISIZE trailer verification — then proves EXACT byte recovery
+  //      via per-doc md5 against the uncompressed source of truth.
+  //      Same partition-batched opaque-binary shape as the media
+  //      lanes: at 100 TB each executor inflates its own shard, no
+  //      driver involvement, no shuffle before the final sort. ----
+  final case class GzDoc(doc_id: Long, lvl: Int, text: String)
+
+  def gzipIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gz_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "gz-fixture-v1:levels0169+fname")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      // distributed ENCODE stage: executors compress each document with
+      // the JDK Deflater at the doc's cycling level, own gzip framing
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val lvl = graft.sources.GzipIngest.levelFor(id)
+          (id, lvl, graft.sources.GzipIngest.gzip(
+            text.getBytes("UTF-8"), lvl, s"doc_$id.txt"))
+        })
+        .toDF("doc_id", "lvl", "gz")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(tmp)
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, lvl, gz) =>
+        val (raw, _) = graft.sources.GzipIngest.gunzipMember(gz)
+        GzDoc(id, lvl, new String(raw, "UTF-8"))
+      })
+      .toDF()
+      .select(col("doc_id"), col("lvl"),
+        length(col("text")).cast("long").as("raw_len"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val gzipIngestSql =
+    """SELECT doc_id,
+      | CAST(CASE WHEN doc_id % 4 = 0 THEN 0 WHEN doc_id % 4 = 1 THEN 1
+      |           WHEN doc_id % 4 = 2 THEN 6 ELSE 9 END AS INTEGER) AS lvl,
+      | CAST(length(text) AS BIGINT) AS raw_len,
+      | md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- q136: multi-file CSV file-order prefix (CsvIngest.readPrefix)
   //      with the cap landing MID-FILE — the oracle proves the
   //      boundary-file path takes exactly the FIRST remaining rows of
@@ -676,6 +732,8 @@ object CoreOps {
       "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
     Q("q194_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql),
       "JSONL ingest with nested metadata: sampled single-file schema inference preserving the struct tree (JsonIngest), dot-path rollup — the LLM-corpus interchange format as a first-class source"),
+    Q("q196_gzip_ingest", gzipIngest, Some(gzipIngestSql),
+      "gzip corpus ingestion decoded by an OWN full DEFLATE implementation (stored/fixed/dynamic blocks, LZ77 window, CRC32+ISIZE verify) — exact byte recovery proven per-doc via md5 vs the uncompressed source"),
     Q("q130_url_csv", urlCsvRead, Some(urlCsvReadSql),
       "O24 URL CSV fetch: stream-to-spool + distributed parse (file:// in-sandbox)"),
     Q("q136_csv_prefix", csvPrefix, Some(csvPrefixSql),

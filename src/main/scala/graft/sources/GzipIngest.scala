@@ -1,0 +1,270 @@
+package graft.sources
+
+/** REAL compressed-text ingestion (q196) — the container web-scale
+  * corpora actually arrive in: gzip members (RFC 1952) wrapping DEFLATE
+  * streams (RFC 1951). Unlike q186's PNG lane (which delegated the
+  * bitstream to java.util.zip.Inflater), the decompressor here is OWN
+  * code end-to-end: an LSB-first bit reader, canonical-Huffman decoding
+  * without trees (count/offset tables per code length), all three
+  * DEFLATE block types — stored (00), fixed-Huffman (01) and
+  * dynamic-Huffman (10, with the 16/17/18 code-length run alphabet) —
+  * and the LZ77 window copy with overlapping back-references. The only
+  * JDK pieces on the READ path are CRC32 (a checksum, not a decoder)
+  * used to VERIFY the member trailer, and MessageDigest nowhere — the
+  * bytes themselves come from this file's loops.
+  *
+  * The WRITE path is deliberately JDK-owned where it matters: the
+  * compressed bitstream comes from java.util.zip.Deflater (we do not
+  * control its block-splitting or Huffman choices, so the decoder is
+  * honest), at a compression level cycling 0/1/6/9 across the corpus so
+  * stored, fixed and dynamic blocks all occur in the staged fixture.
+  * The gzip framing around it is written here (header flags, CRC32 +
+  * ISIZE trailer) — InflateSpec holds those constructed members against
+  * GZIPInputStream, the JDK's INDEPENDENT container reader, so the
+  * framing bytes are cross-validated too.
+  *
+  * Reference behavior: the reference suite ingests its CSV input
+  * pre-decompressed (benchmark-pandas-vs-polars-… main.rs:24 reads the
+  * plain CSV); a 100 TB corpus never ships uncompressed, so this lane
+  * adds the decompression half the reference leaves to the shell.
+  */
+object GzipIngest {
+
+  /** Per-member block-type counters (stored/fixed/dynamic) so specs can
+    * prove which DEFLATE paths a corpus actually exercised.
+    */
+  final case class BlockStats(stored: Int, fixedH: Int, dynamicH: Int)
+
+  // ---- RFC 1951 constants ----
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+    97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+    6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+  private val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+    3, 13, 2, 14, 1, 15)
+
+  /** Canonical Huffman decoder built from code LENGTHS alone (the only
+    * thing the bitstream carries): count[len] + symbols sorted by
+    * (len, symbol). Decode walks bit-by-bit — codes are ≤ 15 bits, so
+    * the walk is bounded and allocation-free.
+    */
+  private final class Huffman(lengths: Array[Int]) {
+    val count = new Array[Int](16)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    require(count.sum > 0, "empty Huffman code")
+    val symbols = new Array[Int](count.sum)
+    private val offs = new Array[Int](16)
+    (1 until 15).foreach(l => offs(l + 1) = offs(l) + count(l))
+    private val fill = offs.clone()
+    lengths.indices.foreach { sym =>
+      val l = lengths(sym)
+      if (l > 0) { symbols(fill(l)) = sym; fill(l) += 1 }
+    }
+    // over-subscribed codes would make decode ambiguous; incomplete
+    // codes are legal (single-symbol distance trees occur in practice)
+    locally {
+      var left = 1
+      (1 to 15).foreach { l => left <<= 1; left -= count(l)
+        require(left >= 0, s"over-subscribed Huffman code at length $l") }
+    }
+  }
+
+  /** LSB-first bit reader over the member's compressed body. */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    def bits(n: Int): Int = {
+      while (bitCnt < n) {
+        require(pos < data.length, "DEFLATE stream truncated")
+        bitBuf |= (data(pos) & 0xff) << bitCnt
+        pos += 1; bitCnt += 8
+      }
+      val v = bitBuf & ((1 << n) - 1)
+      bitBuf >>>= n; bitCnt -= n
+      v
+    }
+    def decode(h: Huffman): Int = {
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= 15) {
+        code |= bits(1)
+        val cnt = h.count(len)
+        if (code - first < cnt) return h.symbols(index + (code - first))
+        index += cnt; first = (first + cnt) << 1; code <<= 1
+        len += 1
+      }
+      throw new IllegalArgumentException("invalid Huffman code in stream")
+    }
+    def alignByte(): Unit = { bitBuf = 0; bitCnt = 0 }
+  }
+
+  private val FixedLit: Huffman = new Huffman(
+    Array.tabulate(288)(i =>
+      if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8))
+  private val FixedDist: Huffman = new Huffman(Array.fill(30)(5))
+
+  /** Inflate one DEFLATE stream starting at `data(start)`. Returns the
+    * raw bytes, the position AFTER the stream (the trailer starts
+    * there) and per-block-type stats. Window copies run byte-by-byte so
+    * overlapping back-references (dist < len — the run-length idiom)
+    * are reproduced exactly as RFC 1951 §3.2.3 requires.
+    */
+  def inflate(data: Array[Byte], start: Int): (Array[Byte], Int, BlockStats) = {
+    val br = new BitReader(data, start)
+    var out = new Array[Byte](8192)
+    var outN = 0
+    def ensure(extra: Int): Unit =
+      if (outN + extra > out.length) {
+        var cap = out.length * 2
+        while (cap < outN + extra) cap *= 2
+        out = java.util.Arrays.copyOf(out, cap)
+      }
+    var stored = 0; var fixedB = 0; var dyn = 0
+    var bfinal = 0
+    do {
+      bfinal = br.bits(1)
+      br.bits(2) match {
+        case 0 => // stored: byte-aligned LEN/~LEN then raw copy
+          stored += 1
+          br.alignByte()
+          require(br.pos + 4 <= data.length, "stored block truncated")
+          def u16(i: Int) = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8)
+          val len = u16(br.pos); val nlen = u16(br.pos + 2)
+          require((len ^ 0xffff) == nlen, "stored block LEN/NLEN mismatch")
+          br.pos += 4
+          require(br.pos + len <= data.length, "stored block truncated")
+          ensure(len)
+          System.arraycopy(data, br.pos, out, outN, len)
+          br.pos += len; outN += len
+        case btype @ (1 | 2) =>
+          val (lit, dist) =
+            if (btype == 1) { fixedB += 1; (FixedLit, FixedDist) }
+            else {
+              dyn += 1
+              val hlit = br.bits(5) + 257
+              val hdist = br.bits(5) + 1
+              val hclen = br.bits(4) + 4
+              val clLens = new Array[Int](19)
+              (0 until hclen).foreach(i => clLens(ClOrder(i)) = br.bits(3))
+              val clTree = new Huffman(clLens)
+              val lens = new Array[Int](hlit + hdist)
+              var i = 0
+              while (i < lens.length) {
+                br.decode(clTree) match {
+                  case s if s < 16 => lens(i) = s; i += 1
+                  case 16 =>
+                    require(i > 0, "repeat with no previous length")
+                    val r = 3 + br.bits(2)
+                    (0 until r).foreach { _ => lens(i) = lens(i - 1); i += 1 }
+                  case 17 => i += 3 + br.bits(3)
+                  case 18 => i += 11 + br.bits(7)
+                }
+              }
+              require(i == lens.length, "code-length run overflowed the table")
+              require(lens(256) > 0, "dynamic block has no end-of-block code")
+              (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
+            }
+          var sym = br.decode(lit)
+          while (sym != 256) {
+            if (sym < 256) { ensure(1); out(outN) = sym.toByte; outN += 1 }
+            else {
+              require(sym <= 285, s"invalid length symbol $sym")
+              val li = sym - 257
+              val len = LenBase(li) + br.bits(LenExtra(li))
+              val ds = br.decode(dist)
+              require(ds < 30, s"invalid distance symbol $ds")
+              val d = DistBase(ds) + br.bits(DistExtra(ds))
+              require(d <= outN, s"back-reference $d beyond output $outN")
+              ensure(len)
+              var k = 0
+              while (k < len) { out(outN) = out(outN - d); outN += 1; k += 1 }
+            }
+            sym = br.decode(lit)
+          }
+        case bt => throw new IllegalArgumentException(s"reserved BTYPE $bt")
+      }
+    } while (bfinal == 0)
+    (java.util.Arrays.copyOf(out, outN), br.pos,
+      BlockStats(stored, fixedB, dyn))
+  }
+
+  // ---- RFC 1952 member framing ----
+  private val FTEXT = 1; private val FHCRC = 2; private val FEXTRA = 4
+  private val FNAME = 8; private val FCOMMENT = 16
+
+  /** Parse ONE gzip member: header (magic, CM=8, all five optional
+    * fields honored), own-inflate body, then VERIFY the CRC32 + ISIZE
+    * trailer — a decoder that skips trailer verification would pass
+    * every test until the first corrupted corpus shard.
+    */
+  def gunzipMember(data: Array[Byte]): (Array[Byte], BlockStats) = {
+    def u8(i: Int) = data(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    require(data.length >= 18, "gzip member too short")
+    require(u8(0) == 0x1f && u8(1) == 0x8b, "bad gzip magic")
+    require(u8(2) == 8, s"unsupported CM ${u8(2)} (only DEFLATE)")
+    val flg = u8(3)
+    require((flg & 0xe0) == 0, "reserved FLG bits set")
+    var pos = 10 // MTIME(4) XFL OS skipped
+    if ((flg & FEXTRA) != 0) { pos += 2 + u16(pos) }
+    if ((flg & FNAME) != 0) { while (u8(pos) != 0) pos += 1; pos += 1 }
+    if ((flg & FCOMMENT) != 0) { while (u8(pos) != 0) pos += 1; pos += 1 }
+    if ((flg & FHCRC) != 0) {
+      val crc = new java.util.zip.CRC32()
+      crc.update(data, 0, pos)
+      require((crc.getValue & 0xffff).toInt == u16(pos), "header CRC16 mismatch")
+      pos += 2
+    }
+    val (raw, after, stats) = inflate(data, pos)
+    require(after + 8 <= data.length, "gzip trailer truncated")
+    val crc = new java.util.zip.CRC32()
+    crc.update(raw)
+    require(crc.getValue == u32(after),
+      f"CRC32 mismatch: computed ${crc.getValue}%08x, trailer ${u32(after)}%08x")
+    require((raw.length.toLong & 0xffffffffL) == u32(after + 4),
+      s"ISIZE mismatch: ${raw.length} vs ${u32(after + 4)}")
+    (raw, stats)
+  }
+
+  /** Deflate level for doc `id` — cycles 0/1/6/9 so the staged corpus
+    * contains stored (level 0), fixed-Huffman (small/low-entropy
+    * payloads) and dynamic-Huffman blocks.
+    */
+  def levelFor(id: Long): Int = (id % 4) match {
+    case 0 => 0; case 1 => 1; case 2 => 6; case _ => 9
+  }
+
+  /** Write one gzip member: own framing (magic, FNAME with the doc id —
+    * exercising the variable-length header walk on every fixture row),
+    * JDK Deflater bitstream (nowrap — the raw RFC 1951 stream), own
+    * CRC32 + ISIZE trailer. InflateSpec feeds these same members to
+    * GZIPInputStream to cross-validate the framing.
+    */
+  def gzip(raw: Array[Byte], level: Int, name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(FNAME)
+    out.write(0); out.write(0); out.write(0); out.write(0) // MTIME=0
+    out.write(if (level == 9) 2 else if (level <= 1) 4 else 0) // XFL
+    out.write(255) // OS unknown
+    name.getBytes("US-ASCII").foreach(b => out.write(b & 0xff))
+    out.write(0)
+    val d = new java.util.zip.Deflater(level, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(raw)
+    val c = crc.getValue; val n = raw.length.toLong
+    Seq(c, c >> 8, c >> 16, c >> 24, n, n >> 8, n >> 16, n >> 24)
+      .foreach(v => out.write((v & 0xff).toInt))
+    out.toByteArray
+  }
+}
