@@ -1311,6 +1311,450 @@ object MultimodalOps {
        |ORDER BY g.doc_id, frame_idx""".stripMargin
   }
 
+  // ---- q195: REAL lossy audio CODEC — the first lane where the
+  //      container carries COMPRESSED audio, not raw PCM: G.711 µ-law
+  //      (the telephony companding codec; WAVE format tag 7). The
+  //      staged fixture is a parquet binary column of genuine µ-law
+  //      WAV files: the JDK's own AudioSystem converter compands the
+  //      formula PCM16 signal to 8-bit µ-law codes (we do NOT control
+  //      the encoder) and the JDK writer emits the RIFF container.
+  //      [[UlawCodec.decode]] walks the real container (fmt tag 7,
+  //      8-bit mono validation) and expands every code through an OWN
+  //      closed-form G.711 expander — no JDK on the read path. The
+  //      verb is the q184 energy shape over the DECODED (lossy!)
+  //      samples, plus a per-window sample sum so sign errors can't
+  //      hide under the square. Oracle: DuckDB reproduces the ENTIRE
+  //      lossy round trip in closed form — G.711 encode (bias, segment
+  //      exponent, mantissa) then decode — so a one-bit drift in either
+  //      direction breaks the hash. Formula samples stay within
+  //      ±32000: above the standard CLIP (32635) the JDK encoder
+  //      overflows instead of clipping (probed empirically), so the
+  //      fixture keeps to the domain where the JDK byte equals the
+  //      G.711 closed form. UlawSpec holds own encode byte-for-byte
+  //      and own decode code-for-code against the JDK converter, and
+  //      proves the lane is genuinely lossy. ----
+  object UlawCodec {
+    val SampleRate = 8000
+
+    /** Deterministic PCM16 source sample — bounded to ±32000 (see the
+      * lane note: the JDK encoder is only G.711-conformant below the
+      * standard clip). Spans all eight µ-law exponent segments.
+      */
+    def sample(id: Long, i: Int): Int =
+      (((id * 6151 + i.toLong * 389) % 64001L) - 32000L).toInt
+
+    /** Sample count cycling mod 97 (co-prime with q184's 111): ragged
+      * tails vs the 64-sample window.
+      */
+    def nSamples(id: Long): Int = 160 + (id % 97).toInt
+
+    /** Own closed-form G.711 µ-law compressor — the oracle SQL mirrors
+      * this exactly; UlawSpec holds it byte-for-byte against the JDK
+      * converter over the fixture domain.
+      */
+    def encodeSample(pcm: Int): Int = {
+      val sign = if (pcm < 0) 0x80 else 0x00
+      val mag = math.min(if (pcm < 0) -pcm else pcm, 32635)
+      val b = mag + 0x84
+      var exp = 7
+      var mask = 0x4000
+      while ((b & mask) == 0 && exp > 0) { exp -= 1; mask >>= 1 }
+      val mantissa = (b >> (exp + 3)) & 0x0f
+      ~(sign | (exp << 4) | mantissa) & 0xff
+    }
+
+    /** Own closed-form G.711 µ-law expander (decode). */
+    def decodeSample(u0: Int): Int = {
+      val u = ~u0 & 0xff
+      val exp = (u >> 4) & 7
+      val man = u & 0x0f
+      val v = (((man << 3) + 0x84) << exp) - 0x84
+      if ((u & 0x80) != 0) -v else v
+    }
+
+    /** Encode doc `id`'s formula samples as a real µ-law WAV: the JDK
+      * compands PCM16 -> ULAW and writes the RIFF container (fmt tag
+      * 7) — both halves of the write path are JDK-owned.
+      */
+    def encode(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = sample(id, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val src = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val dst = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+        SampleRate.toFloat, 8, 1, 1, SampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), src, n.toLong)
+      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(dst, ais)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(conv,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Dependency-free parser for µ-law WAVs: RIFF/WAVE chunk walk
+      * (word-aligned), fmt validation — tag 7 (µ-law), mono, 8-bit —
+      * then every data byte expands through [[decodeSample]]. Returns
+      * (sampleRate, decoded PCM16 samples). No JDK audio code runs on
+      * this path.
+      */
+    def decode(bytes: Array[Byte]): (Int, Array[Int]) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def i32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I'
+        && bytes(2) == 'F' && bytes(3) == 'F', "not a RIFF container")
+      require(bytes(8) == 'W' && bytes(9) == 'A'
+        && bytes(10) == 'V' && bytes(11) == 'E', "not a WAVE form")
+      var pos = 12
+      var sr = -1
+      var samples: Array[Int] = null
+      while (pos + 8 <= bytes.length) {
+        val cid = new String(bytes, pos, 4, "US-ASCII")
+        val sz = i32(pos + 4)
+        val body = pos + 8
+        cid match {
+          case "fmt " =>
+            require(u16(body) == 7, s"expected ULAW (7), got ${u16(body)}")
+            require(u16(body + 2) == 1, "expected mono")
+            sr = i32(body + 4)
+            require(u16(body + 14) == 8,
+              s"expected 8-bit mu-law codes, got ${u16(body + 14)}")
+          case "data" =>
+            samples = new Array[Int](sz)
+            var i = 0
+            while (i < sz) { samples(i) = decodeSample(u8(body + i)); i += 1 }
+          case _ => () // skip LIST/fact/other chunks
+        }
+        pos = body + sz + (sz & 1)
+      }
+      require(sr > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      (sr, samples)
+    }
+  }
+
+  // ---- q197: REAL raw-video container — YUV4MPEG2 (the uncompressed
+  //      interchange format of ffmpeg/x264 pipelines), adding the one
+  //      media dimension no earlier lane has: CHROMA SUBSAMPLING. The
+  //      planes are 4:2:0 — U and V at half resolution both ways — so
+  //      the decode verb must upsample chroma (each 2×2 luma block
+  //      shares one chroma sample) and convert limited-range BT.601
+  //      YUV→RGB in exact integer arithmetic; get the plane geometry,
+  //      the shared-chroma indexing or the fixed-point matrix wrong by
+  //      one and every pixel sum drifts. Honesty caveat, stated
+  //      plainly: the JDK has no Y4M codec, so unlike q178–q195 BOTH
+  //      the fixture writer and the parser are own code. The guards
+  //      are (a) the closed-form plane-formula oracle (layout bugs —
+  //      plane order, stride, subsampled dims — change the sums),
+  //      (b) Y4mSpec's GOLDEN BYTES: a hand-authored container for a
+  //      tiny doc, written out longhand in the spec without calling
+  //      the writer, must equal the writer's output AND parse back,
+  //      and (c) a foreign-flavor header (unknown X-params, different
+  //      framerate) the writer never emits must still parse. The verb
+  //      is the video-pipeline shape: sample every 2nd frame, RGB
+  //      channel sums per sampled frame, luma motion vs the UNSAMPLED
+  //      predecessor. ----
+  object Y4mCodec {
+    /** Luma plane formula — limited-range valid ([16,235]), with the
+      * q186-style curvature so content varies across docs and frames.
+      */
+    def lumaY(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 31 + f * 53 + y * 97 + x * 17
+        + (id % 7 + 1) * x * x * 5 + (id % 5 + 1) * y * y * 7) % 220).toInt + 16
+
+    /** Chroma planes at QUARTER resolution (half each way), indexed by
+      * chroma coordinates — valid limited range [16,240].
+      */
+    def chromaU(id: Long, f: Int, cx: Int, cy: Int): Int =
+      ((id * 41 + f * 29 + cy * 61 + cx * 23) % 225).toInt + 16
+    def chromaV(id: Long, f: Int, cx: Int, cy: Int): Int =
+      ((id * 43 + f * 37 + cy * 59 + cx * 19) % 225).toInt + 16
+
+    /** Even dims (4:2:0 requires them) cycling over co-prime ranges. */
+    def dims(id: Long): (Int, Int) =
+      (8 + 2 * (id % 5).toInt, 6 + 2 * (id % 4).toInt)
+
+    def nFrames(id: Long): Int = 2 + (id % 4).toInt
+
+    /** Limited-range BT.601 integer conversion (the ITU fixed-point
+      * form; both engines reproduce it bit-exactly — `>>` is an
+      * arithmetic shift in Scala and DuckDB alike).
+      */
+    def yuv2rgb(yv: Int, u: Int, v: Int): (Int, Int, Int) = {
+      val c = yv - 16; val d = u - 128; val e = v - 128
+      def clamp(x: Int): Int = if (x < 0) 0 else if (x > 255) 255 else x
+      (clamp((298 * c + 409 * e + 128) >> 8),
+        clamp((298 * c - 100 * d - 208 * e + 128) >> 8),
+        clamp((298 * c + 516 * d + 128) >> 8))
+    }
+
+    /** Write doc `id` as a real YUV4MPEG2 stream: the standard header
+      * line (with an XYSCSS extension param, as mainstream emitters
+      * produce), then FRAME-delimited planar 4:2:0 payloads.
+      */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg XYSCSS=420JPEG\n"
+        .getBytes("US-ASCII"))
+      (0 until nFrames(id)).foreach { f =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out.write(lumaY(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        var cy = 0
+        while (cy < h / 2) {
+          var cx = 0
+          while (cx < w / 2) { out.write(chromaU(id, f, cx, cy)); cx += 1 }
+          cy += 1
+        }
+        cy = 0
+        while (cy < h / 2) {
+          var cx = 0
+          while (cx < w / 2) { out.write(chromaV(id, f, cx, cy)); cx += 1 }
+          cy += 1
+        }
+      }
+      out.toByteArray
+    }
+
+    /** Parse a YUV4MPEG2 stream: stream-header tag walk (W/H/F/I/A/C
+      * required-or-defaulted, unknown X params skipped — foreign
+      * emitters attach them freely), C420-family validation, then the
+      * FRAME walk (frame-level params tolerated) collecting planar
+      * Y/U/V per frame. Returns (w, h, frames as (Y, U, V) planes).
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, IndexedSeq[(Array[Int], Array[Int], Array[Int])]) = {
+      var pos = 0
+      def line(): String = {
+        val start = pos
+        while (bytes(pos) != '\n') pos += 1
+        pos += 1
+        new String(bytes, start, pos - 1 - start, "US-ASCII")
+      }
+      val hdr = line()
+      require(hdr.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+      var w = -1; var h = -1; var colorspace = "420jpeg"
+      hdr.split(' ').drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => colorspace = p.substring(1)
+          case 'F' | 'I' | 'A' | 'X' => () // rate/interlace/aspect/extension
+          case c => throw new IllegalArgumentException(s"unknown header tag $c")
+        }
+      }
+      require(w > 0 && h > 0, "missing W/H in stream header")
+      require(colorspace.startsWith("420"),
+        s"only C420 layouts supported, got C$colorspace")
+      require(w % 2 == 0 && h % 2 == 0, s"odd dims ${w}x$h for 4:2:0")
+      val ySz = w * h; val cSz = (w / 2) * (h / 2)
+      val frames = IndexedSeq.newBuilder[(Array[Int], Array[Int], Array[Int])]
+      while (pos < bytes.length) {
+        val fl = line()
+        require(fl == "FRAME" || fl.startsWith("FRAME "),
+          s"expected FRAME marker, got '$fl'")
+        require(pos + ySz + 2 * cSz <= bytes.length, "truncated frame payload")
+        def plane(n: Int): Array[Int] = {
+          val p = Array.tabulate(n)(i => bytes(pos + i) & 0xff)
+          pos += n; p
+        }
+        frames += ((plane(ySz), plane(cSz), plane(cSz)))
+      }
+      val fs = frames.result()
+      require(fs.nonEmpty, "stream has no frames")
+      (w, h, fs)
+    }
+  }
+
+  final case class Y4mRow(doc_id: Long, video: Array[Byte])
+  final case class Y4mFrameFeat(doc_id: Long, n_frames: Int, frame_idx: Int,
+                                w: Int, h: Int, sum_r: Long, sum_g: Long,
+                                sum_b: Long, motion_y: Long)
+
+  def y4mFrameRgb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_y4m_$hex")
+    val marker = dir.resolve("_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "y4m-fixture-v1:31/53/97/17+chroma")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(dir)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Y4mRow(id, Y4mCodec.encode(id))))
+        .toDF()
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(dir.toString)
+      .select(col("doc_id"), col("video"))
+      .as[Y4mRow]
+      .mapPartitions { rows =>
+        rows.flatMap { rec =>
+          val (w, h, frames) = Y4mCodec.decode(rec.video)
+          frames.indices.iterator.filter(_ % 2 == 0).map { f =>
+            val (yp, up, vp) = frames(f)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val (r, g, b) = Y4mCodec.yuv2rgb(
+                  yp(y * w + x),
+                  up((y / 2) * (w / 2) + x / 2),
+                  vp((y / 2) * (w / 2) + x / 2))
+                sr += r; sg += g; sb += b
+                x += 1
+              }
+              y += 1
+            }
+            var motion = 0L
+            if (f > 0) {
+              val prev = frames(f - 1)._1
+              var k = 0
+              while (k < yp.length) { motion += math.abs(yp(k) - prev(k)); k += 1 }
+            }
+            Y4mFrameFeat(rec.doc_id, frames.length, f, w, h, sr, sg, sb, motion)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // Closed-form oracle over the plane formulas: the header walk, plane
+  // geometry (full-res Y, quarter-res U/V), shared-chroma indexing and
+  // the fixed-point BT.601 matrix must all be exact or the channel
+  // sums drift. DuckDB's >> is an arithmetic shift like Scala's, so
+  // the >>8 descale is bit-identical on both sides.
+  private val y4mFrameRgbSql = {
+    def yE(fE: String, xE: String, yE0: String) =
+      s"(((doc_id * 31 + ($fE) * 53 + ($yE0) * 97 + ($xE) * 17" +
+        s" + (doc_id % 7 + 1) * ($xE) * ($xE) * 5" +
+        s" + (doc_id % 5 + 1) * ($yE0) * ($yE0) * 7) % 220) + 16)"
+    def uE(fE: String) =
+      s"(((doc_id * 41 + ($fE) * 29 + ((k // w) // 2) * 61 + ((k % w) // 2) * 23) % 225) + 16)"
+    def vE(fE: String) =
+      s"(((doc_id * 43 + ($fE) * 37 + ((k // w) // 2) * 59 + ((k % w) // 2) * 19) % 225) + 16)"
+    def clamp(e: String) = s"LEAST(GREATEST($e, 0), 255)"
+    val c = s"(${yE("f", "k % w", "k // w")} - 16)"
+    val dd = s"(${uE("f")} - 128)"
+    val ee = s"(${vE("f")} - 128)"
+    s"""WITH g AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+       |    6 + 2 * (doc_id % 4) AS h, 2 + (doc_id % 4) AS n FROM documents),
+       |sf AS (SELECT doc_id, w, h, n, unnest(range(0, n)) AS f FROM g
+       |       WHERE true),
+       |px AS (SELECT doc_id, w, h, f,
+       |    ${clamp(s"((298 * $c + 409 * $ee + 128) >> 8)")} AS r,
+       |    ${clamp(s"((298 * $c - 100 * $dd - 208 * $ee + 128) >> 8)")} AS gg,
+       |    ${clamp(s"((298 * $c + 516 * $dd + 128) >> 8)")} AS b,
+       |    CASE WHEN f > 0 THEN ABS(${yE("f", "k % w", "k // w")}
+       |      - ${yE("f - 1", "k % w", "k // w")}) ELSE 0 END AS dy
+       |  FROM (SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS k FROM sf
+       |        WHERE f % 2 = 0)),
+       |agg AS (SELECT doc_id, f, SUM(r) AS sum_r, SUM(gg) AS sum_g,
+       |    SUM(b) AS sum_b, SUM(dy) AS motion_y
+       |  FROM px GROUP BY doc_id, f)
+       |SELECT g.doc_id, CAST(g.n AS INTEGER) AS n_frames,
+       |  CAST(agg.f AS INTEGER) AS frame_idx,
+       |  CAST(g.w AS INTEGER) AS w, CAST(g.h AS INTEGER) AS h,
+       |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       |  CAST(sum_b AS BIGINT) AS sum_b,
+       |  CAST(motion_y AS BIGINT) AS motion_y
+       |FROM g JOIN agg USING (doc_id)
+       |ORDER BY g.doc_id, frame_idx""".stripMargin
+  }
+
+  final case class UlawRow(doc_id: Long, audio: Array[Byte])
+  final case class UlawWindow(doc_id: Long, sr: Int, win: Int,
+                              n_samples: Int, energy: Long, dsum: Long)
+
+  def ulawDecodeEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_ulaw_$hex")
+    val marker = dir.resolve("_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "ulaw-fixture-v1:6151*id+389*i")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(dir)
+      // distributed ENCODE stage: executors compand + containerize via
+      // the JDK per-partition; parquet stores the opaque binary files
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => UlawRow(id, UlawCodec.encode(id))))
+        .toDF()
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(dir.toString)
+      .select(col("doc_id"), col("audio"))
+      .as[UlawRow]
+      .mapPartitions { rows =>
+        rows.flatMap { rec =>
+          val (sr, smp) = UlawCodec.decode(rec.audio)
+          val nWin = (smp.length + 63) / 64
+          (0 until nWin).iterator.map { i =>
+            val lo = i * 64
+            val hi = math.min(lo + 64, smp.length)
+            var e = 0L
+            var ds = 0L
+            var j = lo
+            while (j < hi) {
+              val v = smp(j).toLong
+              e += v * v
+              ds += v
+              j += 1
+            }
+            UlawWindow(rec.doc_id, sr, i, hi - lo, e, ds)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "win")
+  }
+
+  // Closed-form oracle reproducing the FULL lossy round trip: G.711
+  // encode (bias 132, segment exponent, 4-bit mantissa) then decode,
+  // all in integer SQL. A one-bit drift in the compander, the
+  // container walk, or the expander changes the window sums and the
+  // hash breaks.
+  private val ulawDecodeEnergySql =
+    s"""WITH g AS (SELECT doc_id, 160 + (doc_id % 97) AS n FROM documents),
+       |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM g),
+       |p AS (SELECT doc_id, n, i,
+       |   (((doc_id * 6151 + i * 389) % 64001) - 32000) AS pcm FROM s),
+       |m AS (SELECT doc_id, n, i,
+       |   (CASE WHEN pcm < 0 THEN -pcm ELSE pcm END) + 132 AS b,
+       |   (CASE WHEN pcm < 0 THEN -1 ELSE 1 END) AS sgn FROM p),
+       |x AS (SELECT doc_id, n, i, sgn, b,
+       |   (CASE WHEN b >= 16384 THEN 7 WHEN b >= 8192 THEN 6
+       |         WHEN b >= 4096 THEN 5 WHEN b >= 2048 THEN 4
+       |         WHEN b >= 1024 THEN 3 WHEN b >= 512 THEN 2
+       |         WHEN b >= 256 THEN 1 ELSE 0 END) AS ex FROM m),
+       |d AS (SELECT doc_id, n, i // 64 AS win,
+       |   sgn * (((((b >> (ex + 3)) & 15) * 8 + 132) << ex) - 132) AS dec
+       |   FROM x)
+       |SELECT doc_id, CAST(${UlawCodec.SampleRate} AS INTEGER) AS sr,
+       | CAST(win AS INTEGER) AS win,
+       | CAST(COUNT(*) AS INTEGER) AS n_samples,
+       | CAST(SUM(dec * dec) AS BIGINT) AS energy,
+       | CAST(SUM(dec) AS BIGINT) AS dsum
+       |FROM d GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "binary media column -> partition-batched (stub) decode -> features"),
@@ -1329,5 +1773,9 @@ object MultimodalOps {
     Q("q189_png_phash_neardup", pngPhashPairs, Some(pngPhashPairsSql),
       "perceptual near-dup candidates over REAL decoded pixels: 56-bit dHash from the PNG corpus (map-side decode + 9x7 grid), 4x14-bit banded LSH equi-join (never all-pairs), exact Hamming verify on the bounded candidate set"),
     Q("q190_gif_frames", gifFrameFeatures, Some(gifFrameFeaturesSql),
-      "REAL multi-frame container decode: JDK-encoded animated GIFs, own parser with a full GIF-LZW decompressor — decode ALL frames, sample every 2nd, spatial + motion energy (vs the unsampled predecessor) per sampled frame"))
+      "REAL multi-frame container decode: JDK-encoded animated GIFs, own parser with a full GIF-LZW decompressor — decode ALL frames, sample every 2nd, spatial + motion energy (vs the unsampled predecessor) per sampled frame"),
+    Q("q195_ulaw_codec", ulawDecodeEnergy, Some(ulawDecodeEnergySql),
+      "REAL lossy audio codec: JDK-companded G.711 mu-law WAV files (fmt tag 7), own closed-form expander + chunk-walking parser — energy + sample-sum verb over the decoded samples; oracle reproduces the full lossy round trip in integer SQL"),
+    Q("q197_y4m_video", y4mFrameRgb, Some(y4mFrameRgbSql),
+      "REAL raw-video container: YUV4MPEG2 streams with 4:2:0 chroma subsampling — own header/FRAME walk, shared-chroma upsampling, integer BT.601 YUV->RGB — RGB channel sums per sampled frame + luma motion vs the unsampled predecessor"))
 }
