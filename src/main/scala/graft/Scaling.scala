@@ -120,7 +120,10 @@ object Scaling {
     ("q191_index_versions", "versioned index manifest (generation-pinned reads)", "embeddings"),
     ("q192_sq8_search", "SQ8 scalar-quantization ADC search (measured recall)", "embeddings"),
     ("q193_stream_versioned_serve", "zero-downtime index swap under a live query stream", "embeddings"),
-    ("q194_jsonl_ingest", "nested JSONL ingest via sampled schema inference", "documents"))
+    ("q194_jsonl_ingest", "nested JSONL ingest via sampled schema inference", "documents"),
+    ("q195_ulaw_codec", "REAL lossy G.711 mu-law decode (own expander)", "documents"),
+    ("q196_gzip_ingest", "gzip ingestion via an OWN full DEFLATE decoder", "documents"),
+    ("q197_y4m_video", "REAL Y4M 4:2:0 video: chroma upsample + BT.601 RGB", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
