@@ -94,6 +94,23 @@ object Plans {
         "LSH band equi-join candidate generation (no cross join), " +
         "native minhash_sig kernel\n\n```\n" + plan + "```\n")
     }
+    // q198 pre-materialization plan (the registry entry checkpoints the
+    // routing before the three reuse scans)
+    locally {
+      val all = ops.SimilarityOps.baseFor(spark, d)
+      val k = ops.SimilarityOps.ivfKFor(
+        spark.read.parquet(s"$d/embeddings.parquet").count())
+      val (assigned, _) = ops.SimilarityOps.ivfRouting(all, k)
+      val plan = ops.SimilarityOps.cellSplitOn(assigned, k)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q198_cell_split (pre-materialization)\n\n" +
+        "IVF cell split (rebalance): occupancy and the seed kit are " +
+        "k-row / budget-row aggregates that BROADCAST back into the " +
+        "routed corpus — reassignment is a map-side cosine compare; " +
+        "after the routing argmin the corpus never shuffles (the " +
+        "registered lane checkpoints the routing once and scans it " +
+        "three times)\n\n```\n" + plan + "```\n")
+    }
     // q152 pre-materialization plan (the registry entry checkpoints)
     locally {
       val (lazyPlan, handles) = ops.TextOps.dsirWeightLazy(spark, d)

@@ -2431,6 +2431,103 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |SELECT occupancy, CAST(COUNT(*) AS BIGINT) AS n_cells
        |FROM occ GROUP BY occupancy ORDER BY occupancy""".stripMargin
 
+  // ---- q198: IVF CELL SPLIT — the maintenance op q175's audit calls
+  //      for: when occupancy skews, a deployment SPLITS heavy cells
+  //      rather than retraining the whole coarse index. Policy is a
+  //      deterministic REBALANCE BUDGET (top ceil(k/8) most-occupied
+  //      cells per maintenance cycle, ties to the lower cell id) —
+  //      measured occupancy at the registered scales is fairly
+  //      balanced (max ≈ 1.3× mean at sf0.01), so a skew THRESHOLD
+  //      would fire on nothing; a budgeted pass over the heaviest
+  //      cells is what a periodic maintenance job actually runs.
+  //      Each chosen cell splits on two deterministic seeds — its
+  //      min-id and max-id members (the q07 min_by(struct) discipline
+  //      carries the seed VECTORS out of the same aggregate, no
+  //      second fetch join) — and members reassign to the nearer seed
+  //      by cosine (ties to sub 0, so the degenerate occupancy-1 and
+  //      duplicate-vector cells are well-defined). Scale shape: the
+  //      routed relation is checkpointed once and scanned three times
+  //      (occupancy count, seed-kit aggregate, reassignment); the
+  //      cell ranking windows over k ≤ 50k metadata rows, the chosen
+  //      set and seed kits ride as broadcasts; the corpus never
+  //      shuffles after routing. Output = per split cell: occupancy
+  //      before and per-sub-cell after — the balance evidence the
+  //      next q175 audit would read. Oracle re-derives the whole
+  //      chain (routing, budget ranking, seed selection, cosine
+  //      reassignment) in SQL from the shared CTEs. ----
+  def cellSplit(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d)
+    val k = ivfCellCount(s, d)
+    val (assigned0, _) = ivfRouting(all, k, IvfProbes)
+    // reused by three aggregates below — materialize the n×k routing
+    // pass once (the q174/q171 checkpoint precedent)
+    cellSplitOn(assigned0.localCheckpoint(true), k)
+  }
+
+  /** The split chain from an already-routed relation — the registered
+    * lane feeds it the checkpointed routing; Plans dumps it lazily.
+    */
+  private[graft] def cellSplitOn(assigned: DataFrame, k: Long): DataFrame = {
+    val nSplit = math.max(1L, k / 8)
+    val occ = assigned.groupBy("cell").agg(count(lit(1)).as("occ_before"))
+    // ranking k metadata rows: the single-partition window is k ≤ 50k
+    val wo = Window.orderBy(col("occ_before").desc, col("cell").asc)
+    val chosen = occ.withColumn("orn", row_number().over(wo))
+      .filter(col("orn") <= nSplit)
+      .select("cell", "occ_before")
+    // seed kit: min-id / max-id member of each chosen cell, vectors
+    // carried through the struct agg (vec_id leads, so the array field
+    // is never compared)
+    val seedKit = assigned.join(broadcast(chosen), Seq("cell"))
+      .groupBy("cell")
+      .agg(min(struct(col("vec_id"), col("v"), col("nrm"))).as("m0"),
+           max(struct(col("vec_id"), col("v"), col("nrm"))).as("m1"),
+           first(col("occ_before")).as("occ_before"))
+      .select(col("cell"), col("occ_before"),
+              col("m0.v").as("v0"), col("m0.nrm").as("n0"),
+              col("m1.v").as("v1"), col("m1.nrm").as("n1"))
+    // reassignment: nearer seed by cosine, identical fold + division
+    // order on both engines; >= sends ties (and the occ-1 cell, where
+    // both seeds are the member itself) to sub 0
+    assigned.join(broadcast(seedKit), Seq("cell"))
+      .withColumn("sub",
+        when(vecDot(col("v"), col("v0")) / (col("nrm") * col("n0"))
+          >= vecDot(col("v"), col("v1")) / (col("nrm") * col("n1")), 0L)
+          .otherwise(1L))
+      .groupBy("cell")
+      .agg(first(col("occ_before")).as("occ_before"),
+           sum(when(col("sub") === 0L, 1L).otherwise(0L)).as("occ_sub0"),
+           sum(when(col("sub") === 1L, 1L).otherwise(0L)).as("occ_sub1"))
+      .orderBy("cell")
+  }
+
+  private val cellSplitSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |socc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ_before
+       |         FROM iasg GROUP BY cell),
+       |schosen AS (SELECT cell, occ_before FROM
+       |   (SELECT cell, occ_before, row_number() OVER
+       |      (ORDER BY occ_before DESC, cell ASC) AS orn FROM socc)
+       |   WHERE orn <= (SELECT GREATEST(1, k // 8) FROM ikq)),
+       |ssds AS (SELECT a.cell, MIN(a.vec_id) AS s0, MAX(a.vec_id) AS s1
+       |         FROM iasg a JOIN schosen c ON a.cell = c.cell
+       |         GROUP BY a.cell),
+       |skit AS (SELECT ssds.cell, a0.v AS v0, a0.nrm AS n0,
+       |                a1.v AS v1, a1.nrm AS n1
+       |         FROM ssds JOIN iasg a0 ON a0.vec_id = ssds.s0
+       |                   JOIN iasg a1 ON a1.vec_id = ssds.s1),
+       |sre AS (SELECT m.cell,
+       |   CASE WHEN (${dotFoldSql("m.v", "skit.v0")}) / (m.nrm * skit.n0)
+       |          >= (${dotFoldSql("m.v", "skit.v1")}) / (m.nrm * skit.n1)
+       |        THEN 0 ELSE 1 END AS sub
+       |   FROM iasg m JOIN skit ON m.cell = skit.cell)
+       |SELECT c.cell, c.occ_before,
+       |  CAST(SUM(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS occ_sub0,
+       |  CAST(SUM(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS occ_sub1
+       |FROM sre JOIN schosen c ON sre.cell = c.cell
+       |GROUP BY c.cell, c.occ_before ORDER BY c.cell""".stripMargin
+
   // ---- q174: FILTERED ANN — metadata-filtered vector search, the
   //      serving feature every production vector store exposes
   //      ("nearest neighbors WHERE label = X") and the classic
@@ -3617,6 +3714,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),
       "IVF index-health audit: cell-occupancy histogram incl. empty cells — the skew/hot-cell monitoring a vector-store deployment runs, and the check on the k=ceil(n/64) sizing policy"),
+    Q("q198_cell_split", cellSplit, Some(cellSplitSql),
+      "IVF cell split (index rebalance): top ceil(k/8) most-occupied cells split on deterministic min/max-id seed members, cosine reassignment to the nearer seed — per-cell before/after occupancies, the maintenance op q175's audit feeds"),
     Q("q176_mmr_rerank", mmrRerank, Some(mmrRerankSql),
       "MMR diversified re-ranking (lambda=0.5): 10 unrolled integer-exact greedy rounds over the exact top-30 pool — retrieval de-redundification before results reach a training batch"),
     Q("q164_ann_multilsh", simAnnMultiLsh, Some(simAnnMultiLshSql),
