@@ -404,6 +404,16 @@ object SimilarityOps {
     val cents = all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
               col("nrm").as("cn"))
+    ivfRoutingRankedWith(all, cents, nProbes, queryPred)
+  }
+
+  /** Routing against an EXPLICIT centroid relation `(cid, cv, cn)` —
+    * q199 routes the corpus under the post-split kit, whose centroids
+    * are no longer a vec_id prefix of the corpus.
+    */
+  private[graft] def ivfRoutingRankedWith(
+      all: DataFrame, cents: DataFrame, nProbes: Int,
+      queryPred: Column): (DataFrame, DataFrame) = {
     // n×k candidate scores from a broadcast nested-loop join; the
     // corpus side never shuffles
     val scored = all.crossJoin(broadcast(cents))
@@ -2528,6 +2538,163 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |FROM sre JOIN schosen c ON sre.cell = c.cell
        |GROUP BY c.cell, c.occ_before ORDER BY c.cell""".stripMargin
 
+  // ---- q199: SERVING UNDER THE POST-SPLIT KIT — q198 decides the
+  //      split; this lane prices it at the serving surface. The new
+  //      centroid kit = the unsplit original centroids plus BOTH seed
+  //      vectors of every split cell (seed ids cannot collide with
+  //      kept cids: a centroid vector self-assigns, so the only
+  //      member of cell c with id < k is c itself, which the split
+  //      removes). The corpus then re-routes by exact argmin over the
+  //      new kit — the honest referent: a production rebalance
+  //      reassigns only the split cells' members (q198's move) and
+  //      tolerates the approximation; this lane prices the EXACT
+  //      re-route so that approximation has a measured baseline.
+  //      Output = per query and phase (before/after): probe candidate
+  //      count and recall@$TopK vs the exact truth, plus the index
+  //      balance metrics the split exists to improve — max cell
+  //      occupancy and Σocc² (the expected-probe-cost proxy: a
+  //      uniformly-routed query scores a list of expected length
+  //      Σocc²/n). Scale shape: both routings are the q50 broadcast
+  //      argmin (map-side collapse before any exchange), the kit and
+  //      probe relations broadcast, truth is the one controlled
+  //      broadcast cross join every eval lane pays; the before-phase
+  //      routing is checkpointed and REUSED for occupancy, seeds and
+  //      scoring. ----
+  def splitServing(s: SparkSession, d: String): DataFrame = {
+    val all = base(s, d).localCheckpoint(true)
+    val k = ivfCellCount(s, d)
+    val (assignedB0, probesB) = ivfRouting(all, k, IvfProbes)
+    val assignedB = assignedB0.localCheckpoint(true)
+    val nSplit = math.max(1L, k / 8)
+    val occB = assignedB.groupBy("cell").agg(count(lit(1)).as("ob"))
+    val wo = Window.orderBy(col("ob").desc, col("cell").asc)
+    val chosen = occB.withColumn("orn", row_number().over(wo))
+      .filter(col("orn") <= nSplit).select("cell")
+    val seeds = assignedB.join(broadcast(chosen), Seq("cell"))
+      .groupBy("cell")
+      .agg(min(struct(col("vec_id"), col("v"), col("nrm"))).as("m0"),
+           max(struct(col("vec_id"), col("v"), col("nrm"))).as("m1"))
+    val keptCents = all.filter(col("vec_id") < k)
+      .join(broadcast(chosen), col("vec_id") === col("cell"), "left_anti")
+      .select(col("vec_id").as("cid"), toDouble(col("v")).as("cv"),
+              col("nrm").as("cn"))
+    val seedCents = seeds
+      .select(explode(array(col("m0"), col("m1"))).as("m"))
+      .select(col("m.vec_id").as("cid"), toDouble(col("m.v")).as("cv"),
+              col("m.nrm").as("cn"))
+      .dropDuplicates("cid") // degenerate occ-1 cells: both seeds coincide
+    val newKit = keptCents.unionByName(seedCents).localCheckpoint(true)
+    val (assignedA0, rankedA) =
+      ivfRoutingRankedWith(all, newKit, IvfProbes, col("vec_id") < NQueries)
+    val assignedA = assignedA0.localCheckpoint(true)
+    val probesA = rankedA.drop("crn")
+    val truth = simTopKOn(all).select("qid", "vec_id").localCheckpoint(true)
+    def phase(tag: String, assigned: DataFrame, probes: DataFrame): DataFrame = {
+      val scored = scoreProbed(assigned, probes)
+      val nCand = scored.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      val top = rankTopK(scored)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val occStats = assigned.groupBy("cell").agg(count(lit(1)).as("o"))
+        .agg(max(col("o")).as("max_occ"),
+             sum(col("o") * col("o")).as("occ_sq_sum"))
+      truth.join(broadcast(top), Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+             expr(s"(sum(coalesce(hit, 0)) * 1000000) div $TopK")
+               .as("recall_millionths"))
+        .join(broadcast(nCand), Seq("qid"))
+        .crossJoin(broadcast(occStats))
+        .select(lit(tag).as("phase"), col("qid"), col("n_cand"),
+                col("n_overlap"), col("recall_millionths"),
+                col("max_occ"), col("occ_sq_sum"))
+    }
+    phase("before", assignedB, probesB)
+      .unionByName(phase("after", assignedA, probesA))
+      .orderBy("phase", "qid")
+  }
+
+  private val splitServingSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |zocc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS ob
+       |         FROM iasg GROUP BY cell),
+       |zchosen AS (SELECT cell FROM
+       |   (SELECT cell, row_number() OVER (ORDER BY ob DESC, cell ASC) AS orn
+       |    FROM zocc)
+       |   WHERE orn <= (SELECT GREATEST(1, k // 8) FROM ikq)),
+       |zsds AS (SELECT a.cell, MIN(a.vec_id) AS s0, MAX(a.vec_id) AS s1
+       |         FROM iasg a JOIN zchosen c ON a.cell = c.cell
+       |         GROUP BY a.cell),
+       |zsid AS (SELECT DISTINCT sid FROM
+       |   (SELECT s0 AS sid FROM zsds UNION ALL SELECT s1 AS sid FROM zsds)),
+       |zncc AS (SELECT cid, cv, cn FROM icc
+       |           WHERE cid NOT IN (SELECT cell FROM zchosen)
+       |         UNION ALL
+       |         SELECT n.vec_id AS cid, n.v AS cv, n.nrm AS cn
+       |           FROM n JOIN zsid ON n.vec_id = zsid.sid),
+       |zia AS (SELECT n.vec_id, n.v, n.nrm, zncc.cid,
+       |  -(${dotFoldSql("n.v", "zncc.cv")}) / (n.nrm * zncc.cn) AS negsim
+       |  FROM n CROSS JOIN zncc),
+       |zr0 AS (SELECT vec_id, v, nrm, cid, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY negsim ASC, cid ASC) AS crn FROM zia),
+       |zasg AS (SELECT vec_id, v, nrm, cid AS cell FROM zr0 WHERE crn = 1),
+       |zprb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
+       |           FROM zr0 WHERE crn <= $IvfProbes AND vec_id < $NQueries),
+       |ztq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |        WHERE vec_id < $NQueries),
+       |zts AS (SELECT q.qid, n.vec_id,
+       |  round(${dotFoldSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cos_r
+       |  FROM n CROSS JOIN ztq q WHERE n.vec_id <> q.qid),
+       |ztruth AS (SELECT qid, vec_id FROM
+       |   (SELECT qid, vec_id, row_number() OVER
+       |      (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM zts)
+       |   WHERE rn <= $TopK),
+       |zcb AS (SELECT p.qid, s.vec_id,
+       |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
+       |  FROM iasg s JOIN iprb p ON s.cell = p.cell WHERE s.vec_id <> p.qid),
+       |zca AS (SELECT p.qid, s.vec_id,
+       |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
+       |  FROM zasg s JOIN zprb p ON s.cell = p.cell WHERE s.vec_id <> p.qid),
+       |znb AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |        FROM zcb GROUP BY qid),
+       |zna AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |        FROM zca GROUP BY qid),
+       |ztb AS (SELECT qid, vec_id FROM
+       |   (SELECT qid, vec_id, row_number() OVER
+       |      (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM zcb)
+       |   WHERE rn <= $TopK),
+       |zta AS (SELECT qid, vec_id FROM
+       |   (SELECT qid, vec_id, row_number() OVER
+       |      (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM zca)
+       |   WHERE rn <= $TopK),
+       |zob AS (SELECT CAST(MAX(ob) AS BIGINT) AS max_occ,
+       |               CAST(SUM(ob * ob) AS BIGINT) AS occ_sq_sum FROM zocc),
+       |zoa AS (SELECT CAST(MAX(oa) AS BIGINT) AS max_occ,
+       |               CAST(SUM(oa * oa) AS BIGINT) AS occ_sq_sum FROM
+       |        (SELECT cell, CAST(COUNT(*) AS BIGINT) AS oa
+       |         FROM zasg GROUP BY cell)),
+       |zrb AS (SELECT t.qid, CAST(SUM(CASE WHEN h.vec_id IS NOT NULL
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |        FROM ztruth t LEFT JOIN ztb h
+       |          ON t.qid = h.qid AND t.vec_id = h.vec_id GROUP BY t.qid),
+       |zra AS (SELECT t.qid, CAST(SUM(CASE WHEN h.vec_id IS NOT NULL
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |        FROM ztruth t LEFT JOIN zta h
+       |          ON t.qid = h.qid AND t.vec_id = h.vec_id GROUP BY t.qid)
+       |SELECT * FROM (
+       |  SELECT 'before' AS phase, zrb.qid, znb.n_cand, zrb.n_overlap,
+       |    CAST((zrb.n_overlap * 1000000) // $TopK AS BIGINT)
+       |      AS recall_millionths,
+       |    zob.max_occ, zob.occ_sq_sum
+       |  FROM zrb JOIN znb ON zrb.qid = znb.qid CROSS JOIN zob
+       |  UNION ALL
+       |  SELECT 'after' AS phase, zra.qid, zna.n_cand, zra.n_overlap,
+       |    CAST((zra.n_overlap * 1000000) // $TopK AS BIGINT)
+       |      AS recall_millionths,
+       |    zoa.max_occ, zoa.occ_sq_sum
+       |  FROM zra JOIN zna ON zra.qid = zna.qid CROSS JOIN zoa)
+       |ORDER BY phase, qid""".stripMargin
+
   // ---- q174: FILTERED ANN — metadata-filtered vector search, the
   //      serving feature every production vector store exposes
   //      ("nearest neighbors WHERE label = X") and the classic
@@ -3714,6 +3881,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "metadata-filtered ANN: post-filtered IVF probes vs exact filtered truth, with a 4x probe-boost mode — the pre/post-filtering trade shipped as measured recall"),
     Q("q175_ivf_stats", ivfStats, Some(ivfStatsSql),
       "IVF index-health audit: cell-occupancy histogram incl. empty cells — the skew/hot-cell monitoring a vector-store deployment runs, and the check on the k=ceil(n/64) sizing policy"),
+    Q("q199_split_serving", splitServing, Some(splitServingSql),
+      "serving under the post-split centroid kit: exact re-route over unsplit centroids + seed sub-centroids, per-query probe cost + recall@10 and the Σocc² balance metric, before vs after — the rebalance priced at the serving surface"),
     Q("q198_cell_split", cellSplit, Some(cellSplitSql),
       "IVF cell split (index rebalance): top ceil(k/8) most-occupied cells split on deterministic min/max-id seed members, cosine reassignment to the nearer seed — per-cell before/after occupancies, the maintenance op q175's audit feeds"),
     Q("q176_mmr_rerank", mmrRerank, Some(mmrRerankSql),
