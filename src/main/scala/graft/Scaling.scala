@@ -125,7 +125,8 @@ object Scaling {
     ("q196_gzip_ingest", "gzip ingestion via an OWN full DEFLATE decoder", "documents"),
     ("q197_y4m_video", "REAL Y4M 4:2:0 video: chroma upsample + BT.601 RGB", "documents"),
     ("q198_cell_split", "IVF cell split: budgeted rebalance of heavy cells", "embeddings"),
-    ("q199_split_serving", "post-split serving: recall + balance, before/after", "embeddings"))
+    ("q199_split_serving", "post-split serving: recall + balance, before/after", "embeddings"),
+    ("q200_warc_ingest", "WARC shard ingestion: multi-member gzip + record walk", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

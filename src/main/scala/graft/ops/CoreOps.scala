@@ -406,6 +406,73 @@ object CoreOps {
       | md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q200: WARC web-archive ingestion — the crawl-shard format
+  //      LLM corpora are actually distributed in, end to end on own
+  //      decoders: each fixture row is a genuine shard of CONCATENATED
+  //      per-record gzip members (one WARC response record per member,
+  //      the seekable layout real archives use; deflate levels cycle so
+  //      all three block types occur), and the read path walks the
+  //      members with GzipIngest.gunzipMembers (own DEFLATE, per-member
+  //      CRC verify) then parses each record with WarcIngest
+  //      .parseRecord (WARC header walk, Content-Length-driven slicing,
+  //      HTTP envelope strip). Exact payload recovery proven per-doc
+  //      via md5 against the uncompressed source; shard/position
+  //      assignment is deterministic (doc_id % 16, ordered by doc_id)
+  //      so the oracle reproduces it with arithmetic + a row_number.
+  //      Scale shape: shard building is the standard bin-pack (bounded
+  //      groups, one aggregate exchange); reading is partition-batched
+  //      map-only work per shard — no shuffle before the final sort.
+  //      ----
+  final case class WarcDoc(doc_id: Long, shard: Long, pos_in_shard: Long,
+                           text: String)
+
+  def warcIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "warc-fixture-v1:16shards+gzip-members")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      // bin-pack into shards: bounded groups (n/16 docs each), records
+      // ordered by doc_id inside the shard, one gzip member per record
+      Tables.documents(s, d)
+        .groupBy((col("doc_id") % graft.sources.WarcIngest.NShards).as("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .mapPartitions(_.map { case (sh, docs) =>
+          (sh, graft.sources.WarcIngest.shard(docs))
+        })
+        .toDF("shard", "warc")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(tmp)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (sh, bytes) =>
+        graft.sources.GzipIngest.gunzipMembers(bytes).iterator
+          .zipWithIndex.map { case ((raw, _), i) =>
+            val rec = graft.sources.WarcIngest.parseRecord(raw)
+            WarcDoc(graft.sources.WarcIngest.docIdOf(rec), sh, i + 1L,
+              new String(rec.payload, "UTF-8"))
+          }
+      })
+      .toDF()
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+        length(col("text")).cast("long").as("raw_len"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val warcIngestSql =
+    s"""SELECT doc_id,
+       | CAST(doc_id % ${graft.sources.WarcIngest.NShards} AS BIGINT) AS shard,
+       | CAST(row_number() OVER (PARTITION BY doc_id % ${graft.sources.WarcIngest.NShards}
+       |   ORDER BY doc_id) AS BIGINT) AS pos_in_shard,
+       | CAST(length(text) AS BIGINT) AS raw_len,
+       | md5(text) AS text_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- q136: multi-file CSV file-order prefix (CsvIngest.readPrefix)
   //      with the cap landing MID-FILE — the oracle proves the
   //      boundary-file path takes exactly the FIRST remaining rows of
@@ -732,6 +799,8 @@ object CoreOps {
       "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
     Q("q194_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql),
       "JSONL ingest with nested metadata: sampled single-file schema inference preserving the struct tree (JsonIngest), dot-path rollup — the LLM-corpus interchange format as a first-class source"),
+    Q("q200_warc_ingest", warcIngest, Some(warcIngestSql),
+      "WARC crawl-shard ingestion: concatenated per-record gzip members walked by the own DEFLATE decoder, WARC header walk + Content-Length slicing + HTTP envelope strip — exact payload recovery proven per-doc via md5"),
     Q("q196_gzip_ingest", gzipIngest, Some(gzipIngestSql),
       "gzip corpus ingestion decoded by an OWN full DEFLATE implementation (stored/fixed/dynamic blocks, LZ77 window, CRC32+ISIZE verify) — exact byte recovery proven per-doc via md5 vs the uncompressed source"),
     Q("q130_url_csv", urlCsvRead, Some(urlCsvReadSql),

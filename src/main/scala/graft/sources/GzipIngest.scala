@@ -200,25 +200,39 @@ object GzipIngest {
   /** Parse ONE gzip member: header (magic, CM=8, all five optional
     * fields honored), own-inflate body, then VERIFY the CRC32 + ISIZE
     * trailer — a decoder that skips trailer verification would pass
-    * every test until the first corrupted corpus shard.
+    * every test until the first corrupted corpus shard. Requires the
+    * member to span the whole array (the q196 one-file-one-member
+    * fixture); multi-member shards go through [[gunzipMembers]].
     */
   def gunzipMember(data: Array[Byte]): (Array[Byte], BlockStats) = {
+    val (raw, after, stats) = gunzipMemberAt(data, 0)
+    require(after == data.length,
+      s"trailing bytes after the gzip member ($after of ${data.length})")
+    (raw, stats)
+  }
+
+  /** One member starting at `start`; returns (raw, positionAfter,
+    * stats) so callers can walk CONCATENATED members — the layout
+    * web-archive shards actually use (one member per record, members
+    * back to back in the shard file).
+    */
+  def gunzipMemberAt(data: Array[Byte], start: Int): (Array[Byte], Int, BlockStats) = {
     def u8(i: Int) = data(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    require(data.length >= 18, "gzip member too short")
-    require(u8(0) == 0x1f && u8(1) == 0x8b, "bad gzip magic")
-    require(u8(2) == 8, s"unsupported CM ${u8(2)} (only DEFLATE)")
-    val flg = u8(3)
+    require(data.length - start >= 18, "gzip member too short")
+    require(u8(start) == 0x1f && u8(start + 1) == 0x8b, "bad gzip magic")
+    require(u8(start + 2) == 8, s"unsupported CM ${u8(start + 2)} (only DEFLATE)")
+    val flg = u8(start + 3)
     require((flg & 0xe0) == 0, "reserved FLG bits set")
-    var pos = 10 // MTIME(4) XFL OS skipped
+    var pos = start + 10 // MTIME(4) XFL OS skipped
     if ((flg & FEXTRA) != 0) { pos += 2 + u16(pos) }
     if ((flg & FNAME) != 0) { while (u8(pos) != 0) pos += 1; pos += 1 }
     if ((flg & FCOMMENT) != 0) { while (u8(pos) != 0) pos += 1; pos += 1 }
     if ((flg & FHCRC) != 0) {
       val crc = new java.util.zip.CRC32()
-      crc.update(data, 0, pos)
+      crc.update(data, start, pos - start)
       require((crc.getValue & 0xffff).toInt == u16(pos), "header CRC16 mismatch")
       pos += 2
     }
@@ -230,7 +244,19 @@ object GzipIngest {
       f"CRC32 mismatch: computed ${crc.getValue}%08x, trailer ${u32(after)}%08x")
     require((raw.length.toLong & 0xffffffffL) == u32(after + 4),
       s"ISIZE mismatch: ${raw.length} vs ${u32(after + 4)}")
-    (raw, stats)
+    (raw, after + 8, stats)
+  }
+
+  /** Walk every member of a concatenated-member shard. */
+  def gunzipMembers(data: Array[Byte]): Seq[(Array[Byte], BlockStats)] = {
+    val out = Seq.newBuilder[(Array[Byte], BlockStats)]
+    var pos = 0
+    while (pos < data.length) {
+      val (raw, next, stats) = gunzipMemberAt(data, pos)
+      out += ((raw, stats))
+      pos = next
+    }
+    out.result()
   }
 
   /** Deflate level for doc `id` — cycles 0/1/6/9 so the staged corpus
