@@ -126,7 +126,9 @@ object Scaling {
     ("q197_y4m_video", "REAL Y4M 4:2:0 video: chroma upsample + BT.601 RGB", "documents"),
     ("q198_cell_split", "IVF cell split: budgeted rebalance of heavy cells", "embeddings"),
     ("q199_split_serving", "post-split serving: recall + balance, before/after", "embeddings"),
-    ("q200_warc_ingest", "WARC shard ingestion: multi-member gzip + record walk", "documents"))
+    ("q200_warc_ingest", "WARC shard ingestion: multi-member gzip + record walk", "documents"),
+    ("q201_funnel", "strict-order funnel conversion (3 user-keyed steps)", "events"),
+    ("q202_retention", "cohort retention matrix (one user-week exchange)", "events"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.Stable._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,7 +268,123 @@ object EventOps {
       |      FROM events)
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---- q201: FUNNEL ANALYSIS — the sequential-conversion query every
+  //      event warehouse runs: of the users who did `view`, how many
+  //      later did `click`, and of those how many later did `purchase`
+  //      — each step's timestamp strictly AFTER the previous step's
+  //      (min-of-later-events, not mere co-occurrence). Shape: the
+  //      event stream repartitions by user ONCE; each step is a
+  //      user-keyed aggregate joined back to the user-partitioned
+  //      stream, so steps reuse the one exchange (co-partitioned SMJ,
+  //      no broadcast — the user dimension is corpus-sized at 100 TB).
+  //      Conversion lags are exact epoch-micro sums (BIGINT). ----
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("tus"))
+      .repartition(col("user_id"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("tus") > col("t1"))
+      .groupBy("user_id")
+      .agg(min(col("tus")).as("t2"), first(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("tus") > col("t2"))
+      .groupBy("user_id")
+      .agg(min(col("tus")).as("t3"), first(col("t1")).as("t1"))
+    def row(step: Long, name: String, df: DataFrame, lag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+             coalesce(sum(lag), lit(0L)).as("sum_lag_micros"))
+        .select(lit(step).as("step"), lit(name).as("step_name"),
+                col("n_users"), col("sum_lag_micros"))
+    row(1L, "view", s1, lit(0L))
+      .unionByName(row(2L, "click", s2, col("t2") - col("t1")))
+      .unionByName(row(3L, "purchase", s3, col("t3") - col("t1")))
+      .orderBy("step")
+  }
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |f1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |f2 AS (SELECT e.user_id, MIN(e.tus) AS t2, MIN(f1.t1) AS t1
+      |       FROM e JOIN f1 ON e.user_id = f1.user_id
+      |       WHERE e.event_type = 'click' AND e.tus > f1.t1
+      |       GROUP BY e.user_id),
+      |f3 AS (SELECT e.user_id, MIN(e.tus) AS t3, MIN(f2.t1) AS t1
+      |       FROM e JOIN f2 ON e.user_id = f2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.tus > f2.t2
+      |       GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(0 AS BIGINT) AS sum_lag_micros FROM f1
+      |  UNION ALL
+      |  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM f2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) FROM f3)
+      |ORDER BY step""".stripMargin
+
+  // ---- q202: COHORT RETENTION — the other staple event-warehouse
+  //      rollup: users grouped by FIRST-ACTIVE week (the cohort), and
+  //      for each later week the fraction of the cohort still active.
+  //      Weeks are epoch-anchored integer indices (tus div 7d-micros),
+  //      so both engines derive them with exact integer division.
+  //      Shape: one distinct over (user, week) — the only corpus
+  //      exchange; the first-week aggregate reuses the user keying;
+  //      the (cohort, offset) matrix is weeks² rows of metadata, and
+  //      cohort sizes broadcast back for the retention ratio. Every
+  //      user is active in their own first week, so the offset-0 cell
+  //      IS the cohort size. ----
+  private val WeekMicros = 7L * 86400L * 1000000L
+
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"),
+              expr(s"unix_micros(ts) div $WeekMicros").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val cells = weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+               (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+              col("cohort_size"),
+              expr("(n_users * 1000000) div cohort_size")
+                .as("retention_millionths"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val retentionSql =
+    s"""WITH w AS (SELECT DISTINCT user_id,
+       |    epoch_us(ts) // $WeekMicros AS week FROM events),
+       |c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+       |cells AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       |    CAST(COUNT(*) AS BIGINT) AS n_users
+       |  FROM w JOIN c ON w.user_id = c.user_id
+       |  GROUP BY c.cohort_week, w.week - c.cohort_week),
+       |sz AS (SELECT cohort_week, n_users AS cohort_size FROM cells
+       |       WHERE week_offset = 0)
+       |SELECT cells.cohort_week, cells.week_offset, cells.n_users,
+       |  sz.cohort_size,
+       |  CAST((cells.n_users * 1000000) // sz.cohort_size AS BIGINT)
+       |    AS retention_millionths
+       |FROM cells JOIN sz ON cells.cohort_week = sz.cohort_week
+       |ORDER BY cells.cohort_week, cells.week_offset""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q201_funnel", funnel, Some(funnelSql),
+      "funnel analysis: strictly-ordered view->click->purchase conversion counts + exact epoch-micro lag sums, each step a user-keyed aggregate reusing one exchange"),
+    Q("q202_retention", retention, Some(retentionSql),
+      "cohort retention matrix: first-active-week cohorts x week offset, distinct-user cells and exact integer retention ratios — one corpus exchange (user,week distinct)"),
     Q("q79_variant", variantExtract, Some(variantExtractSql),
       "Spark 4 VARIANT: parse props once, typed extraction from binary"),
     Q("q65_moving_window", movingWindow, Some(movingWindowSql),
