@@ -128,7 +128,8 @@ object Scaling {
     ("q199_split_serving", "post-split serving: recall + balance, before/after", "embeddings"),
     ("q200_warc_ingest", "WARC shard ingestion: multi-member gzip + record walk", "documents"),
     ("q201_funnel", "strict-order funnel conversion (3 user-keyed steps)", "events"),
-    ("q202_retention", "cohort retention matrix (one user-week exchange)", "events"))
+    ("q202_retention", "cohort retention matrix (one user-week exchange)", "events"),
+    ("q203_k_anonymity", "k-anonymity ladder release gate (3 rung aggregates)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

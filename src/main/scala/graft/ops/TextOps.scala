@@ -2035,7 +2035,84 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
        |JOIN med ON med.source = core.source
        |ORDER BY core.source""".stripMargin
 
+  // ---- q203: K-ANONYMITY RELEASE GATE — the privacy audit a corpus
+  //      release runs over its quasi-identifiers (here lang × source ×
+  //      length-bucket: the metadata triple that can fingerprint a
+  //      document even after PII redaction). Real k-anonymity is a
+  //      GENERALIZATION LADDER, not a single group-size filter: groups
+  //      of ≥ k release at the finest granularity (level 0: length
+  //      div 100); the residue re-groups coarser (level 1: div 500),
+  //      then coarser still (level 2: lang × div 500, source dropped);
+  //      what still fails is SUPPRESSED (level 3). Bucket widths are
+  //      chosen so every rung is non-empty at the registered scales —
+  //      a ladder whose upper rungs never fire is dead code. Shape at
+  //      100 TB: each rung is one group-aggregate; the released-group
+  //      keys are METADATA-scale (bounded by distinct QI combos) and
+  //      broadcast back as LEFT ANTI joins, so the corpus is never
+  //      shuffled more than its three rung aggregates require. ----
+  private val AnonK = 5
+
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+              expr("n_chars div 100").as("b0"),
+              expr("n_chars div 500").as("b1"))
+    val g0 = docs.groupBy("lang", "source", "b0")
+      .agg(count(lit(1)).as("n_docs"))
+    val rel0 = g0.filter(col("n_docs") >= AnonK)
+    val rem0 = docs.join(broadcast(rel0.select("lang", "source", "b0")),
+      Seq("lang", "source", "b0"), "left_anti")
+    val g1 = rem0.groupBy("lang", "source", "b1")
+      .agg(count(lit(1)).as("n_docs"))
+    val rel1 = g1.filter(col("n_docs") >= AnonK)
+    val rem1 = rem0.join(broadcast(rel1.select("lang", "source", "b1")),
+      Seq("lang", "source", "b1"), "left_anti")
+    val g2 = rem1.groupBy("lang", "b1").agg(count(lit(1)).as("n_docs"))
+    def shape(df: DataFrame, level: Int, src: Column, bkt: Column): DataFrame =
+      df.select(lit(level.toLong).as("level"), col("lang"), src.as("source"),
+                bkt.cast("long").as("bucket"), col("n_docs"))
+    shape(rel0, 0, col("source"), col("b0"))
+      .unionByName(shape(rel1, 1, col("source"), col("b1")))
+      .unionByName(shape(g2.filter(col("n_docs") >= AnonK), 2, lit("*"), col("b1")))
+      .unionByName(shape(g2.filter(col("n_docs") < AnonK), 3, lit("*"), col("b1")))
+      .orderBy("level", "lang", "source", "bucket")
+  }
+
+  private val kAnonymitySql =
+    s"""WITH d AS (SELECT lang, source, n_chars // 100 AS b0,
+       |    n_chars // 500 AS b1 FROM documents),
+       |g0 AS (SELECT lang, source, b0, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM d GROUP BY lang, source, b0),
+       |rel0 AS (SELECT * FROM g0 WHERE n_docs >= $AnonK),
+       |rem0 AS (SELECT d.* FROM d LEFT JOIN rel0
+       |           ON d.lang = rel0.lang AND d.source = rel0.source
+       |          AND d.b0 = rel0.b0
+       |         WHERE rel0.b0 IS NULL),
+       |g1 AS (SELECT lang, source, b1, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM rem0 GROUP BY lang, source, b1),
+       |rel1 AS (SELECT * FROM g1 WHERE n_docs >= $AnonK),
+       |rem1 AS (SELECT rem0.* FROM rem0 LEFT JOIN rel1
+       |           ON rem0.lang = rel1.lang AND rem0.source = rel1.source
+       |          AND rem0.b1 = rel1.b1
+       |         WHERE rel1.b1 IS NULL),
+       |g2 AS (SELECT lang, b1, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM rem1 GROUP BY lang, b1)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS level, lang, source,
+       |    CAST(b0 AS BIGINT) AS bucket, n_docs FROM rel0
+       |  UNION ALL
+       |  SELECT 1, lang, source, CAST(b1 AS BIGINT), n_docs FROM rel1
+       |  UNION ALL
+       |  SELECT 2, lang, '*', CAST(b1 AS BIGINT), n_docs FROM g2
+       |    WHERE n_docs >= $AnonK
+       |  UNION ALL
+       |  SELECT 3, lang, '*', CAST(b1 AS BIGINT), n_docs FROM g2
+       |    WHERE n_docs < $AnonK)
+       |ORDER BY level, lang, source, bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q203_k_anonymity", kAnonymity, Some(kAnonymitySql),
+      "k-anonymity release gate over quasi-identifiers (lang x source x length-bucket): a 3-rung generalization ladder — release at the finest surviving granularity, suppress the residue — every rung one aggregate + a broadcast anti-join"),
     Q("q181_dataset_card", datasetCard, Some(datasetCardSql),
       "per-source dataset card: volume, exact-dup rate, language mix + deterministic mode, exact discrete median length — the one-pass release summary, every stat integer-exact"),
     Q("q29_tokens", tokenCount, Some(tokenCountSql),
