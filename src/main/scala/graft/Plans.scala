@@ -56,6 +56,11 @@ object Plans {
       "q157_pq_search" -> "ADC search: 640-row integer LUT broadcast to a hash join over the code stream, integer sums, TopKPerKey under both rank filters — the corpus pays lookups, never per-candidate vector math",
       "q159_domain_cap" -> "per-domain quota cap: under-cap sources admitted via broadcast semi-join on the |sources|-row count relation; only over-cap sources pay the rank, and the rk<=cap filter plans through WindowGroupLimit — a hot domain costs one partition-local top-K, never a corpus-wide rank",
       "q175_ivf_stats" -> "IVF index-health audit: the routing argmin collapses n*k map-side, occupancy is a k-group aggregate joined broadcast to the k-row cell table, the histogram a second tiny mergeable aggregate — partial counts per task at any scale, never data")
+    // q201/q202/q203 checkpoint their step/rung relations (the first
+    // cut of q201 did not, and its dump showed the union branches
+    // re-scanning 'view' 3x — the checkpoints exist BECAUSE of that
+    // dump), so their registered plans print as RDD scans; their
+    // shapes are documented in COVERAGE.md instead.
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val sb = new StringBuilder

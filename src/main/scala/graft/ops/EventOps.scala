@@ -272,29 +272,35 @@ object EventOps {
   //      event warehouse runs: of the users who did `view`, how many
   //      later did `click`, and of those how many later did `purchase`
   //      — each step's timestamp strictly AFTER the previous step's
-  //      (min-of-later-events, not mere co-occurrence). Shape: the
-  //      event stream repartitions by user ONCE; each step is a
-  //      user-keyed aggregate joined back to the user-partitioned
-  //      stream, so steps reuse the one exchange (co-partitioned SMJ,
-  //      no broadcast — the user dimension is corpus-sized at 100 TB).
-  //      Conversion lags are exact epoch-micro sums (BIGINT). ----
+  //      (min-of-later-events, not mere co-occurrence). Shape: each
+  //      step scans ONLY its event type (the equality filter is
+  //      pushed to the parquet scan), aggregates user-keyed, and each
+  //      step relation is CHECKPOINTED before reuse — without that,
+  //      the three union branches would rebuild the whole chain
+  //      (view scanned 3×, click 2×; the first cut of this lane did
+  //      exactly that, caught in its PLANS.md dump). Step joins are
+  //      user-keyed; AQE broadcasts a step relation when it fits and
+  //      falls back to a co-partitioned SMJ when the user dimension
+  //      doesn't. Conversion lags are exact epoch-micro sums. ----
   def funnel(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
               unix_micros(col("ts")).as("tus"))
-      .repartition(col("user_id"))
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("tus")).as("t1"))
+      .localCheckpoint(true)
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, Seq("user_id"))
       .filter(col("tus") > col("t1"))
       .groupBy("user_id")
       .agg(min(col("tus")).as("t2"), first(col("t1")).as("t1"))
+      .localCheckpoint(true)
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, Seq("user_id"))
       .filter(col("tus") > col("t2"))
       .groupBy("user_id")
       .agg(min(col("tus")).as("t3"), first(col("t1")).as("t1"))
+      .localCheckpoint(true)
     def row(step: Long, name: String, df: DataFrame, lag: Column): DataFrame =
       df.agg(count(lit(1)).as("n_users"),
              coalesce(sum(lag), lit(0L)).as("sum_lag_micros"))
@@ -336,11 +342,12 @@ object EventOps {
   //      Weeks are epoch-anchored integer indices (tus div 7d-micros),
   //      so both engines derive them with exact integer division.
   //      Shape: one distinct over (user, week) — the only corpus
-  //      exchange; the first-week aggregate reuses the user keying;
-  //      the (cohort, offset) matrix is weeks² rows of metadata, and
-  //      cohort sizes broadcast back for the retention ratio. Every
-  //      user is active in their own first week, so the offset-0 cell
-  //      IS the cohort size. ----
+  //      exchange — CHECKPOINTED because both the cohort aggregate and
+  //      the cell join read it; the (cohort, offset) matrix is weeks²
+  //      rows of metadata, also checkpointed since the size lookup and
+  //      the output both read it; cohort sizes broadcast back for the
+  //      retention ratio. Every user is active in their own first
+  //      week, so the offset-0 cell IS the cohort size. ----
   private val WeekMicros = 7L * 86400L * 1000000L
 
   def retention(s: SparkSession, d: String): DataFrame = {
@@ -348,11 +355,13 @@ object EventOps {
       .select(col("user_id"),
               expr(s"unix_micros(ts) div $WeekMicros").as("week"))
       .distinct()
+      .localCheckpoint(true)
     val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     val cells = weeks.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_week"),
                (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint(true)
     val sizes = cells.filter(col("week_offset") === 0L)
       .select(col("cohort_week"), col("n_users").as("cohort_size"))
     cells.join(broadcast(sizes), Seq("cohort_week"))

@@ -2057,17 +2057,22 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .select(col("lang"), col("source"),
               expr("n_chars div 100").as("b0"),
               expr("n_chars div 500").as("b1"))
+    // rung relations are metadata-scale (bounded by distinct QI combos)
+    // but feed TWO consumers each (the next rung's anti-join and the
+    // output union) — checkpointing them keeps the corpus at one scan
+    // per rung instead of re-deriving the chain per union branch
     val g0 = docs.groupBy("lang", "source", "b0")
       .agg(count(lit(1)).as("n_docs"))
-    val rel0 = g0.filter(col("n_docs") >= AnonK)
+    val rel0 = g0.filter(col("n_docs") >= AnonK).localCheckpoint(true)
     val rem0 = docs.join(broadcast(rel0.select("lang", "source", "b0")),
       Seq("lang", "source", "b0"), "left_anti")
     val g1 = rem0.groupBy("lang", "source", "b1")
       .agg(count(lit(1)).as("n_docs"))
-    val rel1 = g1.filter(col("n_docs") >= AnonK)
+    val rel1 = g1.filter(col("n_docs") >= AnonK).localCheckpoint(true)
     val rem1 = rem0.join(broadcast(rel1.select("lang", "source", "b1")),
       Seq("lang", "source", "b1"), "left_anti")
     val g2 = rem1.groupBy("lang", "b1").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
     def shape(df: DataFrame, level: Int, src: Column, bkt: Column): DataFrame =
       df.select(lit(level.toLong).as("level"), col("lang"), src.as("source"),
                 bkt.cast("long").as("bucket"), col("n_docs"))
