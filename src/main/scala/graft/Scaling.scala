@@ -129,7 +129,8 @@ object Scaling {
     ("q200_warc_ingest", "WARC shard ingestion: multi-member gzip + record walk", "documents"),
     ("q201_funnel", "strict-order funnel conversion (3 user-keyed steps)", "events"),
     ("q202_retention", "cohort retention matrix (one user-week exchange)", "events"),
-    ("q203_k_anonymity", "k-anonymity ladder release gate (3 rung aggregates)", "documents"))
+    ("q203_k_anonymity", "k-anonymity ladder release gate (3 rung aggregates)", "documents"),
+    ("q204_stream_funnel", "stateful streaming funnel (3 ordered micro-batches)", "events"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -312,7 +312,7 @@ object EventOps {
       .orderBy("step")
   }
 
-  private val funnelSql =
+  private[graft] val funnelSql =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
       |f1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
       |       WHERE event_type = 'view' GROUP BY user_id),

@@ -1325,7 +1325,124 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .orderBy("gen_served", "qid", "cell", "vec_id", "s")
   }
 
+  // ---- q204: STATEFUL STREAMING FUNNEL — the streaming twin of
+  //      q201's strict-order view→click→purchase conversion, and the
+  //      one stateful shape the battery lacked: a per-key STATE
+  //      MACHINE advanced across micro-batches (the sessionizers keep
+  //      interval state; this keeps progression state). Exactness
+  //      contract, stated plainly: the incremental fold is exact when
+  //      arrival is event-time-ordered ACROSS batches — a late early
+  //      'view' could otherwise retro-lower t1 and resurrect a
+  //      discarded click; an exact out-of-order funnel needs
+  //      watermark-bounded event retention. The staged landing dir
+  //      therefore carries three GLOBAL TS-RANK slices (f0/f1/f2,
+  //      mtime+name ordered, maxFilesPerTrigger=1 → three batches),
+  //      which is exactly what an upstream log router delivers.
+  //      WITHIN a batch the group iterator is shuffle-ordered, so the
+  //      fold sorts its batch slice by (ts, event_id) before
+  //      advancing — per-user-per-batch rows, not corpus. State is
+  //      three longs per user (bounded); emissions are Update-mode
+  //      progress rows, reduced by componentwise max (progress is
+  //      set-once monotone). Output contract == q201, oracle ==
+  //      q201's SQL: the stream and the batch funnel must agree
+  //      row-for-row. ----
+  final case class FunnelEvt(user_id: Long, event_type: String,
+                             tus: Long, event_id: Long)
+  final case class FunnelSt(t1: Long, t2: Long, t3: Long)
+  final case class FunnelEmit(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  def streamFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_funnel_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/events.parquet")) {
+      Fixtures.clearDir(srcDir)
+      // three event-time-ordered arrival slices by global ts rank;
+      // sequential moves give mtime order = name order = time order
+      val ranked = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("tus"), col("event_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("tus"), col("event_id"))))
+      val n = ranked.count()
+      (0 until 3).foreach { i =>
+        val stage = srcDir.resolve(s"_stage_$i")
+        ranked.filter(col("rk") > lit(i * n / 3) && col("rk") <= lit((i + 1) * n / 3))
+          .drop("rk")
+          .coalesce(1).sortWithinPartitions("tus", "event_id")
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = new java.io.File(stage.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, srcDir.resolve(s"f$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Fixtures.clearDir(stage)
+      }
+      Fixtures.writeMarker(marker, s"$d/events.parquet")
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", org.apache.spark.sql.types.LongType),
+      StructField("event_type", org.apache.spark.sql.types.StringType),
+      StructField("tus", org.apache.spark.sql.types.LongType),
+      StructField("event_id", org.apache.spark.sql.types.LongType)))
+    val qname = s"graft_funnel_$hex"
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    withStreamShufflePartitions(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .as[FunnelEvt]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelSt, FunnelEmit](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[FunnelEvt], state: GroupState[FunnelSt]) =>
+            var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+            // the group iterator is shuffle-ordered; restore event-time
+            // order within this batch's slice before folding
+            rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+              e.event_type match {
+                case "view" if st.t1 < 0 => st = st.copy(t1 = e.tus)
+                case "click" if st.t1 >= 0 && st.t2 < 0 && e.tus > st.t1 =>
+                  st = st.copy(t2 = e.tus)
+                case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.tus > st.t2 =>
+                  st = st.copy(t3 = e.tus)
+                case _ => ()
+              }
+            }
+            state.update(st)
+            Iterator.single(FunnelEmit(uid, st.t1, st.t2, st.t3))
+        }
+        .toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // Update-mode emissions accumulate one progress row per (user,
+    // batch); progress fields are set-once monotone, so the final
+    // state is the componentwise max
+    val fin = s.table(qname).groupBy("user_id")
+      .agg(max(struct(col("t1"), col("t2"), col("t3"))).as("m"))
+      .select(col("m.t1").as("t1"), col("m.t2").as("t2"), col("m.t3").as("t3"))
+      .localCheckpoint(true)
+    def row(step: Long, name: String, cond: org.apache.spark.sql.Column,
+            lag: org.apache.spark.sql.Column): DataFrame =
+      fin.filter(cond)
+        .agg(count(lit(1)).as("n_users"),
+             coalesce(sum(lag), lit(0L)).as("sum_lag_micros"))
+        .select(lit(step).as("step"), lit(name).as("step_name"),
+                col("n_users"), col("sum_lag_micros"))
+    row(1L, "view", col("t1") >= 0, lit(0L))
+      .unionByName(row(2L, "click", col("t2") >= 0, col("t2") - col("t1")))
+      .unionByName(row(3L, "purchase", col("t3") >= 0, col("t3") - col("t1")))
+      .orderBy("step")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q204_stream_funnel", streamFunnel,
+      Some(graft.ops.EventOps.funnelSql),
+      "stateful streaming funnel: per-user progression state machine advanced across three event-time-ordered micro-batches (flatMapGroupsWithState, Update mode, 3-long state per user) — output contract == q201, oracle == q201's SQL"),
     Q("q193_stream_versioned_serve", streamVersionedServe,
       Some(graft.ops.SimilarityOps.streamVersionedServeSql),
       "zero-downtime index swap under a live query stream: stateless q180 routing, manifest-pinned fetch per micro-batch, generation 1 committed BETWEEN batches — batch 0 serves the gen-0 snapshot, batch 1 serves gen 1, both snapshot-consistent (oracle splits the corpus accordingly)"),
