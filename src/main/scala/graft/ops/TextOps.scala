@@ -2115,7 +2115,48 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
        |    WHERE n_docs < $AnonK)
        |ORDER BY level, lang, source, bucket""".stripMargin
 
+  // ---- q205: per-SOURCE weighted sampling — q119's deterministic
+  //      priority sampling (priority = hash div weight, k smallest;
+  //      the integer DLT shape, no rand()) re-scoped from one global
+  //      TakeOrdered(K) to a per-key quota, which is what a mixing
+  //      recipe actually needs ("k docs from EVERY source, longer
+  //      docs more likely"). The physical shape is the interesting
+  //      delta: it runs through the custom TopKPerKey operator, whose
+  //      PARTIAL instance prunes every map partition to its local
+  //      k-per-source BEFORE the key exchange — at 100 TB the shuffle
+  //      carries O(sources·k) rows, never the corpus (q119's global
+  //      TakeOrdered cannot express a per-key quota). ----
+  private val SampleK = 3
+
+  def weightedSamplePerSource(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h", hash64(
+        concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("priority", expr("h div n_chars"))
+      .drop("h")
+    graft.plans.TopKPerKey.topKPerKey(
+      w,
+      keys = Seq(col("source")),
+      order = Seq(col("priority").asc, col("doc_id").asc),
+      k = SampleK)
+      .orderBy("source", "priority", "doc_id")
+  }
+
+  private val weightedSamplePerSourceSql = {
+    val h = hash64Sql("'samp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH w AS (SELECT source, doc_id, n_chars,
+       |    $h // n_chars AS priority FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY priority, doc_id) AS rn FROM w)
+       |SELECT source, doc_id, n_chars, priority FROM r
+       |WHERE rn <= $SampleK ORDER BY source, priority, doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q205_sample_per_source", weightedSamplePerSource,
+      Some(weightedSamplePerSourceSql),
+      "per-source weighted sampling quota (q119's hash-div-weight priorities, k smallest PER KEY) through the custom TopKPerKey operator: map-side pruning to k per source before the exchange — a shape global TakeOrdered cannot express"),
     Q("q203_k_anonymity", kAnonymity, Some(kAnonymitySql),
       "k-anonymity release gate over quasi-identifiers (lang x source x length-bucket): a 3-rung generalization ladder — release at the finest surviving granularity, suppress the residue — every rung one aggregate + a broadcast anti-join"),
     Q("q181_dataset_card", datasetCard, Some(datasetCardSql),
