@@ -702,19 +702,13 @@ object MultimodalOps {
       }
       require(w > 0 && h > 0 && bpp > 0, "missing IHDR")
       require(sawEnd, "missing IEND")
-      // zlib-inflate the concatenated IDAT stream
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte]((w * bpp + 1) * h)
-      var off = 0
-      while (!inf.finished() && off < raw.length) {
-        val k = inf.inflate(raw, off, raw.length - off)
-        require(k > 0, "truncated or stalled IDAT stream")
-        off += k
-      }
-      inf.end()
-      require(off == raw.length,
-        s"inflated ${off} bytes, expected ${raw.length}")
+      // zlib-inflate the concatenated IDAT stream with the OWN decoder
+      // (GzipIngest.unzlib: RFC 1950 framing + own RFC 1951 inflate +
+      // own Adler-32 verify) — since r11 no JDK decompression code runs
+      // on this path; only CRC32, a checksum, remains JDK
+      val (raw, _) = graft.sources.GzipIngest.unzlib(idat.toByteArray)
+      require(raw.length == (w * bpp + 1) * h,
+        s"inflated ${raw.length} bytes, expected ${(w * bpp + 1) * h}")
       // unfilter row by row, collect gray values
       val stride = w * bpp
       val out = new Array[Int](w * h)

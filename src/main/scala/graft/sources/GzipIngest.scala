@@ -247,6 +247,41 @@ object GzipIngest {
     (raw, after + 8, stats)
   }
 
+  /** Own Adler-32 (RFC 1950 §8) — the zlib trailer checksum. */
+  def adler32(data: Array[Byte]): Long = {
+    var a = 1L; var b = 0L
+    var i = 0
+    while (i < data.length) {
+      a = (a + (data(i) & 0xff)) % 65521
+      b = (b + a) % 65521
+      i += 1
+    }
+    (b << 16) | a
+  }
+
+  /** Parse ONE zlib stream (RFC 1950 — the framing PNG IDAT uses):
+    * CMF/FLG validation (CM=8, header check bits, no preset dict),
+    * own inflate, own Adler-32 trailer verification. With this, the
+    * PNG lane's decompression is own code end to end (q186 delegated
+    * the bitstream to Inflater before q196's decoder existed).
+    */
+  def unzlib(data: Array[Byte]): (Array[Byte], BlockStats) = {
+    require(data.length >= 6, "zlib stream too short")
+    val cmf = data(0) & 0xff
+    val flg = data(1) & 0xff
+    require((cmf & 0x0f) == 8, s"zlib CM ${cmf & 0x0f} unsupported")
+    require((cmf * 256 + flg) % 31 == 0, "zlib header check bits invalid")
+    require((flg & 0x20) == 0, "preset dictionary unsupported")
+    val (raw, after, stats) = inflate(data, 2)
+    require(after + 4 <= data.length, "zlib trailer truncated")
+    def u8(i: Int) = data(i) & 0xff
+    val want = (u8(after).toLong << 24) | (u8(after + 1).toLong << 16) |
+      (u8(after + 2).toLong << 8) | u8(after + 3)
+    require(adler32(raw) == want,
+      f"Adler-32 mismatch: computed ${adler32(raw)}%08x, trailer $want%08x")
+    (raw, stats)
+  }
+
   /** Walk every member of a concatenated-member shard. */
   def gunzipMembers(data: Array[Byte]): Seq[(Array[Byte], BlockStats)] = {
     val out = Seq.newBuilder[(Array[Byte], BlockStats)]

@@ -105,6 +105,33 @@ class InflateSpec extends AnyFunSuite with SparkTestBase {
     assert(java.util.Arrays.equals(jdk, got))
   }
 
+  test("own zlib parser == Inflater for every corpus x level; Adler-32 verify fires") {
+    for ((name, raw) <- corpora; level <- Seq(0, 6, 9)) {
+      // Deflater with nowrap=false emits a zlib (RFC 1950) stream
+      val d = new java.util.zip.Deflater(level, false)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val z = out.toByteArray
+      val (got, _) = GzipIngest.unzlib(z)
+      assert(java.util.Arrays.equals(got, raw), s"$name@$level: zlib payload drift")
+      if (raw.nonEmpty) {
+        val bad = z.clone()
+        bad(bad.length - 2) = (bad(bad.length - 2) ^ 1).toByte
+        val e = intercept[IllegalArgumentException](GzipIngest.unzlib(bad))
+        assert(e.getMessage.contains("Adler-32"))
+      }
+    }
+    // own Adler-32 against the JDK's implementation
+    val r = rng(7)
+    val sample = Array.fill(50000)((r.nextInt(256) - 128).toByte)
+    val jdk = new java.util.zip.Adler32()
+    jdk.update(sample)
+    assert(GzipIngest.adler32(sample) == jdk.getValue)
+  }
+
   test("trailer verification actually fires") {
     val raw = "corruption must not pass silently".getBytes("UTF-8")
     val member = GzipIngest.gzip(raw, 6, "x")
