@@ -131,7 +131,8 @@ object Scaling {
     ("q202_retention", "cohort retention matrix (one user-week exchange)", "events"),
     ("q203_k_anonymity", "k-anonymity ladder release gate (3 rung aggregates)", "documents"),
     ("q204_stream_funnel", "stateful streaming funnel (3 ordered micro-batches)", "events"),
-    ("q205_sample_per_source", "per-source weighted quota via TopKPerKey", "documents"))
+    ("q205_sample_per_source", "per-source weighted quota via TopKPerKey", "documents"),
+    ("q206_nfc_dedup", "Unicode NFC-equivalence dedup (map-side normalize)", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

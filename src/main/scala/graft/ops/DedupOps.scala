@@ -1139,7 +1139,62 @@ object DedupOps {
        |FROM u""".stripMargin
   }
 
+  // ---- q206: UNICODE-EQUIVALENCE DEDUP (NFC) — web text arrives in
+  //      mixed Unicode normalization (the same word with a precomposed
+  //      accent or a base letter + combining mark), and byte-level
+  //      dedup is BLIND to it: the renderings differ in every byte.
+  //      The fixture constructs exactly that corpus: every doc gets a
+  //      composed-accent rendering (every 'e' -> U+00E9) and, for
+  //      doc_id % 3 != 0, a decomposed rendering of the SAME text
+  //      ('e' -> e + U+0301) — group sizes therefore vary (1 or 2) and
+  //      multi-member groups are invisible to raw-byte grouping. The
+  //      verb normalizes to NFC (java.text.Normalizer on the Spark
+  //      side — a typed per-partition transform, the engine has no
+  //      built-in; DuckDB's nfc_normalize on the oracle side: two
+  //      INDEPENDENT UAX#15 implementations must agree on every
+  //      normalized byte or the group hashes diverge) and groups by
+  //      the normalized hash. Shape at 100 TB: rendering + normalize
+  //      are map-side; the one exchange is the dedup groupBy every
+  //      exact-dedup pass pays. ----
+  def nfcDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val composed = docs.select((col("doc_id") * 2).as("vid"),
+      regexp_replace(col("text"), "e", "\u00e9").as("vtext"))
+    val decomposed = docs.filter(col("doc_id") % 3 =!= 0)
+      .select((col("doc_id") * 2 + 1).as("vid"),
+        regexp_replace(col("text"), "e", "e\u0301").as("vtext"))
+    composed.unionByName(decomposed)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (vid, vtext) =>
+        (vid, vtext, java.text.Normalizer.normalize(
+          vtext, java.text.Normalizer.Form.NFC))
+      })
+      .toDF("vid", "vtext", "ntext")
+      .groupBy(md5(col("ntext").cast("binary")).as("nfc_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("vtext").cast("binary"))).as("n_raw_forms"),
+           min(col("vid")).as("min_vid"))
+      .orderBy("nfc_md5")
+  }
+
+  private val nfcDedupSql =
+    """WITH v AS (
+      |  SELECT doc_id * 2 AS vid,
+      |    replace(text, 'e', chr(233)) AS vtext FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1 AS vid,
+      |    replace(text, 'e', 'e' || chr(769)) AS vtext FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |n AS (SELECT vid, vtext, nfc_normalize(vtext) AS ntext FROM v)
+      |SELECT md5(ntext) AS nfc_md5, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(vtext)) AS n_raw_forms,
+      |  CAST(MIN(vid) AS BIGINT) AS min_vid
+      |FROM n GROUP BY md5(ntext) ORDER BY nfc_md5""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q206_nfc_dedup", nfcDedup, Some(nfcDedupSql),
+      "Unicode-equivalence dedup: mixed-normalization renderings (precomposed vs combining-mark accents) grouped by NFC hash — two independent UAX#15 implementations (JDK Normalizer / DuckDB nfc_normalize) must agree byte-for-byte; byte-level dedup is provably blind to every multi-member group"),
     Q("q58_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical doc per cluster"),
     Q("q118_triangles", triangles, Some(trianglesSql),
