@@ -676,11 +676,10 @@ object MultimodalOps {
         val len = i32be(pos)
         val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
         val body = pos + 8
-        // CRC covers the type bytes + data (PNG spec §5.3)
-        val crc = new java.util.zip.CRC32()
-        crc.update(bytes, pos + 4, 4 + len)
-        require(crc.getValue.toInt == i32be(body + len),
-          s"CRC mismatch in $ctype chunk")
+        // CRC covers the type bytes + data (PNG spec §5.3) — own
+        // table-driven CRC-32 since r11 (GzipIngest.crc32)
+        require(graft.sources.GzipIngest.crc32(bytes, pos + 4, 4 + len).toInt
+          == i32be(body + len), s"CRC mismatch in $ctype chunk")
         ctype match {
           case "IHDR" =>
             w = i32be(body); h = i32be(body + 4)

@@ -8,10 +8,11 @@ package graft.sources
   * without trees (count/offset tables per code length), all three
   * DEFLATE block types — stored (00), fixed-Huffman (01) and
   * dynamic-Huffman (10, with the 16/17/18 code-length run alphabet) —
-  * and the LZ77 window copy with overlapping back-references. The only
-  * JDK pieces on the READ path are CRC32 (a checksum, not a decoder)
-  * used to VERIFY the member trailer, and MessageDigest nowhere — the
-  * bytes themselves come from this file's loops.
+  * and the LZ77 window copy with overlapping back-references. Since the
+  * r11 CRC swap the read path is own code WITHOUT EXCEPTION: the
+  * CRC-32 that verifies member trailers (and PNG chunks) is the
+  * table-driven implementation below, held against java.util.zip.CRC32
+  * in InflateSpec — no java.util.zip call remains on any decode path.
   *
   * The WRITE path is deliberately JDK-owned where it matters: the
   * compressed bitstream comes from java.util.zip.Deflater (we do not
@@ -231,21 +232,43 @@ object GzipIngest {
     if ((flg & FNAME) != 0) { while (u8(pos) != 0) pos += 1; pos += 1 }
     if ((flg & FCOMMENT) != 0) { while (u8(pos) != 0) pos += 1; pos += 1 }
     if ((flg & FHCRC) != 0) {
-      val crc = new java.util.zip.CRC32()
-      crc.update(data, start, pos - start)
-      require((crc.getValue & 0xffff).toInt == u16(pos), "header CRC16 mismatch")
+      val hc = crc32(data, start, pos - start)
+      require((hc & 0xffff).toInt == u16(pos), "header CRC16 mismatch")
       pos += 2
     }
     val (raw, after, stats) = inflate(data, pos)
     require(after + 8 <= data.length, "gzip trailer truncated")
-    val crc = new java.util.zip.CRC32()
-    crc.update(raw)
-    require(crc.getValue == u32(after),
-      f"CRC32 mismatch: computed ${crc.getValue}%08x, trailer ${u32(after)}%08x")
+    val c = crc32(raw)
+    require(c == u32(after),
+      f"CRC32 mismatch: computed $c%08x, trailer ${u32(after)}%08x")
     require((raw.length.toLong & 0xffffffffL) == u32(after + 4),
       s"ISIZE mismatch: ${raw.length} vs ${u32(after + 4)}")
     (raw, after + 8, stats)
   }
+
+  /** Own table-driven CRC-32 (reflected poly 0xEDB88320 — the
+    * ISO 3309 / gzip / PNG checksum), retiring the last java.util.zip
+    * dependency from every decode path. Held against the JDK's CRC32
+    * in InflateSpec.
+    */
+  private val CrcTable: Array[Int] = Array.tabulate(256) { n =>
+    var c = n
+    var k = 0
+    while (k < 8) { c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1; k += 1 }
+    c
+  }
+
+  def crc32(data: Array[Byte], off: Int, len: Int): Long = {
+    var c = 0xffffffff
+    var i = off
+    while (i < off + len) {
+      c = CrcTable((c ^ data(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    (~c).toLong & 0xffffffffL
+  }
+
+  def crc32(data: Array[Byte]): Long = crc32(data, 0, data.length)
 
   /** Own Adler-32 (RFC 1950 §8) — the zlib trailer checksum. */
   def adler32(data: Array[Byte]): Long = {
@@ -321,9 +344,7 @@ object GzipIngest {
     val buf = new Array[Byte](8192)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
-    val crc = new java.util.zip.CRC32()
-    crc.update(raw)
-    val c = crc.getValue; val n = raw.length.toLong
+    val c = crc32(raw); val n = raw.length.toLong
     Seq(c, c >> 8, c >> 16, c >> 24, n, n >> 8, n >> 16, n >> 24)
       .foreach(v => out.write((v & 0xff).toInt))
     out.toByteArray

@@ -132,6 +132,20 @@ class InflateSpec extends AnyFunSuite with SparkTestBase {
     assert(GzipIngest.adler32(sample) == jdk.getValue)
   }
 
+  test("own table-driven CRC-32 == java.util.zip.CRC32, incl. offset slices") {
+    val r = rng(11)
+    Seq(0, 1, 7, 100, 65536).foreach { n =>
+      val data = Array.fill(n)((r.nextInt(256) - 128).toByte)
+      val jdk = new java.util.zip.CRC32()
+      jdk.update(data)
+      assert(GzipIngest.crc32(data) == jdk.getValue, s"length $n")
+    }
+    val data = Array.fill(1000)((r.nextInt(256) - 128).toByte)
+    val jdk = new java.util.zip.CRC32()
+    jdk.update(data, 137, 500)
+    assert(GzipIngest.crc32(data, 137, 500) == jdk.getValue, "offset slice")
+  }
+
   test("trailer verification actually fires") {
     val raw = "corruption must not pass silently".getBytes("UTF-8")
     val member = GzipIngest.gzip(raw, 6, "x")
