@@ -132,7 +132,8 @@ object Scaling {
     ("q203_k_anonymity", "k-anonymity ladder release gate (3 rung aggregates)", "documents"),
     ("q204_stream_funnel", "stateful streaming funnel (3 ordered micro-batches)", "events"),
     ("q205_sample_per_source", "per-source weighted quota via TopKPerKey", "documents"),
-    ("q206_nfc_dedup", "Unicode NFC-equivalence dedup (map-side normalize)", "documents"))
+    ("q206_nfc_dedup", "Unicode NFC-equivalence dedup (map-side normalize)", "documents"),
+    ("q207_gzip_sink", "gzip sink via the own DEFLATE encoder", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

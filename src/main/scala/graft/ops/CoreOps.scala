@@ -473,6 +473,57 @@ object CoreOps {
        | md5(text) AS text_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q207: gzip SINK — the write half q196 left to the JDK: each
+  //      document compresses through the OWN DEFLATE encoder (greedy
+  //      LZ77 hash chains, fixed-Huffman emission — GzipIngest
+  //      .deflateFixed) inside own gzip framing (gzipOwn: own CRC-32 +
+  //      ISIZE trailer), then the own reader decodes it back and
+  //      proves exact byte recovery per doc via md5 vs the
+  //      uncompressed source. The round trip alone would be
+  //      self-consistent, so the INDEPENDENT check lives in
+  //      GzipSinkSpec: the JDK's GZIPInputStream (a decoder we do not
+  //      control) must accept every own-encoded member byte-for-byte,
+  //      and the encoder must genuinely compress (matches, not just
+  //      literal coding). comp_len is in the output — it is a pure
+  //      function of the deterministic encoder, but DuckDB cannot run
+  //      the encoder, so the oracle checks the content columns and the
+  //      ratio claims live in the spec. Same map-only scale shape as
+  //      q196. ----
+  def gzipSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gzsink_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "gzsink-fixture-v1:own-fixed-huffman")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, graft.sources.GzipIngest.gzipOwn(
+            text.getBytes("UTF-8"), s"doc_$id.txt"))
+        })
+        .toDF("doc_id", "gz")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(tmp)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, gz) =>
+        val (raw, _) = graft.sources.GzipIngest.gunzipMember(gz)
+        GzDoc(id, gz.length, new String(raw, "UTF-8"))
+      })
+      .toDF()
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val gzipSinkSql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+      | md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- q136: multi-file CSV file-order prefix (CsvIngest.readPrefix)
   //      with the cap landing MID-FILE — the oracle proves the
   //      boundary-file path takes exactly the FIRST remaining rows of
@@ -801,6 +852,8 @@ object CoreOps {
       "JSONL ingest with nested metadata: sampled single-file schema inference preserving the struct tree (JsonIngest), dot-path rollup — the LLM-corpus interchange format as a first-class source"),
     Q("q200_warc_ingest", warcIngest, Some(warcIngestSql),
       "WARC crawl-shard ingestion: concatenated per-record gzip members walked by the own DEFLATE decoder, WARC header walk + Content-Length slicing + HTTP envelope strip — exact payload recovery proven per-doc via md5"),
+    Q("q207_gzip_sink", gzipSink, Some(gzipSinkSql),
+      "gzip SINK via the own DEFLATE encoder (greedy LZ77 hash chains, fixed-Huffman emission, own framing + CRC-32) — exact byte recovery proven per-doc; GZIPInputStream independently accepts every own-encoded member (spec)"),
     Q("q196_gzip_ingest", gzipIngest, Some(gzipIngestSql),
       "gzip corpus ingestion decoded by an OWN full DEFLATE implementation (stored/fixed/dynamic blocks, LZ77 window, CRC32+ISIZE verify) — exact byte recovery proven per-doc via md5 vs the uncompressed source"),
     Q("q130_url_csv", urlCsvRead, Some(urlCsvReadSql),

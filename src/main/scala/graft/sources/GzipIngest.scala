@@ -14,15 +14,15 @@ package graft.sources
   * table-driven implementation below, held against java.util.zip.CRC32
   * in InflateSpec — no java.util.zip call remains on any decode path.
   *
-  * The WRITE path is deliberately JDK-owned where it matters: the
-  * compressed bitstream comes from java.util.zip.Deflater (we do not
-  * control its block-splitting or Huffman choices, so the decoder is
-  * honest), at a compression level cycling 0/1/6/9 across the corpus so
-  * stored, fixed and dynamic blocks all occur in the staged fixture.
-  * The gzip framing around it is written here (header flags, CRC32 +
-  * ISIZE trailer) — InflateSpec holds those constructed members against
-  * GZIPInputStream, the JDK's INDEPENDENT container reader, so the
-  * framing bytes are cross-validated too.
+  * Two write paths, each for a reason. q196's FIXTURE bitstreams come
+  * from java.util.zip.Deflater (we do not control its block-splitting
+  * or Huffman choices, so the decoder is honest), levels cycling
+  * 0/1/6/9 so stored, fixed and dynamic blocks all occur; only the
+  * gzip framing is own ([[gzip]]). q207's SINK is the own encoder the
+  * other direction demands: [[deflateFixed]] (greedy LZ77 hash chains,
+  * fixed-Huffman emission) inside [[gzipOwn]] — GzipSinkSpec holds
+  * every own-encoded member against GZIPInputStream and raw Inflater,
+  * the decoders we do not control.
   *
   * Reference behavior: the reference suite ingests its CSV input
   * pre-decompressed (benchmark-pandas-vs-polars-… main.rs:24 reads the
@@ -192,6 +192,137 @@ object GzipIngest {
     } while (bfinal == 0)
     (java.util.Arrays.copyOf(out, outN), br.pos,
       BlockStats(stored, fixedB, dyn))
+  }
+
+  // ---- own DEFLATE ENCODER (q207's sink half) ----
+
+  /** LSB-first bit writer; Huffman codes go MSB-of-code-first per
+    * RFC 1951 §3.1.1.
+    */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    def bits(v: Int, n: Int): Unit = {
+      buf |= (v & ((1 << n) - 1)) << cnt
+      cnt += n
+      while (cnt >= 8) { out.write(buf & 0xff); buf >>>= 8; cnt -= 8 }
+    }
+    def huff(code: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits((code >> i) & 1, 1); i -= 1 }
+    }
+    def finish(): Array[Byte] = {
+      if (cnt > 0) out.write(buf & 0xff)
+      out.toByteArray
+    }
+  }
+
+  /** Fixed-table code for a literal/length symbol (RFC 1951 §3.2.6). */
+  private def fixedLitCode(sym: Int): (Int, Int) =
+    if (sym < 144) (0x30 + sym, 8)
+    else if (sym < 256) (0x190 + (sym - 144), 9)
+    else if (sym < 280) (sym - 256, 7)
+    else (0xc0 + (sym - 280), 8)
+
+  /** Length 3..258 -> index into LenBase (largest base <= len). */
+  private val LenCodeOf: Array[Int] = {
+    // largest base <= len; code 284 (base 227) covers 227..257 via its
+    // 5 extra bits, and 258 lands exactly on code 285 (base 258)
+    val a = new Array[Int](259)
+    var li = 0
+    (3 to 258).foreach { l =>
+      while (li + 1 < LenBase.length && LenBase(li + 1) <= l) li += 1
+      a(l) = li
+    }
+    a
+  }
+
+  private def distCodeOf(d: Int): Int = {
+    var i = DistBase.length - 1
+    while (DistBase(i) > d) i -= 1
+    i
+  }
+
+  /** Own DEFLATE compressor: greedy LZ77 over hash chains (3-byte
+    * hash, 32 KiB window, matches 3..258, bounded chain walk) emitted
+    * under the FIXED Huffman tables in one final block. Not Deflater's
+    * equal on ratio (no lazy matching, no dynamic trees) — but a real
+    * compressor whose output any conformant inflater must accept;
+    * InflateSpec holds it against GZIPInputStream/Inflater, the
+    * decoders we do NOT control.
+    */
+  def deflateFixed(raw: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    bw.bits(1, 1) // BFINAL: single block
+    bw.bits(1, 2) // BTYPE 01: fixed Huffman
+    val HashBits = 15
+    val head = Array.fill(1 << HashBits)(-1)
+    val prev = new Array[Int](raw.length)
+    def h3(i: Int): Int =
+      (((raw(i) & 0xff) << 10) ^ ((raw(i + 1) & 0xff) << 5) ^
+        (raw(i + 2) & 0xff)) & ((1 << HashBits) - 1)
+    def insert(i: Int): Unit =
+      if (i + 3 <= raw.length) { val h = h3(i); prev(i) = head(h); head(h) = i }
+    def emitLen(len: Int): Unit = {
+      val li = LenCodeOf(len)
+      val (c, n) = fixedLitCode(257 + li)
+      bw.huff(c, n)
+      if (LenExtra(li) > 0) bw.bits(len - LenBase(li), LenExtra(li))
+    }
+    def emitDist(d: Int): Unit = {
+      val di = distCodeOf(d)
+      bw.huff(di, 5)
+      if (DistExtra(di) > 0) bw.bits(d - DistBase(di), DistExtra(di))
+    }
+    var i = 0
+    while (i < raw.length) {
+      var bestLen = 0
+      var bestDist = 0
+      if (i + 3 <= raw.length) {
+        var cand = head(h3(i))
+        var chain = 0
+        while (cand >= 0 && chain < 64 && i - cand <= 32768) {
+          var l = 0
+          val max = math.min(258, raw.length - i)
+          while (l < max && raw(cand + l) == raw(i + l)) l += 1
+          if (l >= 3 && l > bestLen) { bestLen = l; bestDist = i - cand }
+          cand = prev(cand)
+          chain += 1
+        }
+      }
+      if (bestLen >= 3) {
+        emitLen(bestLen); emitDist(bestDist)
+        var k = 0
+        while (k < bestLen) { insert(i + k); k += 1 }
+        i += bestLen
+      } else {
+        val (c, n) = fixedLitCode(raw(i) & 0xff)
+        bw.huff(c, n)
+        insert(i)
+        i += 1
+      }
+    }
+    locally { val (c, n) = fixedLitCode(256); bw.huff(c, n) } // end of block
+    bw.finish()
+  }
+
+  /** One gzip member written ENTIRELY by own code: own framing around
+    * the own fixed-Huffman DEFLATE stream, own CRC-32 + ISIZE trailer.
+    */
+  def gzipOwn(raw: Array[Byte], name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(FNAME)
+    out.write(0); out.write(0); out.write(0); out.write(0) // MTIME=0
+    out.write(0); out.write(255)
+    name.getBytes("US-ASCII").foreach(b => out.write(b & 0xff))
+    out.write(0)
+    val body = deflateFixed(raw)
+    out.write(body, 0, body.length)
+    val c = crc32(raw); val n = raw.length.toLong
+    Seq(c, c >> 8, c >> 16, c >> 24, n, n >> 8, n >> 16, n >> 24)
+      .foreach(v => out.write((v & 0xff).toInt))
+    out.toByteArray
   }
 
   // ---- RFC 1952 member framing ----
