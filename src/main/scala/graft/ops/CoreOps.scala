@@ -524,6 +524,57 @@ object CoreOps {
       | md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q208: `.tgz` ARCHIVE shards, own code BOTH directions — the
+  //      third archive discipline (q196 gzip members, q200 WARC
+  //      records, now POSIX ustar): docs bin-pack into tar archives
+  //      (own writer — 512-byte blocks, octal sizes, spaces-substituted
+  //      header checksum, two-zero-block terminator), each archive
+  //      compresses through the OWN q207 encoder, and the read path
+  //      runs own gunzip -> own tar walk (checksum verified per entry)
+  //      -> per-file documents. The JDK has no tar codec; TarSpec pins
+  //      golden archive bytes longhand, proves the checksum fires on
+  //      corruption, and — where the binary exists — has GNU tar itself
+  //      list and extract an own-written archive (a decoder we do not
+  //      control). Oracle = exact per-doc content via md5, shard/pos
+  //      via arithmetic + row_number (the q200 discipline). ----
+  def tgzArchive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tgz_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "tgz-fixture-v1:ustar+own-gzip")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d)
+        .groupBy((col("doc_id") % 16).as("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .mapPartitions(_.map { case (sh, ds) =>
+          val tar = graft.sources.TarIngest.archive(
+            ds.map { case (id, t) => (s"doc_$id.txt", t.getBytes("UTF-8")) })
+          (sh, graft.sources.GzipIngest.gzipOwn(tar, s"shard_$sh.tar"))
+        })
+        .toDF("shard", "tgz")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(tmp)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (sh, tgz) =>
+        val (tar, _) = graft.sources.GzipIngest.gunzipMember(tgz)
+        graft.sources.TarIngest.parse(tar).iterator.zipWithIndex.map {
+          case ((name, content), i) =>
+            val id = name.stripPrefix("doc_").stripSuffix(".txt").toLong
+            WarcDoc(id, sh, i + 1L, new String(content, "UTF-8"))
+        }
+      })
+      .toDF()
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+        length(col("text")).cast("long").as("raw_len"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- q136: multi-file CSV file-order prefix (CsvIngest.readPrefix)
   //      with the cap landing MID-FILE — the oracle proves the
   //      boundary-file path takes exactly the FIRST remaining rows of
@@ -852,6 +903,8 @@ object CoreOps {
       "JSONL ingest with nested metadata: sampled single-file schema inference preserving the struct tree (JsonIngest), dot-path rollup — the LLM-corpus interchange format as a first-class source"),
     Q("q200_warc_ingest", warcIngest, Some(warcIngestSql),
       "WARC crawl-shard ingestion: concatenated per-record gzip members walked by the own DEFLATE decoder, WARC header walk + Content-Length slicing + HTTP envelope strip — exact payload recovery proven per-doc via md5"),
+    Q("q208_tgz_archive", tgzArchive, Some(warcIngestSql),
+      "`.tgz` corpus shards with own code both directions: own POSIX-ustar writer + own q207 gzip encoder on the write side, own gunzip + checksum-verified tar walk on the read side — exact per-doc recovery; GNU tar itself validates own archives in the spec"),
     Q("q207_gzip_sink", gzipSink, Some(gzipSinkSql),
       "gzip SINK via the own DEFLATE encoder (greedy LZ77 hash chains, fixed-Huffman emission, own framing + CRC-32) — exact byte recovery proven per-doc; GZIPInputStream independently accepts every own-encoded member (spec)"),
     Q("q196_gzip_ingest", gzipIngest, Some(gzipIngestSql),
