@@ -464,7 +464,13 @@ object CoreOps {
       .orderBy("doc_id")
   }
 
-  private val warcIngestSql =
+  /** Shared oracle for the sharded-archive ingest lanes (q200 WARC,
+    * q208 tgz): both assign shard = doc_id % WarcIngest.NShards and
+    * position = doc_id rank within the shard, so one SQL — interpolating
+    * the SAME constant both lane bodies use — covers both and cannot
+    * desynchronize from either (r11 ADVICE).
+    */
+  private val shardedDocsSql =
     s"""SELECT doc_id,
        | CAST(doc_id % ${graft.sources.WarcIngest.NShards} AS BIGINT) AS shard,
        | CAST(row_number() OVER (PARTITION BY doc_id % ${graft.sources.WarcIngest.NShards}
@@ -545,7 +551,10 @@ object CoreOps {
     if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
       graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
       Tables.documents(s, d)
-        .groupBy((col("doc_id") % 16).as("shard"))
+        // same shard-count constant as q200 (and as shardedDocsSql) so
+        // engine and oracle can never desynchronize (r11 ADVICE)
+        .groupBy((col("doc_id") % graft.sources.WarcIngest.NShards)
+          .as("shard"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
           .as("docs"))
         .as[(Long, Seq[(Long, String)])]
@@ -901,9 +910,9 @@ object CoreOps {
       "O3 schema-inferred CSV read via sampled single-file inference (CsvIngest)"),
     Q("q194_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql),
       "JSONL ingest with nested metadata: sampled single-file schema inference preserving the struct tree (JsonIngest), dot-path rollup — the LLM-corpus interchange format as a first-class source"),
-    Q("q200_warc_ingest", warcIngest, Some(warcIngestSql),
+    Q("q200_warc_ingest", warcIngest, Some(shardedDocsSql),
       "WARC crawl-shard ingestion: concatenated per-record gzip members walked by the own DEFLATE decoder, WARC header walk + Content-Length slicing + HTTP envelope strip — exact payload recovery proven per-doc via md5"),
-    Q("q208_tgz_archive", tgzArchive, Some(warcIngestSql),
+    Q("q208_tgz_archive", tgzArchive, Some(shardedDocsSql),
       "`.tgz` corpus shards with own code both directions: own POSIX-ustar writer + own q207 gzip encoder on the write side, own gunzip + checksum-verified tar walk on the read side — exact per-doc recovery; GNU tar itself validates own archives in the spec"),
     Q("q207_gzip_sink", gzipSink, Some(gzipSinkSql),
       "gzip SINK via the own DEFLATE encoder (greedy LZ77 hash chains, fixed-Huffman emission, own framing + CRC-32) — exact byte recovery proven per-doc; GZIPInputStream independently accepts every own-encoded member (spec)"),

@@ -1148,16 +1148,16 @@ object DedupOps {
   //      doc_id % 3 != 0, a decomposed rendering of the SAME text
   //      ('e' -> e + U+0301) — group sizes therefore vary (1 or 2) and
   //      multi-member groups are invisible to raw-byte grouping. The
-  //      verb normalizes to NFC (java.text.Normalizer on the Spark
-  //      side — a typed per-partition transform, the engine has no
-  //      built-in; DuckDB's nfc_normalize on the oracle side: two
+  //      verb normalizes to NFC (the graft_nfc_normalize CODEGEN
+  //      expression on the Spark side — rendering, normalize and the
+  //      dedup hash all fuse into one whole-stage-codegen loop, no
+  //      row-to-object conversion; DuckDB's nfc_normalize on the oracle side: two
   //      INDEPENDENT UAX#15 implementations must agree on every
   //      normalized byte or the group hashes diverge) and groups by
   //      the normalized hash. Shape at 100 TB: rendering + normalize
   //      are map-side; the one exchange is the dedup groupBy every
   //      exact-dedup pass pays. ----
   def nfcDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, d)
     val composed = docs.select((col("doc_id") * 2).as("vid"),
       regexp_replace(col("text"), "e", "\u00e9").as("vtext"))
@@ -1165,12 +1165,8 @@ object DedupOps {
       .select((col("doc_id") * 2 + 1).as("vid"),
         regexp_replace(col("text"), "e", "e\u0301").as("vtext"))
     composed.unionByName(decomposed)
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (vid, vtext) =>
-        (vid, vtext, java.text.Normalizer.normalize(
-          vtext, java.text.Normalizer.Form.NFC))
-      })
-      .toDF("vid", "vtext", "ntext")
+      .withColumn("ntext",
+        graft.expressions.NfcNormalize.normalize(col("vtext")))
       .groupBy(md5(col("ntext").cast("binary")).as("nfc_md5"))
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(md5(col("vtext").cast("binary"))).as("n_raw_forms"),

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * genuine JDK-encoded RIFF/WAV containers parsed by [[WavCodec]]
   * (chunk walk, fmt validation, little-endian signed PCM16), energy
   * verb over the real samples; q186 adds the first COMPRESSED
-  * container — JDK-encoded PNG parsed by [[PngCodec]] on java.util.zip
-  * only (CRC-verified chunk walk, multi-IDAT inflate, all five row
-  * unfilters), gradient-energy verb over the real pixels.
+  * container — JDK-encoded PNG parsed by [[PngCodec]] on the repo's OWN
+  * zlib/DEFLATE decoder (GzipIngest.unzlib; own CRC-32 chunk verify,
+  * multi-IDAT inflate, all five row unfilters), gradient-energy verb
+  * over the real pixels.
   */
 object MultimodalOps {
 
@@ -559,10 +560,12 @@ object MultimodalOps {
   //      (8-bit truecolor, encoded by the JDK's own ImageIO PNG
   //      writer from a deterministic gray formula — we do NOT control
   //      the encoder, including its per-row adaptive filter choices);
-  //      [[PngCodec.decode]] is a parser of the real format built on
-  //      nothing but java.util.zip (JDK): signature check, chunk walk
-  //      with CRC32 verification, IHDR validation, multi-IDAT
-  //      concatenation, Inflater decompression, and ALL FIVE PNG row
+  //      [[PngCodec.decode]] is a parser of the real format with NO
+  //      library calls at all: signature check, chunk walk with own
+  //      CRC-32 verification, IHDR validation, multi-IDAT
+  //      concatenation, the OWN zlib/DEFLATE decoder
+  //      (GzipIngest.unzlib — java.util.zip left the decode path in
+  //      commit a4f64fd), and ALL FIVE PNG row
   //      unfilters (None/Sub/Up/Average/Paeth with the Paeth
   //      predictor) — any unfilter bug corrupts every pixel below the
   //      affected row and the oracle hash breaks. The feature verb is
@@ -1762,7 +1765,7 @@ object MultimodalOps {
     Q("q184_wav_decode_energy", wavDecodeEnergy, Some(wavDecodeEnergySql),
       "REAL audio decode: JDK-encoded RIFF/WAV files in a binary column, own dependency-free chunk-walking parser (fmt validation, LE signed PCM16), per-window energy verb over real samples"),
     Q("q186_png_decode_gradient", pngDecodeGradient, Some(pngDecodeGradientSql),
-      "REAL compressed-image decode: JDK-encoded PNG files, own parser on java.util.zip only — CRC-verified chunk walk, multi-IDAT inflate, all five row unfilters incl. Paeth — gradient-energy verb over real pixels"),
+      "REAL compressed-image decode: JDK-encoded PNG files, own parser end-to-end (own zlib/DEFLATE via GzipIngest.unzlib, own CRC-32 chunk verify, multi-IDAT inflate, all five row unfilters incl. Paeth) — gradient-energy verb over real pixels"),
     Q("q189_png_phash_neardup", pngPhashPairs, Some(pngPhashPairsSql),
       "perceptual near-dup candidates over REAL decoded pixels: 56-bit dHash from the PNG corpus (map-side decode + 9x7 grid), 4x14-bit banded LSH equi-join (never all-pairs), exact Hamming verify on the bounded candidate set"),
     Q("q190_gif_frames", gifFrameFeatures, Some(gifFrameFeaturesSql),

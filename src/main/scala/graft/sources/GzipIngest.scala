@@ -54,10 +54,17 @@ object GzipIngest {
     * (len, symbol). Decode walks bit-by-bit — codes are ≤ 15 bits, so
     * the walk is bounded and allocation-free.
     */
-  private final class Huffman(lengths: Array[Int]) {
+  private final class Huffman(lengths: Array[Int],
+                              allowEmpty: Boolean = false) {
     val count = new Array[Int](16)
     lengths.foreach(l => if (l > 0) count(l) += 1)
-    require(count.sum > 0, "empty Huffman code")
+    // RFC 1951 §3.2.7 permits HDIST=1 with one zero-length code —
+    // "no distance codes": the table may be empty for the DISTANCE
+    // alphabet (any attempt to decode a symbol from it then fails in
+    // BitReader.decode, matching zlib). Literal/code-length alphabets
+    // must be non-empty. (r11 ADVICE: JDK fixtures never emit this but
+    // foreign encoders in real gzip/WARC corpora can.)
+    require(allowEmpty || count.sum > 0, "empty Huffman code")
     val symbols = new Array[Int](count.sum)
     private val offs = new Array[Int](16)
     (1 until 15).foreach(l => offs(l + 1) = offs(l) + count(l))
@@ -168,7 +175,8 @@ object GzipIngest {
               }
               require(i == lens.length, "code-length run overflowed the table")
               require(lens(256) > 0, "dynamic block has no end-of-block code")
-              (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
+              (new Huffman(lens.take(hlit)),
+               new Huffman(lens.drop(hlit), allowEmpty = true))
             }
           var sym = br.decode(lit)
           while (sym != 256) {

@@ -74,17 +74,29 @@ object TarIngest {
           sum += (if (i >= 148 && i < 156) ' '.toInt
                   else bytes(pos + i) & 0xff)
         }
+        // numeric/checksum fields terminate at NUL OR space (octal
+        // values are space- or NUL-padded per POSIX); string fields
+        // (name, magic) terminate at NUL ONLY — spaces are valid in
+        // ustar names, so space-terminating them would silently
+        // truncate "my file.txt" to "my" (r11 ADVICE).
         def field(off: Int, len: Int): String = {
           var end = off
           while (end < off + len && bytes(pos + end) != 0
             && bytes(pos + end) != ' ') end += 1
           new String(bytes, pos + off, end - off, "US-ASCII")
         }
+        def strField(off: Int, len: Int): String = {
+          var end = off
+          while (end < off + len && bytes(pos + end) != 0) end += 1
+          new String(bytes, pos + off, end - off, "US-ASCII")
+        }
         val stored = java.lang.Long.parseLong(field(148, 8), 8)
         require(stored == sum,
           s"tar header checksum mismatch: stored $stored, computed $sum")
-        require(field(257, 6) == "ustar", "not a ustar header")
-        val name = field(0, 100)
+        // POSIX writes magic "ustar\0"; GNU's old format writes
+        // "ustar  \0" (space-padded) — accept both spellings
+        require(strField(257, 6).trim == "ustar", "not a ustar header")
+        val name = strField(0, 100)
         val size = java.lang.Long.parseLong(field(124, 12), 8).toInt
         require(pos + 512 + size <= bytes.length, "entry payload truncated")
         out += ((name,
