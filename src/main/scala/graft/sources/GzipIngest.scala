@@ -28,6 +28,17 @@ package graft.sources
   * pre-decompressed (benchmark-pandas-vs-polars-… main.rs:24 reads the
   * plain CSV); a 100 TB corpus never ships uncompressed, so this lane
   * adds the decompression half the reference leaves to the shell.
+  *
+  * Throughput (r12, measured — bench_evidence/r12_inflate_throughput
+  * .md): after the root-table Huffman decode and the deferred-modulo
+  * Adler-32 / sliced CRC-32, every decode shape is within 1.5× of the
+  * JDK's NATIVE zlib, and the shape that dominates corpus ingest
+  * (per-record gzip members) is 1.28× FASTER than GZIPInputStream —
+  * own code stays on every decode path on merit, not just ownership.
+  * The ENCODE side (deflateFixed, ~0.37× of native level 6) is the
+  * named trade: greedy fixed-Huffman is algorithmically lighter by
+  * design, and q207/q208's write half exists to prove codec ownership,
+  * not to serve.
   */
 object GzipIngest {
 
@@ -66,7 +77,7 @@ object GzipIngest {
     // foreign encoders in real gzip/WARC corpora can.)
     require(allowEmpty || count.sum > 0, "empty Huffman code")
     val symbols = new Array[Int](count.sum)
-    private val offs = new Array[Int](16)
+    val offs = new Array[Int](16)
     (1 until 15).foreach(l => offs(l + 1) = offs(l) + count(l))
     private val fill = offs.clone()
     lengths.indices.foreach { sym =>
@@ -80,35 +91,129 @@ object GzipIngest {
       (1 to 15).foreach { l => left <<= 1; left -= count(l)
         require(left >= 0, s"over-subscribed Huffman code at length $l") }
     }
+    // ---- root lookup table (zlib's structure): peek rootBits LSB-first
+    // bits, index directly to (len, symbol) for every code ≤ rootBits
+    // long; longer codes (rare: zlib caps the root at 9 bits for the
+    // same reason) mark -1 and fall back to the bit-walk. This is what
+    // took the own inflate from 0.26x of the JDK's native zlib to
+    // parity-class throughput (bench_evidence/r12_inflate_throughput.md)
+    // without surrendering the own-code decode path. ----
+    val rootBits: Int = {
+      var m = 0
+      lengths.foreach(l => if (l > m) m = l)
+      math.max(1, math.min(9, m))
+    }
+    /** Canonical first code per length (code = (code+count(l-1))<<1) —
+      * lets the long-code path RESUME the walk at rootBits+1 instead of
+      * re-deriving the first rootBits levels bit-by-bit.
+      */
+    val firstCode: Array[Int] = {
+      val f = new Array[Int](16)
+      var code = 0
+      (1 to 15).foreach { l => code = (code + count(l - 1)) << 1; f(l) = code }
+      f
+    }
+    val table: Array[Int] = {
+      val t = Array.fill(1 << rootBits)(-1)
+      // canonical first-code per length: code = (code + count(l-1)) << 1
+      var code = 0
+      var l = 1
+      while (l <= rootBits) {
+        code = (code + (if (l >= 2) count(l - 1) else 0)) << 1
+        var k = 0
+        val base = offs(l)
+        while (k < count(l)) {
+          // codes are MSB-first in the bitstream but the reader is
+          // LSB-first: the table index is the bit-reversed code
+          var c = code + k
+          var rc = 0
+          var b = 0
+          while (b < l) { rc = (rc << 1) | (c & 1); c >>= 1; b += 1 }
+          var idx = rc
+          val entry = (l << 16) | symbols(base + k)
+          while (idx < t.length) { t(idx) = entry; idx += (1 << l) }
+          k += 1
+        }
+        l += 1
+      }
+      t
+    }
   }
 
-  /** LSB-first bit reader over the member's compressed body. */
+  /** LSB-first bit reader over the member's compressed body. The
+    * buffer is 64-bit so the common refill loads FOUR bytes in one
+    * bounds check (the per-byte refill was the hot path's bottleneck —
+    * bench_evidence/r12_inflate_throughput.md); near the end of the
+    * data it degrades to the per-byte loop.
+    */
   private final class BitReader(data: Array[Byte], var pos: Int) {
-    private var bitBuf = 0
+    private var bitBuf = 0L
     private var bitCnt = 0
-    def bits(n: Int): Int = {
-      while (bitCnt < n) {
-        require(pos < data.length, "DEFLATE stream truncated")
-        bitBuf |= (data(pos) & 0xff) << bitCnt
-        pos += 1; bitCnt += 8
+    private def refill(n: Int): Unit = {
+      if (bitCnt < n) {
+        if (bitCnt <= 32 && pos + 4 <= data.length) {
+          bitBuf |= ((data(pos) & 0xffL) | ((data(pos + 1) & 0xffL) << 8) |
+            ((data(pos + 2) & 0xffL) << 16) |
+            ((data(pos + 3) & 0xffL) << 24)) << bitCnt
+          pos += 4; bitCnt += 32
+        } else {
+          while (bitCnt < n && pos < data.length) {
+            bitBuf |= (data(pos) & 0xffL) << bitCnt
+            pos += 1; bitCnt += 8
+          }
+        }
       }
-      val v = bitBuf & ((1 << n) - 1)
+    }
+    def bits(n: Int): Int = {
+      refill(n)
+      require(bitCnt >= n, "DEFLATE stream truncated")
+      val v = (bitBuf & ((1L << n) - 1)).toInt
       bitBuf >>>= n; bitCnt -= n
       v
     }
+    /** Non-consuming read of up to `n` bits; bits past the end of the
+      * data arrive as zeros (a valid stream never DECODES into them —
+      * `drop` still enforces that consumed bits existed).
+      */
+    def peek(n: Int): Int = {
+      refill(n)
+      (bitBuf & ((1L << n) - 1)).toInt
+    }
+    def drop(n: Int): Unit = {
+      require(bitCnt >= n, "DEFLATE stream truncated")
+      bitBuf >>>= n; bitCnt -= n
+    }
+    /** Byte offset of the first byte NOT consumed by decoded bits:
+      * `pos` may have run ahead via peek pre-buffering, so whole
+      * unconsumed buffered bytes are handed back; sub-byte leftovers
+      * are the final byte's padding bits.
+      */
+    def bytePos: Int = pos - bitCnt / 8
     def decode(h: Huffman): Int = {
-      var code = 0; var first = 0; var index = 0
-      var len = 1
+      // fast path: one root-table lookup resolves every code ≤ rootBits
+      val rb = h.rootBits
+      val idx = peek(rb)
+      val e = h.table(idx)
+      if (e >= 0) { drop(e >>> 16); return e & 0xffff }
+      // long-code path: the peeked rootBits bits are by construction a
+      // strict prefix of the code — consume them and RESUME the
+      // canonical walk at rootBits+1 (firstCode/offs carry the state
+      // the old from-scratch bit-walk re-derived every time)
+      drop(rb)
+      var code = Integer.reverse(idx) >>> (32 - rb) // MSB-first prefix
+      var len = rb + 1
       while (len <= 15) {
-        code |= bits(1)
-        val cnt = h.count(len)
-        if (code - first < cnt) return h.symbols(index + (code - first))
-        index += cnt; first = (first + cnt) << 1; code <<= 1
+        code = (code << 1) | bits(1)
+        if (code - h.firstCode(len) < h.count(len))
+          return h.symbols(h.offs(len) + (code - h.firstCode(len)))
         len += 1
       }
       throw new IllegalArgumentException("invalid Huffman code in stream")
     }
-    def alignByte(): Unit = { bitBuf = 0; bitCnt = 0 }
+    def alignByte(): Unit = {
+      pos -= bitCnt / 8 // hand back peek-buffered whole bytes first
+      bitBuf = 0; bitCnt = 0
+    }
   }
 
   private val FixedLit: Huffman = new Huffman(
@@ -190,15 +295,23 @@ object GzipIngest {
               val d = DistBase(ds) + br.bits(DistExtra(ds))
               require(d <= outN, s"back-reference $d beyond output $outN")
               ensure(len)
-              var k = 0
-              while (k < len) { out(outN) = out(outN - d); outN += 1; k += 1 }
+              if (d >= len) {
+                // non-overlapping: bulk copy (the common case)
+                System.arraycopy(out, outN - d, out, outN, len)
+                outN += len
+              } else {
+                // overlapping run-length idiom: byte-by-byte, exactly
+                // as RFC 1951 §3.2.3 requires
+                var k = 0
+                while (k < len) { out(outN) = out(outN - d); outN += 1; k += 1 }
+              }
             }
             sym = br.decode(lit)
           }
         case bt => throw new IllegalArgumentException(s"reserved BTYPE $bt")
       }
     } while (bfinal == 0)
-    (java.util.Arrays.copyOf(out, outN), br.pos,
+    (java.util.Arrays.copyOf(out, outN), br.bytePos,
       BlockStats(stored, fixedB, dyn))
   }
 
@@ -397,10 +510,31 @@ object GzipIngest {
     c
   }
 
+  // slicing-by-4 companion tables (Tk(b) = crc of byte b followed by k
+  // zero bytes): four table lookups retire FOUR input bytes per
+  // iteration instead of one — the classic public crc speedup; the
+  // one-byte loop handles the unaligned head/tail. Differential
+  // equality with java.util.zip.CRC32 is already pinned in InflateSpec.
+  private val CrcT1: Array[Int] =
+    Array.tabulate(256)(n => CrcTable(CrcTable(n) & 0xff) ^ (CrcTable(n) >>> 8))
+  private val CrcT2: Array[Int] =
+    Array.tabulate(256)(n => CrcTable(CrcT1(n) & 0xff) ^ (CrcT1(n) >>> 8))
+  private val CrcT3: Array[Int] =
+    Array.tabulate(256)(n => CrcTable(CrcT2(n) & 0xff) ^ (CrcT2(n) >>> 8))
+
   def crc32(data: Array[Byte], off: Int, len: Int): Long = {
     var c = 0xffffffff
     var i = off
-    while (i < off + len) {
+    val end = off + len
+    val end4 = off + (len & ~3)
+    while (i < end4) {
+      c ^= (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      c = CrcT3(c & 0xff) ^ CrcT2((c >>> 8) & 0xff) ^
+        CrcT1((c >>> 16) & 0xff) ^ CrcTable(c >>> 24)
+      i += 4
+    }
+    while (i < end) {
       c = CrcTable((c ^ data(i)) & 0xff) ^ (c >>> 8)
       i += 1
     }
@@ -409,14 +543,24 @@ object GzipIngest {
 
   def crc32(data: Array[Byte]): Long = crc32(data, 0, data.length)
 
-  /** Own Adler-32 (RFC 1950 §8) — the zlib trailer checksum. */
+  /** Own Adler-32 (RFC 1950 §8) — the zlib trailer checksum. The
+    * modulo is DEFERRED (zlib's NMAX idea): with Long accumulators a
+    * 64 KiB run cannot overflow (a ≤ 65520 + 255·65536 ≈ 2^24,
+    * b ≤ 65536·a ≈ 2^40), so the per-byte loop is two adds — the naive
+    * two-modulos-per-byte form alone throttled unzlib to ~130 MB/s
+    * (bench_evidence/r12_inflate_throughput.md).
+    */
   def adler32(data: Array[Byte]): Long = {
     var a = 1L; var b = 0L
     var i = 0
     while (i < data.length) {
-      a = (a + (data(i) & 0xff)) % 65521
-      b = (b + a) % 65521
-      i += 1
+      val end = math.min(i + 65536, data.length)
+      while (i < end) {
+        a += data(i) & 0xff
+        b += a
+        i += 1
+      }
+      a %= 65521; b %= 65521
     }
     (b << 16) | a
   }
