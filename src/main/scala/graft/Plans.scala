@@ -55,7 +55,12 @@ object Plans {
       "q155_pq_codes" -> "product quantization: 8x16 literal codebooks, map-side argmin over explicit squared-L2 chains — the only exchanges are the input repartition and the presentation sort",
       "q157_pq_search" -> "ADC search: 640-row integer LUT broadcast to a hash join over the code stream, integer sums, TopKPerKey under both rank filters — the corpus pays lookups, never per-candidate vector math",
       "q159_domain_cap" -> "per-domain quota cap: under-cap sources admitted via broadcast semi-join on the |sources|-row count relation; only over-cap sources pay the rank, and the rk<=cap filter plans through WindowGroupLimit — a hot domain costs one partition-local top-K, never a corpus-wide rank",
-      "q175_ivf_stats" -> "IVF index-health audit: the routing argmin collapses n*k map-side, occupancy is a k-group aggregate joined broadcast to the k-row cell table, the histogram a second tiny mergeable aggregate — partial counts per task at any scale, never data")
+      "q175_ivf_stats" -> "IVF index-health audit: the routing argmin collapses n*k map-side, occupancy is a k-group aggregate joined broadcast to the k-row cell table, the histogram a second tiny mergeable aggregate — partial counts per task at any scale, never data",
+      "q200_warc_ingest" -> "WARC shard ingestion: the staged shard column decodes map-side (own gunzip member walk + WARC record parse inside one deserialize-map-serialize span per partition) — no corpus shuffle anywhere; the ONLY exchange is the presentation sort's range partitioning",
+      "q205_sample_per_source" -> "per-source weighted quota: plans through the custom TopKPerKey operator whose PARTIAL instance prunes every map partition to its local k-per-source BEFORE the key exchange — the shuffle carries O(sources*k) rows, never the corpus",
+      "q206_nfc_dedup" -> "Unicode NFC-equivalence dedup: rendering regexps, the graft_nfc_normalize codegen expression and the md5 group key all fuse into the scan-side WholeStageCodegen span (no typed mapPartitions, no row<->object conversion); data exchanges are the dedup groupBy's count-distinct pair — (key, raw-form) partial then key-final, the standard two-phase distinct-agg shape — plus the presentation sort",
+      "q207_gzip_sink" -> "gzip sink round-trip read: per-doc own-gunzip decode is map-side (one deserialize-map-serialize span), no corpus shuffle — the only exchange is the presentation sort",
+      "q208_tgz_archive" -> ".tgz shard read: own gunzip + own ustar walk per shard, map-side flatMap from 16-doc shard rows to per-doc rows — no corpus shuffle; the only exchange is the presentation sort")
     // q201/q202/q203 checkpoint their step/rung relations (the first
     // cut of q201 did not, and its dump showed the union branches
     // re-scanning 'view' 3x — the checkpoints exist BECAUSE of that
@@ -454,6 +459,71 @@ object Plans {
         "(q174's boost recall at ~1/|labels| the scored candidates)\n\n```\n" +
         plan183 + "```\n")
     }
+    // q199 after-phase plan: the checkpointed routing is reused by
+    // occupancy/seeds/scoring (the checkpoint IS the shape — a lazy
+    // variant would re-scan the routing per consumer and misrepresent
+    // the lane), so the dump shows the SERVING side above the
+    // checkpoint: broadcast probe scoring, broadcast truth join, the
+    // single 1-row occupancy-stats attach
+    locally {
+      val (_, after) = ops.SimilarityOps.splitServingPhases(spark, d)
+      val plan199 = after.queryExecution.explainString(SimpleMode)
+      sb.append("\n## q199_split_serving (after-phase serving read)\n\n" +
+        "post-split serving price: per phase exactly ONE exact-argmin " +
+        "routing is computed and checkpointed, then REUSED by the " +
+        "occupancy aggregate, the split-seed extraction and the probe " +
+        "scoring (two routings in the whole lane, before + after — the " +
+        "checkpoint boundary below is that reuse); above it the probe " +
+        "scoring is a broadcast equi-join on cell, recall attaches the " +
+        "broadcast truth relation, and the nested loops are all " +
+        "bounded: the 1-row occupancy-stats crossJoin(broadcast) plus " +
+        "the two query-scale routing crosses (NQueries-filtered side x " +
+        "broadcast kit) — the corpus reaches scoring only via the cell " +
+        "equi-join, no corpus-corpus shuffle at any scale\n\n```\n" +
+        plan199 + "```\n")
+    }
+    // q193 per-batch serving fetch: the stream's foreachBatch resolves
+    // the manifest pin and calls manifestPinnedRead — the SAME function
+    // q191 registers and PlanShapeSpec guards at both pins; dumped here
+    // against the lane's generation-0 manifest for the record
+    locally {
+      ops.SimilarityOps.indexVersions(spark, d).collect()
+      val plan193 = ops.SimilarityOps.genPinnedRead(
+          spark, ops.SimilarityOps.versionDir(d), 0, Seq(0L, 1L, 2L))
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q193_stream_versioned_serve (per-micro-batch pinned fetch)\n\n" +
+        "zero-downtime swap serving: each micro-batch resolves the " +
+        "manifest pin committed at fetch time (metadata-scale collect) " +
+        "and fetches ONLY its probed cells through manifestPinnedRead — " +
+        "the identical function behind q191's registered lane, " +
+        "PlanShapeSpec-guarded at both pins (pruned PartitionFilters " +
+        "per generation directory). The streaming wrapper adds no plan " +
+        "surface of its own: routing is the stateless broadcast-kit " +
+        "shape (q180's fence) and the fetch below is this plan at the " +
+        "batch's pin\n\n```\n" + plan193 + "```\n")
+    }
+    // checkpointing / streaming lanes whose registered plans print as
+    // RDD scans or run inside a streaming query — shapes documented
+    // prose-only here (the per-lane dumps above cover their serving
+    // surfaces; COVERAGE.md carries the full shape narratives)
+    sb.append("\n## q201_funnel / q202_retention / q203_k_anonymity (checkpointed rollups)\n\n" +
+      "q201 checkpoints each funnel step relation (the r11 dump showed " +
+      "the union branches re-scanning 'view' 3x without it — the " +
+      "checkpoints exist BECAUSE of that dump); q202 checkpoints the " +
+      "one (user, week) distinct exchange and the weeks^2 metadata " +
+      "matrix; q203 checkpoints the rung aggregates its anti-joins " +
+      "reuse. All three shapes are narrated in COVERAGE.md; their " +
+      "registered plans print as RDD scan leaves by design.\n")
+    sb.append("\n## q204_stream_funnel / q209_stream_funnel_ooo (stateful streams)\n\n" +
+      "both run inside a streaming query (flatMapGroupsWithState), so " +
+      "there is no batch plan to dump: state is 3 longs per user " +
+      "(q204) plus the watermark-bounded pending buffer and 2 counters " +
+      "(q209); the arrival source is one file per micro-batch, the " +
+      "only exchange per batch is the user-key clustering every " +
+      "stateful operator pays, and the final rollup is a 3-row " +
+      "aggregate. StreamFunnelSpec proves cross-batch advancement, " +
+      "q209's disorder bound + mid-stream finalization liveness, and " +
+      "the late-view divergence between the two folds.\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.size} plans)")

@@ -1155,8 +1155,9 @@ object DedupOps {
   //      INDEPENDENT UAX#15 implementations must agree on every
   //      normalized byte or the group hashes diverge) and groups by
   //      the normalized hash. Shape at 100 TB: rendering + normalize
-  //      are map-side; the one exchange is the dedup groupBy every
-  //      exact-dedup pass pays. ----
+  //      are map-side; the exchanges are the dedup groupBy's standard
+  //      two-phase count-distinct pair (partial by (key, raw form),
+  //      final by key) plus the presentation sort. ----
   def nfcDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val composed = docs.select((col("doc_id") * 2).as("vid"),

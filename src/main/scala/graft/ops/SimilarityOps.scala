@@ -2561,6 +2561,18 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   //      routing is checkpointed and REUSED for occupancy, seeds and
   //      scoring. ----
   def splitServing(s: SparkSession, d: String): DataFrame = {
+    val (pb, pa) = splitServingPhases(s, d)
+    pb.unionByName(pa).orderBy("phase", "qid")
+  }
+
+  /** The two q199 phases separately (before/after the split), each a
+    * LAZY plan over the checkpointed routings — the surface Plans and
+    * PlanShapeSpec fence: per phase, ONE routing (checkpointed, reused
+    * by occupancy/seeds/scoring), probe scoring a broadcast equi-join,
+    * the only nested loop the 1-row occupancy stats attach.
+    */
+  private[graft] def splitServingPhases(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val all = base(s, d).localCheckpoint(true)
     val k = ivfCellCount(s, d)
     val (assignedB0, probesB) = ivfRouting(all, k, IvfProbes)
@@ -2608,9 +2620,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
                 col("n_overlap"), col("recall_millionths"),
                 col("max_occ"), col("occ_sq_sum"))
     }
-    phase("before", assignedB, probesB)
-      .unionByName(phase("after", assignedA, probesA))
-      .orderBy("phase", "qid")
+    (phase("before", assignedB, probesB),
+     phase("after", assignedA, probesA))
   }
 
   private val splitServingSql =

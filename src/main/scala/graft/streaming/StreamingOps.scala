@@ -1351,8 +1351,97 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   final case class FunnelSt(t1: Long, t2: Long, t3: Long)
   final case class FunnelEmit(user_id: Long, t1: Long, t2: Long, t3: Long)
 
-  def streamFunnel(s: SparkSession, d: String): DataFrame = {
+  /** Schema of a staged funnel arrival slice (shared by q204/q209 and
+    * StreamFunnelSpec's hand-built disorder fixtures).
+    */
+  private[graft] val funnelSliceSchema = StructType(Seq(
+    StructField("user_id", org.apache.spark.sql.types.LongType),
+    StructField("event_type", org.apache.spark.sql.types.StringType),
+    StructField("tus", org.apache.spark.sql.types.LongType),
+    StructField("event_id", org.apache.spark.sql.types.LongType)))
+
+  /** q201's funnel step function over event-time-ORDERED events:
+    * earliest view, then earliest click strictly after it, then
+    * earliest purchase strictly after that. Exact iff `evts` really is
+    * in (tus, event_id) order — the ordering obligation is the whole
+    * difference between q204 and q209.
+    */
+  private[graft] def foldFunnel(t1o: Long, t2o: Long, t3o: Long,
+                                evts: Iterable[FunnelPend]): (Long, Long, Long) = {
+    var t1 = t1o; var t2 = t2o; var t3 = t3o
+    evts.foreach { e =>
+      e.event_type match {
+        case "view" if t1 < 0 => t1 = e.tus
+        case "click" if t1 >= 0 && t2 < 0 && e.tus > t1 => t2 = e.tus
+        case "purchase" if t2 >= 0 && t3 < 0 && e.tus > t2 => t3 = e.tus
+        case _ => ()
+      }
+    }
+    (t1, t2, t3)
+  }
+
+  /** The q204 CORE: per-user ordered incremental fold over the slices
+    * in `srcDir`, one micro-batch per file; returns the final per-user
+    * (t1,t2,t3). Exact ONLY under event-time-ordered arrival across
+    * batches (a late early view cannot retro-lower t1 here) — q209
+    * [[wmFoldFinal]] is the disorder-tolerant variant, and
+    * StreamFunnelSpec drives BOTH over the same shuffled slices to
+    * prove the difference.
+    */
+  private[graft] def orderedFoldFinal(s: SparkSession, srcDir: String,
+                                      qname: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    withStreamShufflePartitions(s) {
+      val q = s.readStream.schema(funnelSliceSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[FunnelEvt]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelSt, FunnelEmit](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[FunnelEvt], state: GroupState[FunnelSt]) =>
+            var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+            // the group iterator is shuffle-ordered; restore event-time
+            // order within this batch's slice before folding
+            val (t1, t2, t3) = foldFunnel(st.t1, st.t2, st.t3,
+              rows.map(e => FunnelPend(e.tus, e.event_id, e.event_type))
+                .toSeq.sortBy(p => (p.tus, p.event_id)))
+            st = FunnelSt(t1, t2, t3)
+            state.update(st)
+            Iterator.single(FunnelEmit(uid, st.t1, st.t2, st.t3))
+        }
+        .toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // Update-mode emissions accumulate one progress row per (user,
+    // batch); under ORDERED arrival progress fields are set-once
+    // monotone, so the final state is the componentwise max
+    s.table(qname).groupBy("user_id")
+      .agg(max(struct(col("t1"), col("t2"), col("t3"))).as("m"))
+      .select(col("user_id"), col("m.t1").as("t1"), col("m.t2").as("t2"),
+              col("m.t3").as("t3"))
+      .localCheckpoint(true)
+  }
+
+  /** Fold the per-user final progressions into q201's 3-row contract. */
+  private def funnelRollup(fin: DataFrame): DataFrame = {
+    def row(step: Long, name: String, cond: org.apache.spark.sql.Column,
+            lag: org.apache.spark.sql.Column): DataFrame =
+      fin.filter(cond)
+        .agg(count(lit(1)).as("n_users"),
+             coalesce(sum(lag), lit(0L)).as("sum_lag_micros"))
+        .select(lit(step).as("step"), lit(name).as("step_name"),
+                col("n_users"), col("sum_lag_micros"))
+    row(1L, "view", col("t1") >= 0, lit(0L))
+      .unionByName(row(2L, "click", col("t2") >= 0, col("t2") - col("t1")))
+      .unionByName(row(3L, "purchase", col("t3") >= 0, col("t3") - col("t1")))
+      .orderBy("step")
+  }
+
+  def streamFunnel(s: SparkSession, d: String): DataFrame = {
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_funnel_src_$hex")
@@ -1367,51 +1456,109 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("tus"), col("event_id"))))
-      val n = ranked.count()
-      (0 until 3).foreach { i =>
-        val stage = srcDir.resolve(s"_stage_$i")
-        ranked.filter(col("rk") > lit(i * n / 3) && col("rk") <= lit((i + 1) * n / 3))
-          .drop("rk")
-          .coalesce(1).sortWithinPartitions("tus", "event_id")
-          .write.mode("overwrite").parquet(stage.toString)
-        val part = new java.io.File(stage.toString).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath, srcDir.resolve(s"f$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Fixtures.clearDir(stage)
-      }
+      stageFunnelSlices(s, srcDir, ranked)
       Fixtures.writeMarker(marker, s"$d/events.parquet")
     }
-    val schema = StructType(Seq(
-      StructField("user_id", org.apache.spark.sql.types.LongType),
-      StructField("event_type", org.apache.spark.sql.types.StringType),
-      StructField("tus", org.apache.spark.sql.types.LongType),
-      StructField("event_id", org.apache.spark.sql.types.LongType)))
-    val qname = s"graft_funnel_$hex"
+    funnelRollup(orderedFoldFinal(s, srcDir.toString, s"graft_funnel_$hex"))
+  }
+
+  /** Write `ranked` (needs columns user_id/event_type/tus/event_id/rk)
+    * as three single-file slices f0<f1<f2 in rank order, mtime+name
+    * ordered so maxFilesPerTrigger=1 yields three deterministic
+    * micro-batches.
+    */
+  private def stageFunnelSlices(s: SparkSession,
+                                srcDir: java.nio.file.Path,
+                                ranked: DataFrame): Unit = {
+    val n = ranked.count()
+    (0 until 3).foreach { i =>
+      val stage = srcDir.resolve(s"_stage_$i")
+      ranked.filter(col("rk") > lit(i * n / 3) && col("rk") <= lit((i + 1) * n / 3))
+        .select("user_id", "event_type", "tus", "event_id")
+        .coalesce(1).sortWithinPartitions("tus", "event_id")
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"f$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fixtures.clearDir(stage)
+    }
+  }
+
+  // ---- q209: WATERMARK-BOUNDED OUT-OF-ORDER STREAMING FUNNEL — the
+  //      disorder-tolerant variant q204's header promised (its fold is
+  //      exact only under event-time-ordered arrival; disorder is the
+  //      NORMAL case in a real event pipeline). Per-user state is a
+  //      FINALIZED fold plus a PENDING buffer: each batch, events at or
+  //      below the watermark finalize into the fold in event-time order
+  //      (the watermark guarantees nothing older can still arrive, so
+  //      finalization order equals global event-time order); newer
+  //      events wait in the buffer and are re-folded PROVISIONALLY on
+  //      every emission — a late early view therefore retro-lowers t1
+  //      and resurrects a click q204's fold would have discarded.
+  //      Fixture: arrival = tus + deterministic jitter bounded by
+  //      DisorderUs (xxhash64 of event_id), slices cut by ARRIVAL rank
+  //      — genuinely shuffled across batches. With |arrival-tus| <= d,
+  //      an arriving event's tus is always >= maxSeenTs - 2d, so a
+  //      watermark delay of exactly 2d makes the finalized prefix
+  //      provably complete. State per user: 3 longs + the <= 2d-wide
+  //      pending buffer (watermark-bounded, the production answer) +
+  //      2 counters. Emissions carry a per-user version; the final
+  //      answer is the LAST version (progress is NOT monotone under
+  //      re-folds, so q204's componentwise-max trick would be wrong
+  //      here — max_by(version) instead). Oracle == q201's SQL: the
+  //      out-of-order stream must agree with the batch funnel
+  //      row-for-row. ----
+  final case class FunnelPend(tus: Long, event_id: Long, event_type: String)
+  final case class FunnelWmSt(t1: Long, t2: Long, t3: Long,
+                              pending: Seq[FunnelPend], version: Long,
+                              seen: Long)
+  final case class FunnelWmEmit(user_id: Long, t1: Long, t2: Long, t3: Long,
+                                version: Long, n_pending: Long, n_seen: Long)
+
+  /** Event-time disorder bound d of the staged arrival order (1 h). */
+  private[graft] val DisorderUs = 3600L * 1000000L
+
+  /** The q209 CORE: watermark-bounded finalize + provisional re-fold
+    * over the slices in `srcDir`; returns the final per-user
+    * (t1,t2,t3). Exact under ANY arrival order whose event-time
+    * disorder is bounded by half the watermark delay.
+    */
+  private[graft] def wmFoldFinal(s: SparkSession, srcDir: String,
+                                 qname: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     withStreamShufflePartitions(s) {
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = s.readStream.schema(funnelSliceSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .withWatermark("ts", s"${2 * DisorderUs / 1000000L} seconds")
         .as[FunnelEvt]
         .groupByKey(_.user_id)
-        .flatMapGroupsWithState[FunnelSt, FunnelEmit](
+        .flatMapGroupsWithState[FunnelWmSt, FunnelWmEmit](
           OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (uid: Long, rows: Iterator[FunnelEvt], state: GroupState[FunnelSt]) =>
-            var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
-            // the group iterator is shuffle-ordered; restore event-time
-            // order within this batch's slice before folding
-            rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
-              e.event_type match {
-                case "view" if st.t1 < 0 => st = st.copy(t1 = e.tus)
-                case "click" if st.t1 >= 0 && st.t2 < 0 && e.tus > st.t1 =>
-                  st = st.copy(t2 = e.tus)
-                case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.tus > st.t2 =>
-                  st = st.copy(t3 = e.tus)
-                case _ => ()
-              }
-            }
+          (uid: Long, rows: Iterator[FunnelEvt], state: GroupState[FunnelWmSt]) =>
+            val st0 = state.getOption.getOrElse(
+              FunnelWmSt(-1L, -1L, -1L, Nil, 0L, 0L))
+            // watermark as of THIS batch (max event time of prior
+            // batches minus the 2d delay); 0 before the first advance
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val arrived = rows
+              .map(e => FunnelPend(e.tus, e.event_id, e.event_type)).toSeq
+            val all = (st0.pending ++ arrived)
+              .sortBy(p => (p.tus, p.event_id))
+            // events at/below the watermark can never be preceded by a
+            // still-unseen earlier event — finalize them in order
+            val (ripe, hold) = all.partition(_.tus <= wmUs)
+            val (f1, f2, f3) = foldFunnel(st0.t1, st0.t2, st0.t3, ripe)
+            val st = FunnelWmSt(f1, f2, f3, hold, st0.version + 1,
+              st0.seen + arrived.length)
             state.update(st)
-            Iterator.single(FunnelEmit(uid, st.t1, st.t2, st.t3))
+            // provisional emission: finalized fold extended over the
+            // pending buffer (complete at end-of-stream by definition)
+            val (p1, p2, p3) = foldFunnel(f1, f2, f3, hold)
+            Iterator.single(FunnelWmEmit(uid, p1, p2, p3, st.version,
+              hold.length.toLong, st.seen))
         }
         .toDF()
         .writeStream.outputMode("update").format("memory")
@@ -1419,27 +1566,50 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       try q.processAllAvailable()
       finally q.stop()
     }
-    // Update-mode emissions accumulate one progress row per (user,
-    // batch); progress fields are set-once monotone, so the final
-    // state is the componentwise max
-    val fin = s.table(qname).groupBy("user_id")
-      .agg(max(struct(col("t1"), col("t2"), col("t3"))).as("m"))
-      .select(col("m.t1").as("t1"), col("m.t2").as("t2"), col("m.t3").as("t3"))
+    // re-folds are NOT monotone — take each user's LAST emission
+    s.table(qname).groupBy("user_id")
+      .agg(max_by(struct(col("t1"), col("t2"), col("t3")),
+                  col("version")).as("m"))
+      .select(col("user_id"), col("m.t1").as("t1"), col("m.t2").as("t2"),
+              col("m.t3").as("t3"))
       .localCheckpoint(true)
-    def row(step: Long, name: String, cond: org.apache.spark.sql.Column,
-            lag: org.apache.spark.sql.Column): DataFrame =
-      fin.filter(cond)
-        .agg(count(lit(1)).as("n_users"),
-             coalesce(sum(lag), lit(0L)).as("sum_lag_micros"))
-        .select(lit(step).as("step"), lit(name).as("step_name"),
-                col("n_users"), col("sum_lag_micros"))
-    row(1L, "view", col("t1") >= 0, lit(0L))
-      .unionByName(row(2L, "click", col("t2") >= 0, col("t2") - col("t1")))
-      .unionByName(row(3L, "purchase", col("t3") >= 0, col("t3") - col("t1")))
-      .orderBy("step")
+  }
+
+  /** Per-user emission log of the q209 core (all versions) — spec
+    * surface for the disorder/finalization liveness assertions.
+    */
+  private[graft] def wmFoldEmissions(s: SparkSession, qname: String): DataFrame =
+    s.table(qname)
+
+  def streamFunnelWm(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_funnelw_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/events.parquet")) {
+      Fixtures.clearDir(srcDir)
+      // arrival order = event time + bounded deterministic jitter:
+      // slices cut by ARRIVAL rank are genuinely out of event-time
+      // order across batches, with disorder provably <= 2*DisorderUs
+      val ranked = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("tus"), col("event_id"))
+        .withColumn("arrival", col("tus") +
+          pmod(xxhash64(col("event_id")), lit(2 * DisorderUs + 1))
+            - lit(DisorderUs))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("arrival"), col("event_id"))))
+      stageFunnelSlices(s, srcDir, ranked)
+      Fixtures.writeMarker(marker, s"$d/events.parquet")
+    }
+    funnelRollup(wmFoldFinal(s, srcDir.toString, s"graft_funnelw_$hex"))
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q209_stream_funnel_ooo", streamFunnelWm,
+      Some(graft.ops.EventOps.funnelSql),
+      "watermark-bounded OUT-OF-ORDER streaming funnel: per-user finalized fold + pending buffer, events finalize in event-time order once the watermark passes (delay = 2x the staged disorder bound), late early views retro-lower t1 and resurrect discarded steps — arrival slices genuinely shuffled, oracle == q201's batch SQL"),
     Q("q204_stream_funnel", streamFunnel,
       Some(graft.ops.EventOps.funnelSql),
       "stateful streaming funnel: per-user progression state machine advanced across three event-time-ordered micro-batches (flatMapGroupsWithState, Update mode, 3-long state per user) — output contract == q201, oracle == q201's SQL"),

@@ -293,6 +293,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"probe join degraded to a sort-merge join:\n$plan")
   }
 
+  test("q200/q207/q208 archive reads: map-side decode, the ONLY exchange " +
+       "is the presentation sort (r11 plan-fence ask)") {
+    Seq("q200_warc_ingest", "q207_gzip_sink", "q208_tgz_archive").foreach { n =>
+      val plan = physical(n)
+      assert(plan.contains("MapPartitions"),
+        s"$n lost its map-side decode span:\n$plan")
+      val ex = plan.linesIterator.filter(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+      assert(ex.size == 1 && ex.head.contains("rangepartitioning"),
+        s"$n decode path grew a data shuffle beyond the presentation sort:\n$plan")
+    }
+  }
+
+  test("q205 per-source quota prunes map-side: TopKPerKeyPartial sits " +
+       "BELOW the key exchange (r11 plan-fence ask)") {
+    val plan = physical("q205_sample_per_source")
+    val lines = plan.linesIterator.toSeq
+    val iPartial = lines.indexWhere(_.contains("TopKPerKeyPartial"))
+    val iExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(iPartial >= 0 && iExchange >= 0,
+      s"expected TopKPerKeyPartial + key exchange:\n$plan")
+    // plans print top-down: the exchange must appear ABOVE the partial
+    assert(iExchange < iPartial,
+      s"the map-side partial no longer feeds the exchange — the shuffle " +
+        s"would carry the corpus:\n$plan")
+  }
+
+  test("q199 split serving: one checkpointed routing per phase, broadcast " +
+       "probe scoring, no corpus-corpus shuffle (r11 plan-fence ask)") {
+    val (_, after) = ops.SimilarityOps.splitServingPhases(spark, sf)
+    val plan = after.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // nested loops allowed: the 1-row occupancy-stats attach + the two
+    // query-scale routing crosses (NQueries-filtered left x broadcast
+    // kit) — anything more means a corpus-side cross crept in
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 3, s"unexpected nested loops ($bnlj):\n$plan")
+    // every BNLJ left side must be query-scale or the occ-stats rollup:
+    // the corpus assignment relation must reach scoring via the cell
+    // equi-join, never a cross
+    assert(plan.contains("TopKPerKeyPartial"),
+      s"probe top-K lost its map-side partial:\n$plan")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
