@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * partition, streaming batches through it, never collecting to the
   * driver).
   *
-  * The container has no external image/audio codec LIBRARIES, so the
-  * generic decode step is a clearly-marked deterministic STUB
-  * (`FakeDecoder`) deriving pseudo width/height from an md5 of the
-  * payload head; everything around it — binary schema, partition
-  * batching, feature schema, the oracle — is real. For three REAL
-  * public formats the stub caveat is retired: q178 decodes genuine
+  * The container has no external image/audio codec LIBRARIES, so every
+  * decoder here is OWN dependency-free code over real container bytes
+  * (the r12 retirement of the r5-era stub: q40's generic dispatcher now
+  * SNIFFS magic bytes and routes to the real parser family, and q70
+  * samples frames from real Y4M streams — no fake decode path remains).
+  * q178 decodes genuine
   * JDK-encoded BMP files with [[BmpCodec]], a dependency-free parser of
   * the actual format (offsets, BGR, bottom-up rows, padding), and runs
   * the resize verb over the real pixels; q184 does the same for audio —
@@ -36,121 +36,299 @@ object MultimodalOps {
     */
   final case class MediaRow(doc_id: Long, content: Array[Byte])
 
-  final case class MediaFeat(doc_id: Long, n_bytes: Int, head_hash: Long,
-                             fake_width: Long, fake_height: Long,
-                             n_frames: Int, first_frame_hash: Long)
-
-  /** STUB decoder — stands in for a real codec (e.g. libjpeg/ffmpeg
-    * behind JNI). Deterministic: features derive from payload bytes.
-    * decode = metadata + "image" dims; frame-sampling treats the
-    * payload as a stream of 32-byte frames and samples every 4th
-    * (the video path: same batching, different stride).
+  /** Per-media-type features on the dispatcher's COMMON schema:
+    * images/video report (d1,d2) = (w,h), audio (d1,d2) =
+    * (sample_rate, 0); n_units = frames for sequences, samples for
+    * audio, 1 for stills; checksum = the format's exact content sum
+    * (gray pixels / PCM samples / luma), integer end to end so the
+    * closed-form oracle reproduces it.
     */
-  object FakeDecoder {
-    val FrameBytes = 32
-    val FrameStride = 4
+  final case class MediaFeat(doc_id: Long, media_type: String,
+                             d1: Long, d2: Long, n_units: Long,
+                             checksum: Long)
 
-    /** Per-partition decoder handle — the expensive setup a real codec
-      * pays once per partition (here a MessageDigest; in production a
-      * JNI context / model session).
+  /** REAL media dispatcher (q40) — the generic entry point a mixed
+    * 100 TB media lake needs: the fixture interleaves SIX real formats
+    * (BMP, PCM16 WAV, PNG, animated GIF, µ-law WAV, Y4M — one per
+    * doc_id mod 6), and the dispatcher identifies each payload by
+    * SNIFFING ITS MAGIC BYTES (no metadata column: RIFF containers
+    * additionally walk to the fmt chunk to split PCM16 from µ-law)
+    * before routing to the owning parser ([[BmpCodec]], [[WavCodec]],
+    * [[PngCodec]], [[GifCodec]], [[UlawCodec]], [[Y4mCodec]]). This
+    * retires the r5-era FakeDecoder stub: every byte decoded below is
+    * a real container produced by an encoder we do not control (JDK
+    * ImageIO / javax.sound) or, for Y4M, the spec'd public format.
+    */
+  object MediaDispatch {
+    /** The audio-format tag of a RIFF/WAVE payload's fmt chunk (the
+      * honest chunk walk — encoders may insert LIST/fact chunks).
       */
-    final class Handle {
-      private val md = java.security.MessageDigest.getInstance("MD5")
-      def h15(bytes: Array[Byte]): Long = {
-        md.reset()
-        val hex = md.digest(bytes).map(b => f"$b%02x").mkString
-        java.lang.Long.parseLong(hex.take(15), 16)
+    private def riffFmtTag(b: Array[Byte]): Int = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def i32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      require(b.length >= 12 && b(8) == 'W' && b(9) == 'A'
+        && b(10) == 'V' && b(11) == 'E', "RIFF but not WAVE")
+      var pos = 12
+      while (pos + 8 <= b.length) {
+        val cid = new String(b, pos, 4, "US-ASCII")
+        val sz = i32(pos + 4)
+        if (cid == "fmt ") return u16(pos + 8)
+        pos += 8 + sz + (sz & 1)
       }
+      throw new IllegalArgumentException("WAVE without a fmt chunk")
     }
 
-    def decode(h0: Handle, r: MediaRow): MediaFeat = {
-      import h0.h15
-      val h = h15(r.content.take(16))
-      val totalFrames = (r.content.length + FrameBytes - 1) / FrameBytes
-      val sampled = (totalFrames + FrameStride - 1) / FrameStride
-      val firstFrame = r.content.slice(0, math.min(FrameBytes, r.content.length))
-      MediaFeat(
-        doc_id = r.doc_id,
-        n_bytes = r.content.length,
-        head_hash = h,
-        fake_width = 16L + (h & 1023L),
-        fake_height = 16L + ((h >> 10) & 1023L),
-        n_frames = sampled,
-        first_frame_hash = h15(firstFrame))
+    /** Magic-byte sniffer. Fails loudly on an unknown payload — a
+      * dispatcher that silently skips is worse than one that stops.
+      */
+    def sniff(b: Array[Byte]): String = {
+      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I'
+        && b(2) == 'F' && b(3) == 'F') {
+        riffFmtTag(b) match {
+          case 1 => "wav"
+          case 7 => "ulaw"
+          case t => throw new IllegalArgumentException(s"WAVE fmt tag $t")
+        }
+      } else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'
+        && b(2) == 'N' && b(3) == 'G') "png"
+      else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I'
+        && b(2) == 'F' && b(3) == '8') "gif"
+      else if (b.length >= 9 &&
+        new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
+      else throw new IllegalArgumentException(
+        s"unrecognized media payload (${b.length} bytes)")
+    }
+
+    /** Route to the owning parser and reduce to the common schema. */
+    def decode(id: Long, b: Array[Byte]): MediaFeat = sniff(b) match {
+      case "bmp" =>
+        val (w, h, px) = BmpCodec.decode(b)
+        MediaFeat(id, "bmp", w, h, 1L, px.foldLeft(0L)(_ + _))
+      case "wav" =>
+        val (sr, smp) = WavCodec.decode(b)
+        MediaFeat(id, "wav", sr, 0L, smp.length.toLong,
+          smp.foldLeft(0L)(_ + _))
+      case "png" =>
+        val (w, h, px) = PngCodec.decode(b)
+        MediaFeat(id, "png", w, h, 1L, px.foldLeft(0L)(_ + _))
+      case "gif" =>
+        val (w, h, frames) = GifCodec.decodeFrames(b)
+        MediaFeat(id, "gif", w, h, frames.length.toLong,
+          frames.foldLeft(0L)((a, f) => a + f.foldLeft(0L)(_ + _)))
+      case "ulaw" =>
+        val (sr, smp) = UlawCodec.decode(b)
+        MediaFeat(id, "ulaw", sr, 0L, smp.length.toLong,
+          smp.foldLeft(0L)(_ + _))
+      case "y4m" =>
+        val (w, h, frames) = Y4mCodec.decode(b)
+        MediaFeat(id, "y4m", w, h, frames.length.toLong,
+          frames.foldLeft(0L)((a, f) => a + f._1.foldLeft(0L)(_ + _)))
+    }
+
+    /** Which format doc `id` is encoded as (the fixture recipe the
+      * oracle mirrors with `doc_id % 6` arms — the ENGINE never reads
+      * this, it sniffs).
+      */
+    def encodeFor(id: Long): Array[Byte] = (id % 6) match {
+      case 0 => BmpCodec.encode(id)
+      case 1 => WavCodec.encode(id)
+      case 2 => PngCodec.encode(id)
+      case 3 => GifCodec.encode(id)
+      case 4 => UlawCodec.encode(id)
+      case _ => Y4mCodec.encode(id)
     }
   }
 
-  /** Binary-column pipeline: text bytes stand in for media payloads. */
+  /** Stage the mixed-format media fixture: one REAL encoded payload
+    * per doc, format cycling over all six codecs.
+    */
+  private[graft] def mediaMixFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_mediamix_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "mediamix-fixture-v1:6formats")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaDispatch.encodeFor(id))))
+        .toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    tmp
+  }
+
+  /** q40: sniff + dispatch + decode, partition-batched map-side. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    s.read.parquet(mediaMixFixture(s, d))
       .as[MediaRow]
-    media
-      .mapPartitions { rows => // one decoder Handle per partition
-        val handle = new FakeDecoder.Handle
-        rows.map(r => FakeDecoder.decode(handle, r))
-      }
+      .mapPartitions(_.map(r => MediaDispatch.decode(r.doc_id, r.content)))
       .toDF()
       .orderBy("doc_id")
   }
 
-  // The oracle recomputes the stub's arithmetic in SQL: the md5-derived
-  // head hash is HashFns.hash64 of the first 16 bytes (ASCII text, so
-  // substr == byte prefix).
+  // The oracle rebuilds every format's exact content sum in closed form
+  // from the per-codec generator formulas — six arms keyed doc_id % 6,
+  // matching the fixture recipe the engine never sees (it sniffs).
   private val multimodalFeaturesSql = {
-    val h = hash64Sql("substr(text, 1, 16)")
-    val len = "octet_length(CAST(text AS BLOB))"
-    s"""SELECT doc_id, CAST($len AS INTEGER) AS n_bytes,
-       | $h AS head_hash,
-       | 16 + ($h & 1023) AS fake_width,
-       | 16 + (($h >> 10) & 1023) AS fake_height,
-       | CAST((($len + 31) // 32 + 3) // 4 AS INTEGER) AS n_frames,
-       | ${hash64Sql("substr(text, 1, 32)")} AS first_frame_hash
-       |FROM documents ORDER BY doc_id""".stripMargin
+    val bmpArm =
+      """SELECT g.doc_id, 'bmp' AS media_type,
+        |  CAST(g.w AS BIGINT) AS d1, CAST(g.h AS BIGINT) AS d2,
+        |  CAST(1 AS BIGINT) AS n_units,
+        |  CAST(SUM((g.doc_id * 31 + (k // g.w) * 17 + (k % g.w) * 7) % 251)
+        |       AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, 16 + 2 * (doc_id % 9) AS w,
+        |             8 + 2 * (doc_id % 7) AS h
+        |      FROM documents WHERE doc_id % 6 = 0) g,
+        |     LATERAL unnest(range(0, g.w * g.h)) AS t(k)
+        |GROUP BY g.doc_id, g.w, g.h""".stripMargin
+    val wavArm =
+      """SELECT g.doc_id, 'wav' AS media_type,
+        |  CAST(8000 AS BIGINT) AS d1, CAST(0 AS BIGINT) AS d2,
+        |  CAST(g.n AS BIGINT) AS n_units,
+        |  CAST(SUM(((g.doc_id * 7919 + i * 523) % 65536) - 32768)
+        |       AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, 160 + (doc_id % 111) AS n
+        |      FROM documents WHERE doc_id % 6 = 1) g,
+        |     LATERAL unnest(range(0, g.n)) AS t(i)
+        |GROUP BY g.doc_id, g.n""".stripMargin
+    val pngArm =
+      """SELECT g.doc_id, 'png' AS media_type,
+        |  CAST(g.w AS BIGINT) AS d1, CAST(g.h AS BIGINT) AS d2,
+        |  CAST(1 AS BIGINT) AS n_units,
+        |  CAST(SUM((g.doc_id * 37 + (k // g.w) * 101 + (k % g.w) * 13
+        |            + (g.doc_id % 7 + 1) * (k % g.w) * (k % g.w) * 3
+        |            + (g.doc_id % 5 + 1) * (k // g.w) * (k // g.w) * 11) % 251)
+        |       AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, 12 + (doc_id % 11) AS w, 6 + (doc_id % 9) AS h
+        |      FROM documents WHERE doc_id % 6 = 2) g,
+        |     LATERAL unnest(range(0, g.w * g.h)) AS t(k)
+        |GROUP BY g.doc_id, g.w, g.h""".stripMargin
+    val gifArm =
+      """SELECT g.doc_id, 'gif' AS media_type,
+        |  CAST(g.w AS BIGINT) AS d1, CAST(g.h AS BIGINT) AS d2,
+        |  CAST(g.nf AS BIGINT) AS n_units,
+        |  CAST(SUM((g.doc_id * 37 + (k // (g.w * g.h)) * 59
+        |            + ((k % (g.w * g.h)) // g.w) * 101 + (k % g.w) * 13
+        |            + (g.doc_id % 7 + 1) * (k % g.w) * (k % g.w) * 3
+        |            + (g.doc_id % 5 + 1) * ((k % (g.w * g.h)) // g.w)
+        |              * ((k % (g.w * g.h)) // g.w) * 11) % 251)
+        |       AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, 8 + (doc_id % 7) AS w, 5 + (doc_id % 5) AS h,
+        |             2 + (doc_id % 5) AS nf
+        |      FROM documents WHERE doc_id % 6 = 3) g,
+        |     LATERAL unnest(range(0, g.w * g.h * g.nf)) AS t(k)
+        |GROUP BY g.doc_id, g.w, g.h, g.nf""".stripMargin
+    val ulawArm =
+      """SELECT doc_id, 'ulaw' AS media_type,
+        |  CAST(8000 AS BIGINT) AS d1, CAST(0 AS BIGINT) AS d2,
+        |  CAST(MIN(n) AS BIGINT) AS n_units,
+        |  CAST(SUM(dec) AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT doc_id, n,
+        |    sgn * (((((b >> (ex + 3)) & 15) * 8 + 132) << ex) - 132) AS dec
+        |  FROM (
+        |    SELECT doc_id, n, sgn, b,
+        |      (CASE WHEN b >= 16384 THEN 7 WHEN b >= 8192 THEN 6
+        |            WHEN b >= 4096 THEN 5 WHEN b >= 2048 THEN 4
+        |            WHEN b >= 1024 THEN 3 WHEN b >= 512 THEN 2
+        |            WHEN b >= 256 THEN 1 ELSE 0 END) AS ex
+        |    FROM (
+        |      SELECT doc_id, n,
+        |        (CASE WHEN pcm < 0 THEN -pcm ELSE pcm END) + 132 AS b,
+        |        (CASE WHEN pcm < 0 THEN -1 ELSE 1 END) AS sgn
+        |      FROM (
+        |        SELECT g.doc_id, g.n,
+        |          (((g.doc_id * 6151 + i * 389) % 64001) - 32000) AS pcm
+        |        FROM (SELECT doc_id, 160 + (doc_id % 97) AS n
+        |              FROM documents WHERE doc_id % 6 = 4) g,
+        |             LATERAL unnest(range(0, g.n)) AS t(i)))))
+        |GROUP BY doc_id""".stripMargin
+    val y4mArm =
+      """SELECT g.doc_id, 'y4m' AS media_type,
+        |  CAST(g.w AS BIGINT) AS d1, CAST(g.h AS BIGINT) AS d2,
+        |  CAST(g.nf AS BIGINT) AS n_units,
+        |  CAST(SUM((g.doc_id * 31 + (k // (g.w * g.h)) * 53
+        |            + ((k % (g.w * g.h)) // g.w) * 97 + (k % g.w) * 17
+        |            + (g.doc_id % 7 + 1) * (k % g.w) * (k % g.w) * 5
+        |            + (g.doc_id % 5 + 1) * ((k % (g.w * g.h)) // g.w)
+        |              * ((k % (g.w * g.h)) // g.w) * 7) % 220 + 16)
+        |       AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+        |             6 + 2 * (doc_id % 4) AS h, 2 + (doc_id % 4) AS nf
+        |      FROM documents WHERE doc_id % 6 = 5) g,
+        |     LATERAL unnest(range(0, g.w * g.h * g.nf)) AS t(k)
+        |GROUP BY g.doc_id, g.w, g.h, g.nf""".stripMargin
+    s"""SELECT * FROM (
+       |$bmpArm
+       |UNION ALL
+       |$wavArm
+       |UNION ALL
+       |$pngArm
+       |UNION ALL
+       |$gifArm
+       |UNION ALL
+       |$ulawArm
+       |UNION ALL
+       |$y4mArm)
+       |ORDER BY doc_id""".stripMargin
   }
 
-  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_hash: Long)
+  final case class FrameRow(doc_id: Long, frame_idx: Int, luma_sum: Long)
 
-  /** Frame-level generator: one media payload → N sampled-frame rows
-    * (the video path's 1→N expansion — sample frames, then run
-    * per-frame features downstream). Same partition-batched decoder
-    * handle; the expansion happens executor-side as a typed flatMap,
-    * so a 100 TB video corpus becomes a frame table without any
-    * driver involvement or shuffle (the generator is map-side).
+  /** Every-other-frame sampling stride of the q70 generator. */
+  private val FrameStride = 2
+
+  /** q70: frame-level generator over REAL video — one Y4M payload →
+    * its sampled-frame rows (decode the stream, keep every
+    * [[FrameStride]]-th frame, emit the frame's exact luma sum). The
+    * 1→N expansion happens executor-side as a typed flatMap, so a
+    * 100 TB video corpus becomes a frame table without any driver
+    * involvement or shuffle (the generator is map-side). Formerly the
+    * FakeDecoder byte-slicing stub; the frames below are real decoded
+    * planes (q197's parser).
     */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import FakeDecoder.{FrameBytes, FrameStride}
-    val media = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_y4mfs_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "y4m-framesample-fixture-v1")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Y4mCodec.encode(id))))
+        .toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    s.read.parquet(tmp)
       .as[MediaRow]
-    media
-      .mapPartitions { rows =>
-        val handle = new FakeDecoder.Handle
-        rows.flatMap { r =>
-          val totalFrames = (r.content.length + FrameBytes - 1) / FrameBytes
-          (0 until totalFrames by FrameStride).iterator.map { f =>
-            val frame = r.content.slice(f * FrameBytes,
-              math.min((f + 1) * FrameBytes, r.content.length))
-            FrameRow(r.doc_id, f, handle.h15(frame))
-          }
+      .mapPartitions(_.flatMap { r =>
+        val (_, _, frames) = Y4mCodec.decode(r.content)
+        (0 until frames.length by FrameStride).iterator.map { f =>
+          FrameRow(r.doc_id, f, frames(f)._1.foldLeft(0L)(_ + _))
         }
-      }
+      })
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
 
-  private val frameSampleSql = {
-    import FakeDecoder.{FrameBytes => FB, FrameStride => FS}
-    val len = "octet_length(CAST(text AS BLOB))"
-    s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-       | ${hash64Sql(s"substr(text, 1 + i * $FB, $FB)")} AS frame_hash
-       |FROM (SELECT doc_id, text,
-       |        unnest(range(0, CAST(($len + ${FB - 1}) // $FB AS BIGINT), $FS)) AS i
-       |      FROM documents)
-       |ORDER BY doc_id, frame_idx""".stripMargin
-  }
+  private val frameSampleSql =
+    s"""SELECT g.doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |  CAST(SUM((g.doc_id * 31 + f * 53 + (k // g.w) * 97 + (k % g.w) * 17
+       |            + (g.doc_id % 7 + 1) * (k % g.w) * (k % g.w) * 5
+       |            + (g.doc_id % 5 + 1) * (k // g.w) * (k // g.w) * 7) % 220
+       |           + 16) AS BIGINT) AS luma_sum
+       |FROM (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+       |             6 + 2 * (doc_id % 4) AS h, 2 + (doc_id % 4) AS nf
+       |      FROM documents) g,
+       |     LATERAL unnest(range(0, CAST(g.nf AS BIGINT), $FrameStride)) AS tf(f),
+       |     LATERAL unnest(range(0, g.w * g.h)) AS tk(k)
+       |GROUP BY g.doc_id, f ORDER BY g.doc_id, frame_idx""".stripMargin
 
   final case class PcmWindow(doc_id: Long, win: Int, n_samples: Int, energy: Long)
 
@@ -208,8 +386,9 @@ object MultimodalOps {
 
   /** q115: the resize verb of the multimodal path — the payload is a
     * row-major W=16 byte grid; 2x2 integer average pooling halves both
-    * dims (the real op is bilinear over decoded pixels; the stub keeps
-    * the exact same batching, loop structure and output schema).
+    * dims (a production build swaps in bilinear over decoded pixels
+    * with the same batching, loop structure and output schema — q178
+    * runs this exact verb over REAL decoded BMP pixels).
     * Position-weighted checksum (wsum) proves the LAYOUT survived, not
     * just the value sum. Integer arithmetic end to end → exact oracle.
     */
@@ -1753,11 +1932,11 @@ object MultimodalOps {
 
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
-      "binary media column -> partition-batched (stub) decode -> features"),
+      "REAL media dispatcher: six real formats interleaved in one binary column, identified by magic-byte sniffing (RIFF walks to the fmt tag) and routed to the owning dependency-free parser — exact per-format content sums, no stub decode anywhere"),
     Q("q115_resize", resizePool, Some(resizePoolSql),
       "resize verb: 2x2 integer average pooling over the byte grid"),
     Q("q70_frame_sample", frameSample, Some(frameSampleSql),
-      "media payload -> sampled per-frame rows (map-side 1->N generator)"),
+      "REAL video frame sampling: Y4M payload -> every-2nd decoded frame's exact luma sum (map-side 1->N generator, q197's parser)"),
     Q("q95_pcm_energy", pcmEnergy, Some(pcmEnergySql),
       "audio path: per-window PCM energy via partition-batched expansion"),
     Q("q178_bmp_decode_resize", bmpDecodeResize, Some(bmpDecodeResizeSql),
