@@ -502,6 +502,24 @@ object Plans {
         "shape (q180's fence) and the fetch below is this plan at the " +
         "batch's pin\n\n```\n" + plan193 + "```\n")
     }
+    // q210 post-vacuum pinned read: same pruned union-of-generations
+    // shape as q191 (the vacuum only removes directories a pin >= floor
+    // never resolves to), dumped against the vacuumed clone
+    locally {
+      val root = ops.SimilarityOps.cloneVersionStore(spark, d)
+      ops.SimilarityOps.vacuumTo(spark, root, floor = 1)
+      val cells = spark.read.parquet(s"$root/manifest")
+        .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val plan210 = ops.SimilarityOps.genPinnedRead(spark, root, 1, cells)
+        .queryExecution.explainString(SimpleMode)
+      sb.append("\n## q210_index_vacuum (post-vacuum pinned read)\n\n" +
+        "generation vacuum: reclamation is manifest-driven directory " +
+        "deletion (metadata-scale, no data job at all), and the " +
+        "post-vacuum pin-1 read keeps q191's exact shape — each " +
+        "surviving generation scanned with its own pruned " +
+        "PartitionFilters; pins below the recorded floor refuse before " +
+        "any scan is planned\n\n```\n" + plan210 + "```\n")
+    }
     // checkpointing / streaming lanes whose registered plans print as
     // RDD scans or run inside a streaming query — shapes documented
     // prose-only here (the per-lane dumps above cover their serving

@@ -3283,14 +3283,29 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def manifestPinnedRead(
       s: SparkSession, manifestDir: String, dataRoot: String, pin: Int,
       probeCells: Seq[Long]): DataFrame = {
+    // a vacuumed store records its pin floor — generations below it
+    // were reclaimed, and serving them would silently return partial
+    // cells (the g0 scan finds no files); refuse LOUDLY instead
+    val floorPath = java.nio.file.Paths.get(dataRoot, "_VACUUM_FLOOR")
+    if (java.nio.file.Files.exists(floorPath)) {
+      val floor = new String(java.nio.file.Files.readAllBytes(floorPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(pin >= floor,
+        s"pin $pin is below the vacuum floor $floor: its generation data was reclaimed")
+    }
     val owners = s.read.parquet(manifestDir)
       .filter(col("gen") <= pin && col("cell").isin(probeCells: _*))
       .groupBy("cell").agg(max(struct(col("gen"), col("dir"))).as("o"))
       .select(col("cell"), col("o.dir").as("dir"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val empty = s.read.parquet(s"$dataRoot/g0").filter(lit(false))
-      .select(col("cell").cast("long").as("cell"), col("vec_id"),
-              col("s"), col("code"), col("err_e6"))
+    // explicit schema: a fully-vacuumed generation directory may hold
+    // nothing but _SUCCESS, so the base cannot be inferred from files
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        Seq("cell", "vec_id", "s", "code", "err_e6").map(n =>
+          org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.LongType))))
     owners.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, cs) =>
       val cells = cs.map(_._1).sorted
       s.read.parquet(s"$dataRoot/$dir")
@@ -3304,6 +3319,116 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def versionDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_genidx_" +
       java.lang.Integer.toHexString(d.hashCode)
+
+  // ---- q210: GENERATION VACUUM — the lifecycle piece q191/q193 left
+  //      open (r11 verdict "what's missing" #4): nothing reclaimed
+  //      superseded generation data after a swap, so the store grew
+  //      forever. The vacuum is MANIFEST-DRIVEN: given a pin FLOOR
+  //      (the lowest generation any live reader may still hold), a
+  //      cell's data under generation g is reclaimable iff some newer
+  //      generation <= floor owns that cell — resolution is the same
+  //      metadata-scale manifest fold every pinned read does, and the
+  //      deletes are per-cell partition directories (never whole
+  //      generations: g0 keeps serving every cell g1 did not touch —
+  //      reads SPAN generations, so the vacuum must too). The floor is
+  //      then recorded in the store and pinned reads BELOW it refuse
+  //      loudly (a pin-0 read against a vacuumed store would otherwise
+  //      silently return partial cells). The lane clones the q191
+  //      store fresh each run, reads pin 1 BEFORE, vacuums to floor 1,
+  //      reads pin 1 AFTER: oracle = the q191 pin-1 relation TWICE
+  //      (vacuum must be invisible at or above the floor), plus the
+  //      reclaimed-cell count in closed form (cells with both a
+  //      pre-delta and a delta member — exactly the g0 partitions g1
+  //      superseded). VersionSpec additionally vacuums while a pin-1
+  //      read is in flight. ----
+  private[graft] def vacuumDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_vacidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Clone the q191 generation store into a run-local root the vacuum
+    * may mutate (q191/q193 keep reading the pristine original).
+    */
+  private[graft] def cloneVersionStore(s: SparkSession, d: String): String = {
+    indexVersions(s, d) // stages the source store if absent
+    val root = vacuumDir(d)
+    graft.Fixtures.clearDir(java.nio.file.Paths.get(root))
+    copyTree(java.nio.file.Paths.get(versionDir(d)),
+             java.nio.file.Paths.get(root))
+    root
+  }
+
+  /** Reclaim generation data superseded at `floor`: delete each
+    * (gen, cell) partition directory whose cell is owned by a NEWER
+    * generation <= floor, then record the floor so lower pins refuse.
+    * Returns the distinct cells reclaimed. Metadata-scale throughout —
+    * the manifest fold is the only collect, deletes are directory ops.
+    */
+  private[graft] def vacuumTo(s: SparkSession, root: String, floor: Int): Seq[Long] = {
+    val rows = s.read.parquet(s"$root/manifest")
+      .filter(col("gen") <= floor)
+      .select(col("gen").cast("int"), col("cell"), col("dir"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val ownerGen = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).max }
+    val stale = rows.filter { case (g, c, _) => g < ownerGen(c) }
+    stale.foreach { case (_, c, dir) =>
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(root, dir, s"cell=$c"))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_VACUUM_FLOOR"), floor.toString)
+    stale.map(_._2).distinct.sorted.toSeq
+  }
+
+  def indexVacuum(s: SparkSession, d: String): DataFrame = {
+    val root = cloneVersionStore(s, d)
+    val kit = residKit(base(s, d), ivfCellCount(s, d))
+    val probeCells = kit.probes.filter(col("qid") === 0)
+      .select("cell").collect().map(_.getLong(0)).sorted.toSeq
+    def read(phase: String) =
+      genPinnedRead(s, root, 1, probeCells)
+        .select(lit(phase).as("phase"), col("cell"), col("vec_id"),
+                col("s"), col("code"), col("err_e6"))
+    // BEFORE must materialize before any file disappears
+    val before = read("before").localCheckpoint(true)
+    val reclaimed = vacuumTo(s, root, floor = 1)
+    val after = read("after")
+    before.unionByName(after)
+      .withColumn("n_reclaimed", lit(reclaimed.size.toLong))
+      .orderBy("phase", "cell", "vec_id", "s")
+  }
+
+  private val indexVacuumSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
+       |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
+       |  (SELECT vec_id, s, scid, dist, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |pc AS (SELECT DISTINCT cell FROM iprb WHERE qid = 0),
+       |pfull AS (SELECT CAST(a.cell AS BIGINT) AS cell, l.vec_id, l.s,
+       |    l.cid AS code, l.err_e6
+       |  FROM lcodes l JOIN iasg a ON a.vec_id = l.vec_id
+       |  JOIN pc ON pc.cell = a.cell),
+       |rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reclaimed FROM (
+       |  SELECT cell FROM iasg GROUP BY cell
+       |  HAVING SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) > 0
+       |     AND SUM(CASE WHEN vec_id % 7 <> 3 THEN 1 ELSE 0 END) > 0))
+       |SELECT 'before' AS phase, cell, vec_id, s, code, err_e6, n_reclaimed
+       |FROM pfull, rec
+       |UNION ALL
+       |SELECT 'after' AS phase, cell, vec_id, s, code, err_e6, n_reclaimed
+       |FROM pfull, rec
+       |ORDER BY phase, cell, vec_id, s""".stripMargin
 
   private val indexVersionsSql =
     s"""WITH $baseCte,
@@ -3884,6 +4009,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       "label-PARTITIONED pre-filter ANN: (label, cell) inverted lists on disk, a filtered query reads only its own label's probed lists (filter prunes at the FileScan, before scoring) — q174's boost recall at ~1/|labels| the scored candidates"),
     Q("q187_index_delete", indexDelete, Some(indexDeleteSql),
       "index tombstone deletes (right-to-be-forgotten): tombstone-touched cells read through a pruned scan, deleted postings dropped by a broadcast LEFT ANTI join (zero exchanges), stage-and-swap rewrite — oracle = rebuild-from-retained-corpus, hash-equal"),
+    Q("q210_index_vacuum", indexVacuum, Some(indexVacuumSql),
+      "generation vacuum (manifest-driven GC): per-cell partition dirs superseded at the pin floor reclaimed (reads span generations, so the vacuum does too — untouched g0 cells survive), floor recorded so lower pins refuse LOUDLY; oracle = the pin-1 relation before AND after (the vacuum must be invisible at/above the floor) + the reclaimed-cell count in closed form"),
     Q("q191_index_versions", indexVersions, Some(indexVersionsSql),
       "versioned index manifest (snapshot isolation): g0 bulk load + g1 compaction fold in its OWN directory, tiny (gen, cell, dir) manifest committed LAST as the atomic swap — pin-0 reads are byte-identical to the pre-delta snapshot (time travel), pin-1 reads span generations via manifest resolution, every generation scan partition-pruned"),
     Q("q185_adc_serve_disk", adcServeFromDisk, Some(ivfPqResidualSql),

@@ -100,4 +100,75 @@ class VersionSpec extends AnyFunSuite with SparkTestBase {
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(dir, "manifest")).count() == gens)
   }
+
+  // ------------------------------------------------------------------
+  // q210: the generation vacuum
+  // ------------------------------------------------------------------
+
+  test("q210: vacuum mid-flight — a pin-1 read resolved BEFORE the " +
+       "vacuum completes unchanged after gen-0 data is reclaimed") {
+    val root = SimilarityOps.cloneVersionStore(spark, sf)
+    def cells(): Seq[Long] = spark.read.parquet(s"$root/manifest")
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val want = SimilarityOps.genPinnedRead(spark, root, 1, cells())
+      .orderBy("vec_id", "s", "cell").collect().toSeq
+    // the IN-FLIGHT read: owner resolution (the manifest collect)
+    // happens at build time, BEFORE the vacuum deletes anything...
+    val inFlight = SimilarityOps.genPinnedRead(spark, root, 1, cells())
+      .orderBy("vec_id", "s", "cell")
+    val reclaimed = SimilarityOps.vacuumTo(spark, root, floor = 1)
+    assert(reclaimed.nonEmpty, "vacuum reclaimed nothing — inert fixture")
+    // ...and the fetch happens here, AFTER: it must still serve exactly
+    assert(inFlight.collect().toSeq == want,
+      "an in-flight pin-1 read changed under the vacuum")
+    // a FRESH post-vacuum read agrees too (the lane's oracle property)
+    assert(SimilarityOps.genPinnedRead(spark, root, 1, cells())
+      .orderBy("vec_id", "s", "cell").collect().toSeq == want)
+  }
+
+  test("q210: pins below the recorded floor refuse loudly") {
+    val root = SimilarityOps.cloneVersionStore(spark, sf)
+    SimilarityOps.vacuumTo(spark, root, floor = 1)
+    val cells = spark.read.parquet(s"$root/manifest")
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.genPinnedRead(spark, root, 0, cells)
+    }
+    assert(e.getMessage.contains("vacuum floor"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
+  test("q210: the vacuum is CELL-granular — generations still serving " +
+       "untouched cells keep exactly those partitions") {
+    import spark.implicits._
+    // synthetic store: g0 owns cells 0,1,2; g1 supersedes ONLY cell 1
+    // (the real fixture's delta touches every cell at test sf, so the
+    // partial-survival property needs a controlled store)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_cellgran").toString
+    def writeGen(dir: String, rows: Seq[(Long, Long, Long, Long, Long)]): Unit =
+      rows.toDF("vec_id", "s", "code", "err_e6", "cell")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$dir")
+    writeGen("g0", Seq((10L, 0L, 1L, 5L, 0L), (11L, 0L, 2L, 6L, 1L),
+                       (12L, 0L, 3L, 7L, 2L)))
+    writeGen("g1", Seq((11L, 0L, 9L, 1L, 1L))) // cell 1 rewritten
+    Seq((0L, "g0"), (1L, "g0"), (2L, "g0")).toDF("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen=0")
+    Seq((1L, "g1")).toDF("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen=1")
+    val reclaimed = SimilarityOps.vacuumTo(spark, root, floor = 1)
+    assert(reclaimed == Seq(1L), s"expected only cell 1 reclaimed: $reclaimed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "g0", "cell=1")))
+    Seq(0L, 2L).foreach { c =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "g0", s"cell=$c")),
+        s"untouched cell $c was wrongly reclaimed")
+    }
+    // the pin-1 read still spans generations: cell 1 from g1, rest g0
+    val got = SimilarityOps.genPinnedRead(spark, root, 1, Seq(0L, 1L, 2L))
+      .select("cell", "vec_id", "code").orderBy("cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 10L, 1L), (1L, 11L, 9L), (2L, 12L, 3L)))
+  }
 }
