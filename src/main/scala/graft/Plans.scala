@@ -339,7 +339,8 @@ object Plans {
         "(1 280 integer rows); same routing exchange as q171, zero " +
         "additional corpus shuffles for the residual encoding\n\n```\n" +
         plan172 + "```\n")
-      val plan177 = ops.SimilarityOps.ivfPqResidualTrainedCore(spark, all, k)
+      val plan177 = ops.SimilarityOps.ivfPqResidualTrainedCore(spark, all, k,
+          ops.SimilarityOps.trainRoundsOf(spark, d))
         .queryExecution.explainString(SimpleMode)
       sb.append("\n## q177_ivfpq_trained (pre-materialization)\n\n" +
         "residual IVF-PQ under Lloyd-TRAINED books: training happens " +

@@ -1427,7 +1427,34 @@ object SimilarityOps {
   //      quantization); PqTrainSpec asserts the monotone audit and the
   //      plateau, and q166 re-runs the q157 ADC search under the
   //      trained books so the recall gain ships as data. ----
-  private[graft] val PqTrainRounds = 3
+  /** Unrolled round CEILING of the training CTE twins (the SQL
+    * structure is static; the EFFECTIVE round count is data-dependent
+    * below it — rounds past the ladder value pass books through
+    * unchanged in both engines).
+    */
+  private[graft] val PqTrainMaxRounds = 16
+
+  /** Corpus-scaled Lloyd budget (r11 verdict #2, measured in
+    * bench_evidence/r12_pq_budget.md): the r11 grid's "trained books
+    * lose at sf0.1" inversion was a training-budget artifact — at a
+    * 100-query eval the fixed 3-round budget leaves the trained books
+    * behind the seed books at 2000 rows (-0.018 nDCG@10) while
+    * 4 rounds/500 rows puts them ahead at every measured scale
+    * (+0.006 at 500 rows, +0.004 at 2000). Ladder: 4 rounds per 500
+    * corpus rows, floor 4, cap [[PqTrainMaxRounds]] (each round is one
+    * bounded corpus scan; the cap bounds index-build cost). The SQL
+    * twins compute the SAME ladder from COUNT(*) so hash-equality
+    * holds at every scale factor.
+    */
+  private[graft] def pqTrainRoundsFor(n: Long): Int =
+    math.min(PqTrainMaxRounds, math.max(4, math.ceil(4.0 * n / 500.0).toInt))
+
+  /** The ladder in DuckDB form — MUST mirror [[pqTrainRoundsFor]]. */
+  private def pqRoundsSqlExpr: String =
+    s"LEAST($PqTrainMaxRounds, GREATEST(4, CAST(ceil(" +
+      "4.0 * (SELECT COUNT(*) FROM embeddings) / 500.0) AS INTEGER)))"
+
+  private[graft] val PqTrainRounds = 3 // legacy floor kept for doc references
 
   /** One training pass under literal books: per (s, code, j) member
     * count, quantized element sum, and quantized assignment-error sum
@@ -1470,23 +1497,30 @@ object SimilarityOps {
       : (IndexedSeq[IndexedSeq[(Long, Array[Double])]],
          Seq[(Long, Long, Long, Long, Long)]) = {
     val all = base(s, d).persist()
-    try pqTrainCore(all) finally all.unpersist(false)
+    try pqTrainCore(all, rounds = trainRoundsOf(s, d))
+    finally all.unpersist(false)
   }
 
-  private[graft] def pqTrainCore(all: DataFrame, seedLo: Long = 0L)
+  /** The ladder evaluated for a table dir (footer-metadata count). */
+  private[graft] def trainRoundsOf(s: SparkSession, d: String): Int =
+    pqTrainRoundsFor(Tables.embeddings(s, d).count())
+
+  private[graft] def pqTrainCore(all: DataFrame, seedLo: Long = 0L,
+                                 rounds: Int)
       : (PqBooks, Seq[(Long, Long, Long, Long, Long)]) =
-    lloydLoopOn(all, col("v"), booksFromCents(pqCentsFrom(all, seedLo)))
+    lloydLoopOn(all, col("v"), booksFromCents(pqCentsFrom(all, seedLo)), rounds)
 
   /** The bounded Lloyd loop over an arbitrary (DataFrame, vector
     * column, seed books) triple — q165 trains on raw vectors, q177 on
     * the residual relation. Quantized-integer means keep every round's
     * books (and so the audit) bit-identical across engines.
     */
-  private[graft] def lloydLoopOn(df: DataFrame, vcol: Column, seed: PqBooks)
+  private[graft] def lloydLoopOn(df: DataFrame, vcol: Column, seed: PqBooks,
+                                 rounds: Int = PqTrainRounds)
       : (PqBooks, Seq[(Long, Long, Long, Long, Long)]) = {
     var books = seed
     val audit = Seq.newBuilder[(Long, Long, Long, Long, Long)]
-    for (r <- 1 to PqTrainRounds) {
+    for (r <- 1 to rounds) {
       val rows = pqPassAggOn(df, vcol, books)
       audit ++= rows.filter(_.getLong(2) == 0L)
         .map(w => (r.toLong, w.getLong(0), w.getLong(1), w.getLong(3), w.getLong(5)))
@@ -1502,9 +1536,98 @@ object SimilarityOps {
     (books, audit.result())
   }
 
+  /** Dev probe for the PQ TRAINING BUDGET (r11 verdict #2): per rounds
+    * value, the trained residual books' mean nDCG@10 vs exact-L2 truth
+    * — alongside the seed-book baseline — over the standard query set.
+    * Shares one routing + one materialized residual relation across
+    * every rounds value (only the Lloyd loop re-runs).
+    */
+  private[graft] def pqBudgetProbe(s: SparkSession, d: String,
+                                   roundsList: Seq[Int],
+                                   nq: Int = NQueries): Seq[(Int, Long, Long)] = {
+    val all = base(s, d).persist()
+    try {
+      val k = ivfCellCount(s, d)
+      // exact-L2 truth over a WIDE query set: the registered lanes eval
+      // at NQueries = 5, where single-query nDCG swings exceed 0.5 —
+      // the budget question needs the variance beaten down
+      val q = all.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = all.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(vecDot(col("v"), col("v"))
+            - lit(2.0) * vecDot(col("qv"), col("v"))
+            + vecDot(col("qv"), col("qv")), 6).as("d_r"))
+      val we = Window.partitionBy("qid").orderBy(col("d_r").asc, col("vec_id").asc)
+      val topL2 = exact.withColumn("rn", row_number().over(we))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+        .localCheckpoint(true)
+      val (asg0, ranked) = ivfRoutingRankedFor(all, k, IvfProbes,
+        col("vec_id") < nq)
+      val routing = (asg0.localCheckpoint(true),
+        ranked.drop("crn").localCheckpoint(true))
+      val kit0 = residKit(all, k, Some(routing))
+      val kit = kit0.copy(resid = kit0.resid.localCheckpoint(true))
+      val discArms = (1 to TopK)
+        .map(p => s"WHEN $p THEN ${NdcgDisc(p - 1)}").mkString(" ")
+      def meanNdcgE6(top: DataFrame): Long = {
+        val g = topL2.select(col("qid"), col("vec_id"),
+          (lit(TopK + 1L) - col("rn")).as("gain"))
+        val per = top.join(g, Seq("qid", "vec_id"), "left")
+          .withColumn("gain", coalesce(col("gain"), lit(0L)))
+          .withColumn("disc", expr(s"CASE rn $discArms ELSE 0 END"))
+          .groupBy("qid").agg(sum(col("gain") * col("disc")).as("dcg"))
+          .select(expr(s"(dcg * 1000000) div $NdcgIdcgE9").as("n"))
+          .collect().map(_.getLong(0))
+        per.sum / NQueries // zero-candidate queries contribute 0
+      }
+      def perQuery(top: DataFrame): Map[Long, Long] = {
+        val g = topL2.select(col("qid"), col("vec_id"),
+          (lit(TopK + 1L) - col("rn")).as("gain"))
+        top.join(g, Seq("qid", "vec_id"), "left")
+          .withColumn("gain", coalesce(col("gain"), lit(0L)))
+          .withColumn("disc", expr(s"CASE rn $discArms ELSE 0 END"))
+          .groupBy("qid").agg(sum(col("gain") * col("disc")).as("dcg"))
+          .select(col("qid"), expr(s"(dcg * 1000000) div $NdcgIdcgE9").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val seedPer = perQuery(adcTopK(residualAdcOn(s, kit, kit.books)._2))
+      val seedN = seedPer.values.sum / nq
+      roundsList.map { r =>
+        val (books, _) = lloydLoopOn(kit.resid, col("rv"), kit.books, r)
+        val tp = perQuery(adcTopK(residualAdcOn(s, kit, books)._2))
+        (r, seedN, tp.values.sum / nq)
+      }
+    } finally { all.unpersist(false); () }
+  }
+
+  /** Code-survival diagnostic: after `rounds` of Lloyd, how many of
+    * the PqM*PqK codebook entries still exist (empty codes drop out
+    * permanently in the current loop), plus the final round's total
+    * assignment error.
+    */
+  private[graft] def pqBudgetCodeSurvival(s: SparkSession, d: String,
+      roundsList: Seq[Int]): Seq[(Int, Int, Long)] = {
+    val all = base(s, d).persist()
+    try {
+      val k = ivfCellCount(s, d)
+      val (asg0, prb0) = ivfRouting(all, k, IvfProbes)
+      val routing = (asg0.localCheckpoint(true), prb0.localCheckpoint(true))
+      val kit0 = residKit(all, k, Some(routing))
+      val kit = kit0.copy(resid = kit0.resid.localCheckpoint(true))
+      roundsList.map { r =>
+        val (books, audit) = lloydLoopOn(kit.resid, col("rv"), kit.books, r)
+        val lastErr = audit.filter(_._1 == r.toLong).map(_._5).sum
+        (r, books.map(_.size).sum, lastErr)
+      }
+    } finally { all.unpersist(false); () }
+  }
+
   def pqTrain(s: SparkSession, d: String): DataFrame = {
     val all = base(s, d).persist()
-    val (_, audit) = pqTrainCore(all)
+    val (_, audit) = pqTrainCore(all, rounds = trainRoundsOf(s, d))
     all.unpersist(false)
     import s.implicits._
     audit.toDF("round", "s", "code", "n_members", "err_e6")
@@ -1520,6 +1643,7 @@ object SimilarityOps {
     */
   private def pqTrainCteSql(rounds: Int): String = {
     val sb = new StringBuilder
+    sb ++= s"pqprm AS MATERIALIZED (SELECT $pqRoundsSqlExpr AS rnds),\n"
     sb ++= s"cb0 AS (SELECT t.i - 1 AS s, vec_id AS code,\n" +
       s"  list_slice(v, (t.i - 1) * $PqSub + 1, (t.i - 1) * $PqSub + $PqSub) AS cv\n" +
       s"  FROM n, range(1, ${PqM + 1}) t(i) WHERE vec_id < $PqK)"
@@ -1543,16 +1667,22 @@ up$r AS (SELECT a.s, a.code, t.i - 1 AS j,
   ((CAST(SUM(CAST(floor(a.v[a.s * $PqSub + t.i] * 1000000.0) AS BIGINT)) AS DOUBLE)
     / 1000000.0) / COUNT(*)) AS c
   FROM asg$r a, range(1, ${PqSub + 1}) t(i) GROUP BY a.s, a.code, t.i),
-cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
+cb$r AS MATERIALIZED (
+  SELECT s, code, list(c ORDER BY j) AS cv FROM up$r
+  WHERE $r <= (SELECT rnds FROM pqprm) GROUP BY s, code
+  UNION ALL
+  SELECT s, code, cv FROM cb${r - 1}
+  WHERE $r > (SELECT rnds FROM pqprm))"""
     }
     sb.toString
   }
 
   private val pqTrainSql = {
-    val unions = (1 to PqTrainRounds).map(r => s"SELECT * FROM au$r")
+    val unions = (1 to PqTrainMaxRounds).map(r =>
+      s"SELECT * FROM au$r WHERE $r <= (SELECT rnds FROM pqprm)")
       .mkString(" UNION ALL ")
     s"""WITH $baseCte,
-       |${pqTrainCteSql(PqTrainRounds)}
+       |${pqTrainCteSql(PqTrainMaxRounds)}
        |SELECT round, s, code, n_members, err_e6 FROM ($unions)
        |ORDER BY round, s, code""".stripMargin
   }
@@ -1575,7 +1705,7 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
   //      see the 2×2 in PqTrainSpec. ----
   def pqSearchTrained(s: SparkSession, d: String): DataFrame = {
     val all = base(s, d).persist()
-    val (books, _) = pqTrainCore(all)
+    val (books, _) = pqTrainCore(all, rounds = trainRoundsOf(s, d))
     val (topAdc, topExact) = pqSearchPartsB(s, all, books)
     val result = pqOverlap(topAdc, topExact).localCheckpoint(true)
     all.unpersist(false)
@@ -1628,8 +1758,8 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
 
   private val pqSearchTrainedSql =
     s"""WITH $baseCte,
-       |${pqTrainCteSql(PqTrainRounds)},
-       |${pqAdcSearchVsCbSql(s"cb$PqTrainRounds")}""".stripMargin
+       |${pqTrainCteSql(PqTrainMaxRounds)},
+       |${pqAdcSearchVsCbSql(s"cb$PqTrainMaxRounds")}""".stripMargin
 
   // ---- q169: held-out-seed ADC search — the control experiment the
   //      q166 finding demands: the q157/q166 codebooks CONTAIN the 5
@@ -1971,15 +2101,16 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
   //      q172's. ----
   def ivfPqResidualTrained(s: SparkSession, d: String): DataFrame = {
     val all = base(s, d).persist()
-    val result = ivfPqResidualTrainedCore(s, all, ivfCellCount(s, d))
+    val result = ivfPqResidualTrainedCore(s, all, ivfCellCount(s, d),
+        trainRoundsOf(s, d))
       .localCheckpoint(true)
     all.unpersist(false)
     result
   }
 
   private[graft] def ivfPqResidualTrainedCore(
-      s: SparkSession, all: DataFrame, k: Long): DataFrame = {
-    val kit = residTrainedKit(all, k)
+      s: SparkSession, all: DataFrame, k: Long, rounds: Int): DataFrame = {
+    val kit = residTrainedKit(all, k, rounds = rounds)
     val (cand, adc) = residualAdcOn(s, kit.kit, kit.trained)
     prunedAdcResult(all, cand, adc)
   }
@@ -1992,10 +2123,11 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
 
   private[graft] def residTrainedKit(
       all: DataFrame, k: Long,
-      routing: Option[(DataFrame, DataFrame)] = None): ResidTrainedKit = {
+      routing: Option[(DataFrame, DataFrame)] = None,
+      rounds: Int): ResidTrainedKit = {
     val kit0 = residKit(all, k, routing)
     val kit = kit0.copy(resid = kit0.resid.localCheckpoint(true))
-    val (trained, _) = lloydLoopOn(kit.resid, col("rv"), kit.books)
+    val (trained, _) = lloydLoopOn(kit.resid, col("rv"), kit.books, rounds)
     ResidTrainedKit(kit, trained)
   }
 
@@ -2160,13 +2292,14 @@ cb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM up$r GROUP BY s, code)"""
       |tvcb0 AS (SELECT t.i - 1 AS s, x.vec_id AS code,
       |  list_slice(x.v, (t.i - 1) * $PqSub + 1, (t.i - 1) * $PqSub + $PqSub) AS cv
       |  FROM tvx x, ikq, range(1, ${PqM + 1}) t(i)
-      |  WHERE x.vec_id >= ikq.k AND x.vec_id < ikq.k + $PqK)""".stripMargin
+      |  WHERE x.vec_id >= ikq.k AND x.vec_id < ikq.k + $PqK),
+      |tvprm AS MATERIALIZED (SELECT $pqRoundsSqlExpr AS rnds)""".stripMargin
     val sliceSql = s"list_slice(x.v, CAST(b.s * $PqSub + 1 AS BIGINT), " +
       s"CAST(b.s * $PqSub + $PqSub AS BIGINT))"
     val cauchy = s"(${dotFoldSql(sliceSql, sliceSql)}\n" +
       s"   - 2.0 * ${dotFoldSql(sliceSql, "b.cv")}\n" +
       s"   + ${dotFoldSql("b.cv", "b.cv")})"
-    for (r <- 1 to PqTrainRounds) {
+    for (r <- 1 to PqTrainMaxRounds) {
       sb ++= s""",
 tvnd$r AS (SELECT x.vec_id, x.v, b.s, b.code,
   $cauchy AS dist
@@ -2178,7 +2311,12 @@ tvup$r AS (SELECT a.s, a.code, t.i - 1 AS j,
   ((CAST(SUM(CAST(floor(a.v[a.s * $PqSub + t.i] * 1000000.0) AS BIGINT)) AS DOUBLE)
     / 1000000.0) / COUNT(*)) AS c
   FROM tvasg$r a, range(1, ${PqSub + 1}) t(i) GROUP BY a.s, a.code, t.i),
-tvcb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM tvup$r GROUP BY s, code)"""
+tvcb$r AS MATERIALIZED (
+  SELECT s, code, list(c ORDER BY j) AS cv FROM tvup$r
+  WHERE $r <= (SELECT rnds FROM tvprm) GROUP BY s, code
+  UNION ALL
+  SELECT s, code, cv FROM tvcb${r - 1}
+  WHERE $r > (SELECT rnds FROM tvprm))"""
     }
     val lutChain = (0 until PqSub).map { j =>
       val el = s"(q.qr)[CAST(b.s * $PqSub + ${j + 1} AS BIGINT)]"
@@ -2187,7 +2325,7 @@ tvcb$r AS (SELECT s, code, list(c ORDER BY j) AS cv FROM tvup$r GROUP BY s, code
     sb ++= s""",
 tvfd AS (SELECT x.vec_id, b.s, b.code,
   $cauchy AS dist
-  FROM tvx x CROSS JOIN tvcb$PqTrainRounds b),
+  FROM tvx x CROSS JOIN tvcb$PqTrainMaxRounds b),
 tvcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, code AS cid FROM
   (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s
      ORDER BY dist ASC, code ASC) AS rn FROM tvfd) WHERE rn = 1),
@@ -2196,7 +2334,7 @@ tvqr AS (SELECT p.qid, p.cell,
   FROM iprb p JOIN icc c ON p.cell = c.cid),
 tvl0 AS (SELECT q.qid, q.cell, b.s, b.code AS cid,
   $lutChain AS ld
-  FROM tvqr q CROSS JOIN tvcb$PqTrainRounds b),
+  FROM tvqr q CROSS JOIN tvcb$PqTrainMaxRounds b),
 tvlut AS (SELECT qid, cell, CAST(s AS BIGINT) AS s, cid,
   CAST(floor(ld * 1000000.0) AS BIGINT) AS dlut FROM tvl0),
 tvcnd AS (SELECT p.qid, s.vec_id, s.cell FROM iasg s JOIN iprb p
@@ -3795,7 +3933,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     // the two residual systems ('rivfpq' seed books, 'trivfpq' trained
     // books) additionally share ONE materialized residual relation and
     // one seed-book collect — only the codebook contents differ
-    val kitT = residTrainedKit(all, k, Some(routing))
+    val kitT = residTrainedKit(all, k, Some(routing), trainRoundsOf(s, d))
     def sysList(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("sys"), col("qid"), col("vec_id"), col("rn"))
     val sysRows = sysList("lsh", simAnnLshOn(all, planeInt))

@@ -201,7 +201,8 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
     }
     val resids = vecs.toSeq.map { case (id, v) => (id, residual(v, r.cellOf(id))) }
     val seeds = resids.filter { case (id, _) => id >= r.k && id < r.k + K }
-    val trained = lloyd(resids, booksFrom(seeds), SimilarityOps.PqTrainRounds)
+    val trained = lloyd(resids, booksFrom(seeds),
+      SimilarityOps.pqTrainRoundsFor(vecs.length.toLong))
     val residOf = resids.toMap
     score(vecs, r, trained,
           encOf = residOf,
@@ -233,7 +234,7 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
     def recall(rows: Seq[(Long, Long, Long, Long)]): Double =
       rows.map(_._4).sum.toDouble / rows.size / 1e6
     info(f"recall@$Top seed books ${recall(seedRows)}%.2f -> " +
-      f"trained books ${recall(got)}%.2f (${SimilarityOps.PqTrainRounds} Lloyd rounds)")
+      f"trained books ${recall(got)}%.2f (${SimilarityOps.pqTrainRoundsFor(vecs.length.toLong)} Lloyd rounds)")
   }
 
   test("q179 read-back postings match a driver-side decode; layout is one dir per cell") {

@@ -345,7 +345,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // broadcasts, no corpus exchange for scoring
     val all = ops.SimilarityOps.baseFor(spark, sf)
     val df = ops.SimilarityOps.ivfPqResidualTrainedCore(
-      spark, all, ops.SimilarityOps.ivfKFor(all.count()))
+      spark, all, ops.SimilarityOps.ivfKFor(all.count()),
+      ops.SimilarityOps.pqTrainRoundsFor(all.count()))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")

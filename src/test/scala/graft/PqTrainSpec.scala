@@ -3,25 +3,28 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q165/q166 PQ-training properties:
-  *  1. the full 3-round audit matches an independent driver-side Lloyd
-  *     recomputation (same Cauchy fold, same quantized means, same
-  *     tie-breaks) — every (round, s, code, n_members, err_e6) row;
+  *  1. the full corpus-scaled-round audit matches an independent
+  *     driver-side Lloyd recomputation (same Cauchy fold, same
+  *     quantized means, same tie-breaks, same pqTrainRoundsFor ladder)
+  *     — every (round, s, code, n_members, err_e6) row;
   *  2. the loop audit is monotone (Lloyd: total assignment error never
   *     increases round over round, up to the 1e-6 mean quantization)
   *     and PLATEAUS: the last round's improvement is at most half the
-  *     first's (measured ~78 -> ~14 err-units at both sfs);
+  *     first's;
   *  3. round 1 equals q160's old-side audit (the single-refinement lane
   *     and the loop agree on their shared first step);
-  *  4. the trained-books ADC recall (q166) is measured against the
-  *     seed-books recall (q157): reported, and not materially worse
-  *     (the 5-query/50-judgment sample puts ±0.1 inside noise — the
-  *     loop's guarantee is reconstruction error, which drops ~24%;
-  *     recall is what q166 exists to MEASURE, not to assert).
+  *  4. trained-vs-seed ADC retrieval quality is asserted at a WIDE
+  *     query set (100 queries, driver-side exact recompute): the
+  *     registered lanes eval at NQueries = 5, where single-query
+  *     swings exceed the whole effect size (the r11 grid "inversion"
+  *     — bench_evidence/r12_pq_budget.md); at 100 queries trained
+  *     books must not lose to seed books.
   */
 class PqTrainSpec extends AnyFunSuite with SparkTestBase {
 
   private val M = 8; private val Sub = 8; private val K = 16
-  private val Rounds = 3
+  private lazy val Rounds =
+    ops.SimilarityOps.pqTrainRoundsFor(Tables.embeddings(spark, sf).count())
 
   private def loadVecs(): Array[(Long, Array[Double])] =
     Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
@@ -118,9 +121,61 @@ class PqTrainSpec extends AnyFunSuite with SparkTestBase {
     }
     val seed = recall(ops.SimilarityOps.pqSearch(spark, sf))
     val trained = recall(ops.SimilarityOps.pqSearchTrained(spark, sf))
-    info(f"ADC top-10 recall: seed books $seed%.2f -> trained books $trained%.2f")
-    assert(trained >= seed - 0.1,
-      f"training materially degraded ADC recall: $seed%.2f -> $trained%.2f")
+    // measured, not asserted: 5 queries x 10 judgments — single-query
+    // swings exceed any training effect (the wide-eval test below is
+    // the assertion surface)
+    info(f"ADC top-10 recall (5-query lane eval): seed $seed%.2f -> " +
+      f"trained $trained%.2f")
+    assert(seed >= 0 && seed <= 1 && trained >= 0 && trained <= 1)
+  }
+
+  /** Driver-side ADC top-10 recall vs exact L2 over a WIDE query set —
+    * the eval width the budget question actually needs.
+    */
+  private def recallWide(vecs: Array[(Long, Array[Double])],
+                         books: IndexedSeq[IndexedSeq[(Long, Array[Double])]],
+                         nq: Int): Double = {
+    val codes: Map[Long, IndexedSeq[Long]] = vecs.map { case (id, v) =>
+      id -> (0 until M).map { s =>
+        books(s).minBy { case (cid, sub) => (subDist(v, sub, s), cid) }._1
+      }
+    }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val queries = vecs.filter(_._1 < nq)
+    queries.map { case (qid, qv) =>
+      val lut: IndexedSeq[Map[Long, Long]] = (0 until M).map { s =>
+        books(s).map { case (cid, sub) =>
+          cid -> math.floor(subDist(qv, sub, s) * 1e6).toLong }.toMap
+      }
+      val others = vecs.filter(_._1 != qid)
+      val adcTop = others.map { case (id, _) =>
+        (id, (0 until M).map(s => lut(s)(codes(id)(s))).sum)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val exactTop = others.map { case (id, v) => (id, l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      (adcTop & exactTop).size.toDouble / 10.0
+    }.sum / queries.length
+  }
+
+  test("wide-eval (100 queries): trained books do not lose to seed books " +
+       "at the corpus-scaled budget (r11 verdict #2)") {
+    val vecs = loadVecs()
+    val all = ops.SimilarityOps.baseFor(spark, sf).persist()
+    val seedBooks = ops.SimilarityOps.pqSeedBooks(all)
+    val (trainedBooks, _) = ops.SimilarityOps.pqTrainCore(all,
+      rounds = ops.SimilarityOps.pqTrainRoundsFor(all.count()))
+    all.unpersist(false)
+    val nq = math.min(100, vecs.length / 2)
+    val rSeed = recallWide(vecs, seedBooks, nq)
+    val rTrained = recallWide(vecs, trainedBooks, nq)
+    info(f"wide-eval recall@10 over $nq queries: seed $rSeed%.3f -> " +
+      f"trained $rTrained%.3f")
+    assert(rTrained >= rSeed - 0.02,
+      f"trained books lost to seed books at wide eval: $rSeed%.3f -> $rTrained%.3f")
   }
 
   test("q169 leakage control: seed-vs-trained recall under leaked and held-out seeds") {
@@ -133,11 +188,13 @@ class PqTrainSpec extends AnyFunSuite with SparkTestBase {
     val all = ops.SimilarityOps.baseFor(spark, sf).persist()
     val leakedSeed = recall(ops.SimilarityOps.pqSearchPartsB(
       spark, all, ops.SimilarityOps.pqSeedBooks(all)))
-    val (leakedBooks, _) = ops.SimilarityOps.pqTrainCore(all)
+    val (leakedBooks, _) = ops.SimilarityOps.pqTrainCore(all,
+      rounds = ops.SimilarityOps.pqTrainRoundsFor(all.count()))
     val leakedTrained = recall(ops.SimilarityOps.pqSearchPartsB(spark, all, leakedBooks))
     val holdSeed = recall(ops.SimilarityOps.pqSearchPartsB(
       spark, all, ops.SimilarityOps.pqSeedBooks(all, 5L)))
-    val (holdBooks, _) = ops.SimilarityOps.pqTrainCore(all, 5L)
+    val (holdBooks, _) = ops.SimilarityOps.pqTrainCore(all, 5L,
+      rounds = ops.SimilarityOps.pqTrainRoundsFor(all.count()))
     val holdTrained = recall(ops.SimilarityOps.pqSearchPartsB(spark, all, holdBooks))
     all.unpersist(false)
     info(f"recall@10: leaked seed $leakedSeed%.2f -> trained $leakedTrained%.2f; " +
@@ -167,7 +224,8 @@ class PqTrainSpec extends AnyFunSuite with SparkTestBase {
       }.sum / qs.size
     }
     val all = ops.SimilarityOps.baseFor(spark, sf).persist()
-    val (books, _) = ops.SimilarityOps.pqTrainCore(all)
+    val (books, _) = ops.SimilarityOps.pqTrainCore(all,
+      rounds = ops.SimilarityOps.pqTrainRoundsFor(all.count()))
     val (seedAdc, exact) =
       ops.SimilarityOps.pqSearchPartsB(spark, all, ops.SimilarityOps.pqSeedBooks(all))
     val ndSeed = ndcg(seedAdc, exact)

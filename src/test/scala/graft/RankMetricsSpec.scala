@@ -122,12 +122,22 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
       vs.sum.toDouble / vs.length / 1e6
     }
     info(f"sf0.1 mean nDCG@10: ivf ${meanNd("ivf")}%.3f " +
-      f"mlsh ${meanNd("mlsh")}%.3f lsh ${meanNd("lsh")}%.3f")
+      f"mlsh ${meanNd("mlsh")}%.3f lsh ${meanNd("lsh")}%.3f " +
+      f"rivfpq ${meanNd("rivfpq")}%.3f trivfpq ${meanNd("trivfpq")}%.3f")
     assert(meanNd("ivf") >= 0.7,
       f"ivf quality collapsed at sf0.1: ${meanNd("ivf")}%.3f < 0.7")
     assert(meanNd("mlsh") >= 0.35,
       f"registered ANN path floor at sf0.1: ${meanNd("mlsh")}%.3f < 0.35")
     assert(meanNd("mlsh") > meanNd("lsh"),
       "multi-table LSH did not improve on single-table at sf0.1")
+    // trained-vs-seed residual books: the 5-query grid cannot resolve
+    // the training effect (single-query nDCG swings exceed 0.5 —
+    // bench_evidence/r12_pq_budget.md), so the trained-books FLOOR is
+    // asserted where it is measurable: PqTrainSpec's 100-query
+    // driver-side wide eval (trained must not lose to seed). Here the
+    // grid values are recorded and range-checked only.
+    Seq("rivfpq", "trivfpq").foreach { sys =>
+      assert(meanNd(sys) >= 0.0 && meanNd(sys) <= 1.0)
+    }
   }
 }
