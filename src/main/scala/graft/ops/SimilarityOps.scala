@@ -1971,11 +1971,12 @@ cb$r AS MATERIALIZED (
   //      the SQL twin derives the same quantities from its own routing
   //      CTEs. ----
   def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
-    val all = base(s, d).persist()
-    val result = ivfPqResidualCore(s, all, ivfCellCount(s, d))
-      .localCheckpoint(true)
-    all.unpersist(false)
-    result
+    // the kit is the session-cached artifact shared with q177/q163
+    // (the UNTRAINED layer — no Lloyd run on this path)
+    val kit = sharedResidKit(s, d)
+    val all = base(s, d)
+    val (cand, adc) = residualAdcOn(s, kit, kit.books)
+    prunedAdcResult(all, cand, adc).localCheckpoint(true)
   }
 
   /** The residual-encoding building blocks shared by q172 and q173:
@@ -2155,17 +2156,30 @@ cb$r AS MATERIALIZED (
         rounds = trainRoundsOf(s, d))
     }
 
-  /** Shared trained residual kit: one routing, one materialized
-    * residual relation, one corpus-scaled Lloyd run.
+  /** Shared UNTRAINED residual kit: one routing + one materialized
+    * residual relation (q172's serving input; the training below
+    * builds on it). Cached separately from the trained kit so a lane
+    * that only needs the seed books never pays a Lloyd run.
     */
-  private[graft] def sharedTrainedKit(s: SparkSession, d: String): ResidTrainedKit =
-    cachedAs(s, d, "trainedkit") {
+  private[graft] def sharedResidKit(s: SparkSession, d: String): ResidKit =
+    cachedAs(s, d, "residkit") {
       val all = base(s, d).localCheckpoint(true)
       val k = ivfCellCount(s, d)
       val (a0, p0) = ivfRouting(all, k, IvfProbes)
-      residTrainedKit(all, k,
-        Some((a0.localCheckpoint(true), p0.localCheckpoint(true))),
+      val kit0 = residKit(all, k,
+        Some((a0.localCheckpoint(true), p0.localCheckpoint(true))))
+      kit0.copy(resid = kit0.resid.localCheckpoint(true))
+    }
+
+  /** Shared trained residual kit: the shared kit + one corpus-scaled
+    * Lloyd run.
+    */
+  private[graft] def sharedTrainedKit(s: SparkSession, d: String): ResidTrainedKit =
+    cachedAs(s, d, "trainedkit") {
+      val kit = sharedResidKit(s, d)
+      val (trained, _) = lloydLoopOn(kit.resid, col("rv"), kit.books,
         trainRoundsOf(s, d))
+      ResidTrainedKit(kit, trained)
     }
 
   /** A residKit with its residual relation MATERIALIZED (the training
