@@ -533,6 +533,15 @@ object Plans {
       "matrix; q203 checkpoints the rung aggregates its anti-joins " +
       "reuse. All three shapes are narrated in COVERAGE.md; their " +
       "registered plans print as RDD scan leaves by design.\n")
+    sb.append("\n## q211_video_neardup (checkpointed fingerprint index)\n\n" +
+      "video near-dup: the frame-fingerprint relation and the candidate " +
+      "pair table are checkpointed (each feeds two consumers — the " +
+      "df-cap filter + both join sides, the run fold + the shared " +
+      "count), so the registered plan prints as RDD scans; the shape " +
+      "is map-side decode + fingerprint, ONE exchange by fingerprint " +
+      "(df-capped postings self-join, never all-pairs), and bounded " +
+      "(pair, diag) windows — narrated in COVERAGE.md, pair-table " +
+      "pinned closed-form in VideoNearDupSpec.\n")
     sb.append("\n## q204_stream_funnel / q209_stream_funnel_ooo (stateful streams)\n\n" +
       "both run inside a streaming query (flatMapGroupsWithState), so " +
       "there is no batch plan to dump: state is 3 longs per user " +

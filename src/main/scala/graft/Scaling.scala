@@ -136,7 +136,8 @@ object Scaling {
     ("q207_gzip_sink", "gzip sink via the own DEFLATE encoder", "documents"),
     ("q208_tgz_archive", ".tgz shards: own ustar + own gzip, both directions", "documents"),
     ("q209_stream_funnel_ooo", "out-of-order stream funnel: watermark finalize + re-fold", "events"),
-    ("q210_index_vacuum", "generation vacuum: cell-granular GC at the pin floor", "embeddings"))
+    ("q210_index_vacuum", "generation vacuum: cell-granular GC at the pin floor", "embeddings"),
+    ("q211_video_neardup", "video near-dup: frame fingerprints + diagonal alignment", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -1677,12 +1677,19 @@ object MultimodalOps {
       * line (with an XYSCSS extension param, as mainstream emitters
       * produce), then FRAME-delimited planar 4:2:0 payloads.
       */
-    def encode(id: Long): Array[Byte] = {
+    def encode(id: Long): Array[Byte] = encodeFrom(id, 0)
+
+    /** Encode doc `id` STARTING at frame `from` — the trimmed-clip
+      * variant q211's near-dup fixture needs (a clipped re-upload
+      * shares every remaining frame byte-for-byte, shifted in index —
+      * the classic video-dedup case).
+      */
+    def encodeFrom(id: Long, from: Int): Array[Byte] = {
       val (w, h) = dims(id)
       val out = new java.io.ByteArrayOutputStream()
       out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg XYSCSS=420JPEG\n"
         .getBytes("US-ASCII"))
-      (0 until nFrames(id)).foreach { f =>
+      (from until nFrames(id)).foreach { f =>
         out.write("FRAME\n".getBytes("US-ASCII"))
         var y = 0
         while (y < h) {
@@ -1930,6 +1937,133 @@ object MultimodalOps {
        | CAST(SUM(dec) AS BIGINT) AS dsum
        |FROM d GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin
 
+  // ---- q211: VIDEO NEAR-DUP — trimmed-clip detection over REAL Y4M
+  //      containers, composing the decode family with the dedup
+  //      discipline: the classic video-dedup case is a re-uploaded
+  //      clip that drops leading frames but shares every remaining
+  //      frame byte-for-byte at a shifted index. Fixture: every doc's
+  //      full video plus, for doc_id % 3 == 0 (where >= 3 frames
+  //      exist), a TRIMMED re-encode starting at frame 1 (own encoder,
+  //      real container). The engine never sees the pairing: it
+  //      decodes each container (q197's parser), fingerprints every
+  //      frame by the md5 of its canonical luma CSV, builds a
+  //      df-capped INVERTED INDEX by fingerprint (content-addressed
+  //      frame matching — never all-pairs), self-joins postings into
+  //      candidate pairs, and aligns them on the DIAGONAL
+  //      (idx_a - idx_b) with the q151 gaps-and-islands run fold —
+  //      emitting shared-frame count, the longest consecutive run and
+  //      its offset. Oracle: DuckDB re-derives every frame fingerprint
+  //      from the generator formula (string_agg luma CSV -> md5) and
+  //      runs the same index/diagonal algebra — the engine must
+  //      recover the EXACT bytes from real containers or fingerprints
+  //      diverge. Scale shape: decode + fingerprint map-side, one
+  //      exchange by fingerprint (df-capped postings), pair windows
+  //      over bounded candidate rows. ----
+  private val VidDfCap = 4
+
+  def videoNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_vidnd_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "vidnd-fixture-v1:trimmed-clips")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val full = Seq((id * 2, Y4mCodec.encode(id)))
+          val trimmed =
+            if (id % 3 == 0 && Y4mCodec.nFrames(id) >= 3)
+              Seq((id * 2 + 1, Y4mCodec.encodeFrom(id, 1)))
+            else Seq.empty
+          (full ++ trimmed).iterator
+        })
+        .toDF("vid", "content")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    val sigs = s.read.parquet(tmp)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (_, _, frames) = Y4mCodec.decode(bytes)
+        frames.iterator.zipWithIndex.map { case ((yp, _, _), i) =>
+          (vid, i.toLong, yp.mkString(","))
+        }
+      })
+      .toDF("vid", "frame_idx", "luma_csv")
+      .select(col("vid"), col("frame_idx"),
+              md5(col("luma_csv").cast("binary")).as("sig"))
+      .localCheckpoint(true)
+    val kept = sigs.groupBy("sig").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= VidDfCap).select("sig")
+    val a = sigs.join(kept, Seq("sig"))
+      .select(col("sig"), col("vid").as("vid_a"), col("frame_idx").as("fa"))
+    val b = sigs.join(kept, Seq("sig"))
+      .select(col("sig"), col("vid").as("vid_b"), col("frame_idx").as("fb"))
+    val pr = a.join(b, Seq("sig")).filter(col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("fa"), col("fb"),
+              (col("fa") - col("fb")).as("diag"))
+      .localCheckpoint(true)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b", "diag").orderBy("fa")
+    val runs = pr
+      .withColumn("isl", col("fa") - row_number().over(wD))
+      .groupBy("vid_a", "vid_b", "diag", "isl")
+      .agg(count(lit(1)).as("run"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b")
+      .orderBy(col("run").desc, col("diag").asc)
+    val best = runs.withColumn("brn", row_number().over(wB))
+      .filter(col("brn") === 1)
+      .select(col("vid_a"), col("vid_b"), col("run").as("longest_run"),
+              col("diag"))
+    val shared = pr.groupBy("vid_a", "vid_b")
+      .agg(count(lit(1)).as("n_shared_frames"))
+    shared.join(best, Seq("vid_a", "vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("n_shared_frames"),
+              col("longest_run"), col("diag"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  private val videoNearDupSql = {
+    val luma = "(g.doc_id * 31 + f * 53 + (k // g.w) * 97 + (k % g.w) * 17" +
+      " + (g.doc_id % 7 + 1) * (k % g.w) * (k % g.w) * 5" +
+      " + (g.doc_id % 5 + 1) * (k // g.w) * (k // g.w) * 7) % 220 + 16"
+    s"""WITH geo AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w,
+       |    6 + 2 * (doc_id % 4) AS h, 2 + (doc_id % 4) AS nf FROM documents),
+       |vids AS (SELECT doc_id, doc_id * 2 AS vid, 0 AS fstart FROM geo
+       |         UNION ALL
+       |         SELECT doc_id, doc_id * 2 + 1, 1 FROM geo
+       |         WHERE doc_id % 3 = 0 AND nf >= 3),
+       |fr AS (SELECT v.vid, v.doc_id, t.f, t.f - v.fstart AS frame_idx
+       |       FROM vids v JOIN geo g2 ON g2.doc_id = v.doc_id,
+       |            LATERAL unnest(range(CAST(v.fstart AS BIGINT),
+       |                                 CAST(g2.nf AS BIGINT))) t(f)),
+       |px AS (SELECT fr.vid, fr.frame_idx,
+       |    md5(string_agg(CAST($luma AS VARCHAR), ',' ORDER BY k)) AS sig
+       |  FROM fr JOIN geo g ON g.doc_id = fr.doc_id,
+       |       LATERAL unnest(range(0, g.w * g.h)) tk(k)
+       |  GROUP BY fr.vid, fr.frame_idx),
+       |kept AS (SELECT sig FROM px GROUP BY sig HAVING COUNT(*) <= $VidDfCap),
+       |pk AS (SELECT px.vid, px.frame_idx, px.sig FROM px JOIN kept USING (sig)),
+       |pr AS (SELECT a.vid AS vid_a, b.vid AS vid_b, a.frame_idx AS fa,
+       |              a.frame_idx - b.frame_idx AS diag
+       |       FROM pk a JOIN pk b ON a.sig = b.sig AND a.vid < b.vid),
+       |rn AS (SELECT vid_a, vid_b, diag, fa, row_number() OVER
+       |         (PARTITION BY vid_a, vid_b, diag ORDER BY fa) AS rnn FROM pr),
+       |isl AS (SELECT vid_a, vid_b, diag, fa - rnn AS isl,
+       |               CAST(COUNT(*) AS BIGINT) AS run
+       |        FROM rn GROUP BY vid_a, vid_b, diag, fa - rnn),
+       |best AS (SELECT vid_a, vid_b, run AS longest_run, diag FROM
+       |   (SELECT *, row_number() OVER (PARTITION BY vid_a, vid_b
+       |      ORDER BY run DESC, diag ASC) AS brn FROM isl) WHERE brn = 1),
+       |shared AS (SELECT vid_a, vid_b, CAST(COUNT(*) AS BIGINT)
+       |             AS n_shared_frames
+       |           FROM pr GROUP BY vid_a, vid_b)
+       |SELECT s2.vid_a, s2.vid_b, s2.n_shared_frames, b2.longest_run, b2.diag
+       |FROM shared s2 JOIN best b2 USING (vid_a, vid_b)
+       |ORDER BY vid_a, vid_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_multimodal", multimodalFeatures, Some(multimodalFeaturesSql),
       "REAL media dispatcher: six real formats interleaved in one binary column, identified by magic-byte sniffing (RIFF walks to the fmt tag) and routed to the owning dependency-free parser — exact per-format content sums, no stub decode anywhere"),
@@ -1951,6 +2085,8 @@ object MultimodalOps {
       "REAL multi-frame container decode: JDK-encoded animated GIFs, own parser with a full GIF-LZW decompressor — decode ALL frames, sample every 2nd, spatial + motion energy (vs the unsampled predecessor) per sampled frame"),
     Q("q195_ulaw_codec", ulawDecodeEnergy, Some(ulawDecodeEnergySql),
       "REAL lossy audio codec: JDK-companded G.711 mu-law WAV files (fmt tag 7), own closed-form expander + chunk-walking parser — energy + sample-sum verb over the decoded samples; oracle reproduces the full lossy round trip in integer SQL"),
+    Q("q211_video_neardup", videoNearDup, Some(videoNearDupSql),
+      "video near-dup (trimmed-clip detection) over REAL Y4M containers: per-frame content fingerprints from decoded luma planes, df-capped inverted index (never all-pairs), diagonal gaps-and-islands alignment — shared frames, longest run and its offset per candidate pair"),
     Q("q197_y4m_video", y4mFrameRgb, Some(y4mFrameRgbSql),
       "REAL raw-video container: YUV4MPEG2 streams with 4:2:0 chroma subsampling — own header/FRAME walk, shared-chroma upsampling, integer BT.601 YUV->RGB — RGB channel sums per sampled frame + luma motion vs the unsampled predecessor"))
 }
