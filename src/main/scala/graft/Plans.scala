@@ -542,6 +542,13 @@ object Plans {
       "(df-capped postings self-join, never all-pairs), and bounded " +
       "(pair, diag) windows — narrated in COVERAGE.md, pair-table " +
       "pinned closed-form in VideoNearDupSpec.\n")
+    sb.append("\n## q212_stream_vacuum_serve (streaming lifecycle composite)\n\n" +
+      "swap + vacuum under a live query stream: per-batch serving is " +
+      "the SAME manifestPinnedRead plan dumped for q193 above (pruned " +
+      "per-generation FileScans at the batch's pin); the vacuum step " +
+      "is metadata-scale directory deletion (no data job); nothing in " +
+      "the composite adds plan surface beyond its parts — shape " +
+      "narrated in COVERAGE.md, liveness in VersionSpec.\n")
     sb.append("\n## q204_stream_funnel / q209_stream_funnel_ooo (stateful streams)\n\n" +
       "both run inside a streaming query (flatMapGroupsWithState), so " +
       "there is no batch plan to dump: state is 3 longs per user " +

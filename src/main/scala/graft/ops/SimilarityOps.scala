@@ -2450,6 +2450,38 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     * postings). Green == each batch's fetch is snapshot-consistent
     * with the generation committed at its fetch time.
     */
+  /** q212's twin: three query slices (qid % 3, arrival order), batch 0
+    * against the pre-delta corpus, batches 1 and 2 against the full
+    * corpus — the mid-stream vacuum between batches 1 and 2 must be
+    * invisible at the served pin, so their relations are IDENTICAL by
+    * construction.
+    */
+  private[graft] val streamVacuumServeSql =
+    s"""WITH $baseCte,
+       |$ivfRouteCteSql,
+       |$residRuCteSql,
+       |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
+       |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
+       |  (SELECT vec_id, s, scid, dist, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY dist ASC, scid ASC) AS rn FROM ru) WHERE rn = 1),
+       |sq AS (SELECT vec_id AS qid, cid AS cell FROM ir0
+       |       WHERE crn <= $IvfProbes AND vec_id % 7 = 5),
+       |post AS (SELECT q.qid, CAST(a.cell AS BIGINT) AS cell, l.vec_id, l.s,
+       |    l.cid AS code, l.err_e6
+       |  FROM sq q JOIN iasg a ON a.cell = q.cell
+       |  JOIN lcodes l ON l.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT CAST(0 AS INTEGER) AS batch, CAST(0 AS INTEGER) AS gen_served,
+       |  qid, cell, vec_id, s, code, err_e6
+       |FROM post WHERE qid % 3 = 0 AND vec_id % 7 <> 3
+       |UNION ALL
+       |SELECT CAST(1 AS INTEGER), CAST(1 AS INTEGER),
+       |  qid, cell, vec_id, s, code, err_e6 FROM post WHERE qid % 3 = 1
+       |UNION ALL
+       |SELECT CAST(2 AS INTEGER), CAST(1 AS INTEGER),
+       |  qid, cell, vec_id, s, code, err_e6 FROM post WHERE qid % 3 = 2
+       |ORDER BY batch, qid, cell, vec_id, s""".stripMargin
+
   private[graft] val streamVersionedServeSql =
     s"""WITH $baseCte,
        |$ivfRouteCteSql,
@@ -3563,9 +3595,15 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   /** Clone the q191 generation store into a run-local root the vacuum
     * may mutate (q191/q193 keep reading the pristine original).
     */
-  private[graft] def cloneVersionStore(s: SparkSession, d: String): String = {
+  private[graft] def cloneVersionStore(s: SparkSession, d: String): String =
+    cloneVersionStoreTo(s, d, vacuumDir(d))
+
+  /** Clone into an explicit root (q212's streaming-vacuum lane keeps
+    * its own mutable copy so q210's and q191's stay untouched).
+    */
+  private[graft] def cloneVersionStoreTo(s: SparkSession, d: String,
+                                         root: String): String = {
     indexVersions(s, d) // stages the source store if absent
-    val root = vacuumDir(d)
     graft.Fixtures.clearDir(java.nio.file.Paths.get(root))
     copyTree(java.nio.file.Paths.get(versionDir(d)),
              java.nio.file.Paths.get(root))

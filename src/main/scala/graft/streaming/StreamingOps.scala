@@ -1325,6 +1325,121 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .orderBy("gen_served", "qid", "cell", "vec_id", "s")
   }
 
+  // ---- q212: STREAMING VACUUM UNDER LIVE SERVING — q193 proved the
+  //      zero-downtime SWAP; q210 proved the manifest-driven VACUUM;
+  //      this lane closes the online lifecycle loop by running BOTH
+  //      under one live query stream: batch 0 serves the gen-0
+  //      snapshot, gen 1 commits between batches, batch 1 serves gen 1
+  //      — and then the VACUUM reclaims gen 0's superseded cells while
+  //      the stream is still up, with batch 2 proving post-vacuum
+  //      serving is indistinguishable from batch 1 (the oracle derives
+  //      both from the full corpus). The lane clones the generation
+  //      store per run (q210's discipline — q191's pristine store is
+  //      never mutated) and the vacuum is the exact q210 primitive
+  //      (floor recorded, sub-floor pins refuse). Three query slices
+  //      (qid % 3, mtime-ordered files) make three deterministic
+  //      micro-batches. ----
+  def streamVacuumServe(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.VecDot.vecDot
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_svvac_$hex"
+    val storeRoot = s"$laneRoot/store"
+    val laneManifest = s"$laneRoot/manifest"
+    val outDir = s"$laneRoot/out"
+    // fresh clone + run-local manifest EVERY run: the vacuum mutates
+    // the store, and the mid-stream commit mutates the manifest
+    Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
+    graft.ops.SimilarityOps.cloneVersionStoreTo(s, d, storeRoot)
+    s.read.parquet(s"$storeRoot/manifest").filter(col("gen") === 0)
+      .select("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$laneManifest/gen=0")
+    // the arrival stream: three files with ordered mtimes -> three
+    // deterministic micro-batches (qid % 3 slices)
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_svvac_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    if (!Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      (0 until 3).foreach { i =>
+        val part = java.nio.file.Files.createTempDirectory("graft_svvac_stage")
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") % 7 === 5 && col("vec_id") % 3 === i)
+          .select("vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = new java.io.File(part.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = srcDir.resolve(s"f$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() - (30000L - i * 10000L))
+      }
+      Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+    }
+    val (kitDf, _) = graft.ops.SimilarityOps.ingestCoderKitDf(s, d)
+    val nProbes = graft.ops.SimilarityOps.IvfProbes
+    withStreamShufflePartitions(s, 2) {
+      val routed = s.readStream.schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("jk", lit(1))
+        .join(broadcast(kitDf.withColumn("jk", lit(1))), Seq("jk"))
+        .drop("jk")
+        .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
+        .withColumn("pcells", slice(array_sort(transform(col("cents"), c =>
+          struct((-vecDot(col("qv"), c.getField("cv"))
+                   / (col("qn") * c.getField("cn"))).as("negsim"),
+                 c.getField("cid").as("cid")))), 1, nProbes))
+        .select(col("qid"),
+                explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
+      val q = routed.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try {
+            val cells = b.select("cell").distinct()
+              .collect().map(_.getLong(0)).sorted.toSeq
+            if (cells.nonEmpty) {
+              val pin = s.read.parquet(laneManifest)
+                .agg(max(col("gen"))).collect()(0).getInt(0)
+              graft.ops.SimilarityOps
+                .manifestPinnedRead(s, laneManifest, storeRoot, pin, cells)
+                .join(broadcast(b.select("qid", "cell")), Seq("cell"))
+                .filter(col("vec_id") =!= col("qid"))
+                .select(lit(batchId).cast("int").as("batch"),
+                        lit(pin).as("gen_served"), col("qid"), col("cell"),
+                        col("vec_id"), col("s"), col("code"), col("err_e6"))
+                .write.mode("append").parquet(outDir)
+            }
+            // after batch 0: the zero-downtime swap (the q193 moment)
+            if (batchId == 0) {
+              s.read.parquet(s"$storeRoot/manifest")
+                .filter(col("gen") === 1).select("cell", "dir").coalesce(1)
+                .write.mode("overwrite").parquet(s"$laneManifest/gen=1")
+            }
+            // after batch 1: the ONLINE vacuum (the q210 primitive) —
+            // gen 0's superseded cells reclaimed while the stream is
+            // live; batch 2 must serve gen 1 unchanged
+            if (batchId == 1) {
+              graft.ops.SimilarityOps.vacuumTo(s, storeRoot, floor = 1)
+              ()
+            }
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+      .select("batch", "gen_served", "qid", "cell", "vec_id", "s", "code",
+              "err_e6")
+      .orderBy("batch", "qid", "cell", "vec_id", "s")
+  }
+
   // ---- q204: STATEFUL STREAMING FUNNEL — the streaming twin of
   //      q201's strict-order view→click→purchase conversion, and the
   //      one stateful shape the battery lacked: a per-key STATE
@@ -1613,6 +1728,9 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     Q("q204_stream_funnel", streamFunnel,
       Some(graft.ops.EventOps.funnelSql),
       "stateful streaming funnel: per-user progression state machine advanced across three event-time-ordered micro-batches (flatMapGroupsWithState, Update mode, 3-long state per user) — output contract == q201, oracle == q201's SQL"),
+    Q("q212_stream_vacuum_serve", streamVacuumServe,
+      Some(graft.ops.SimilarityOps.streamVacuumServeSql),
+      "ONLINE lifecycle loop under one live query stream: batch 0 serves the gen-0 snapshot, the swap commits between batches, batch 1 serves gen 1, the q210 vacuum reclaims gen 0's superseded cells MID-STREAM, and batch 2 proves post-vacuum serving is byte-identical to pre-vacuum gen-1 serving (oracle derives all three batches closed-form)"),
     Q("q193_stream_versioned_serve", streamVersionedServe,
       Some(graft.ops.SimilarityOps.streamVersionedServeSql),
       "zero-downtime index swap under a live query stream: stateless q180 routing, manifest-pinned fetch per micro-batch, generation 1 committed BETWEEN batches — batch 0 serves the gen-0 snapshot, batch 1 serves gen 1, both snapshot-consistent (oracle splits the corpus accordingly)"),

@@ -138,6 +138,37 @@ class VersionSpec extends AnyFunSuite with SparkTestBase {
       s"wrong failure mode: ${e.getMessage}")
   }
 
+  test("q212: the mid-stream vacuum genuinely fired — floor recorded, " +
+       "gen-0 cells reclaimed, batch 2 still served from gen 1") {
+    val out = streaming.StreamingOps.streamVacuumServe(spark, sf).collect()
+    val batches = out.map(_.getInt(0)).distinct.sorted.toSeq
+    assert(batches == Seq(0, 1, 2), s"expected three batches: $batches")
+    // batch 2 was served AFTER the vacuum (foreachBatch is sequential)
+    assert(out.filter(_.getInt(0) == 2).forall(_.getInt(1) == 1),
+      "batch 2 must serve pin 1")
+    val hex = java.lang.Integer.toHexString(sf.hashCode)
+    val store = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_svvac_$hex", "store")
+    assert(java.nio.file.Files.exists(store.resolve("_VACUUM_FLOOR")),
+      "vacuum floor was never recorded — the online vacuum did not run")
+    // superseded gen-0 cells are really gone: every cell gen 1 owns
+    // must have lost its g0 partition directory
+    val g1Cells = spark.read.parquet(s"$store/manifest")
+      .filter(org.apache.spark.sql.functions.col("gen") === 1)
+      .select("cell").collect().map(_.getLong(0))
+    assert(g1Cells.nonEmpty)
+    g1Cells.foreach { c =>
+      assert(!java.nio.file.Files.exists(store.resolve("g0").resolve(s"cell=$c")),
+        s"superseded g0/cell=$c survived the online vacuum")
+    }
+    // and sub-floor pins refuse on the live store
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.manifestPinnedRead(spark,
+        s"${store.getParent}/manifest", store.toString, 0, Seq(g1Cells.head))
+    }
+    assert(e.getMessage.contains("vacuum floor"))
+  }
+
   test("q210: the vacuum is CELL-granular — generations still serving " +
        "untouched cells keep exactly those partitions") {
     import spark.implicits._
