@@ -533,8 +533,8 @@ object Plans {
       "matrix; q203 checkpoints the rung aggregates its anti-joins " +
       "reuse. All three shapes are narrated in COVERAGE.md; their " +
       "registered plans print as RDD scan leaves by design.\n")
-    sb.append("\n## q211_video_neardup (checkpointed fingerprint index)\n\n" +
-      "video near-dup: the frame-fingerprint relation and the candidate " +
+    sb.append("\n## q211_video_neardup / q213_audio_clipdup (checkpointed fingerprint indexes)\n\n" +
+      "media near-dup pair: the fingerprint relation and the candidate " +
       "pair table are checkpointed (each feeds two consumers — the " +
       "df-cap filter + both join sides, the run fold + the shared " +
       "count), so the registered plan prints as RDD scans; the shape " +

@@ -138,7 +138,8 @@ object Scaling {
     ("q209_stream_funnel_ooo", "out-of-order stream funnel: watermark finalize + re-fold", "events"),
     ("q210_index_vacuum", "generation vacuum: cell-granular GC at the pin floor", "embeddings"),
     ("q211_video_neardup", "video near-dup: frame fingerprints + diagonal alignment", "documents"),
-    ("q212_stream_vacuum_serve", "online lifecycle: swap + vacuum under a live query stream", "embeddings"))
+    ("q212_stream_vacuum_serve", "online lifecycle: swap + vacuum under a live query stream", "embeddings"),
+    ("q213_audio_clipdup", "audio clip-dup: positional window grains, any offset", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

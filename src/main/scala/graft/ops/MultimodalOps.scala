@@ -1551,12 +1551,33 @@ object MultimodalOps {
       * compands PCM16 -> ULAW and writes the RIFF container (fmt tag
       * 7) — both halves of the write path are JDK-owned.
       */
-    def encode(id: Long): Array[Byte] = {
-      val n = nSamples(id)
+    def encode(id: Long): Array[Byte] = encodeFrom(id, 0, sample)
+
+    /** CURVED source formula for q213's clip-dup fixture: the linear
+      * q195 formula steps 389 per sample, which lands consecutive
+      * samples on the SAME mu-law quantization plateau at high
+      * amplitude — 133k windows collapsed to 761 distinct grains and
+      * content fingerprinting degenerated (exactly the failure the PNG
+      * lane hit with a linear gradient, fixed the same way). The
+      * id-dependent quadratic term varies the step per index, so
+      * decoded windows are distinct across the corpus.
+      */
+    def sample2(id: Long, i: Int): Int =
+      (((id * 6151 + i.toLong * 389
+        + (id % 7 + 1) * i.toLong * i.toLong * 31) % 64001L) - 32000L).toInt
+
+    /** Encode doc `id` STARTING at sample `from` under formula `f` —
+      * the clipped-audio variant q213's fixture needs (a re-encoded
+      * clip missing its first samples, at an offset deliberately NOT
+      * aligned to any analysis window).
+      */
+    def encodeFrom(id: Long, from: Int,
+                   f: (Long, Int) => Int): Array[Byte] = {
+      val n = nSamples(id) - from
       val pcm = new Array[Byte](n * 2)
       var i = 0
       while (i < n) {
-        val v = sample(id, i)
+        val v = f(id, from + i)
         pcm(2 * i) = (v & 0xff).toByte
         pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
         i += 1
@@ -1937,6 +1958,159 @@ object MultimodalOps {
        | CAST(SUM(dec) AS BIGINT) AS dsum
        |FROM d GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin
 
+  // ---- q213: AUDIO CLIP-DUP at ANY offset — the audio member of the
+  //      near-dup modality matrix (text q34-q37, image q189, video
+  //      q211), and deliberately HARDER than q211's frame-aligned
+  //      case: the clipped re-encode drops a sample count that is NOT
+  //      aligned to any analysis window, so block fingerprints would
+  //      miss it. The detector is q151's positional-grain discipline
+  //      transplanted to decoded audio: every 8-sample window of every
+  //      stream fingerprints as the md5 of its canonical PCM CSV
+  //      (mu-law quantization collapses short integer-packed grains:
+  //      a 3-sample 48-bit packing left only 761 distinct grains in
+  //      133k positions and drowned the index in collisions; 8
+  //      quantized samples carry the entropy), grains build a
+  //      df-capped positional inverted index, candidate pairs align on
+  //      the position diagonal (the clip offset appears as one
+  //      dominant diagonal) and the q151 gaps-and-islands fold
+  //      measures the longest consecutive grain run. A MinShared
+  //      threshold (both engines) drops chance single-grain hits.
+  //      Fixture: real mu-law WAVs (JDK companding encoder), plus a
+  //      clipped re-encode from sample offset 7 + id % 23 for every
+  //      third doc; the engine decodes real containers with q195's own
+  //      parser — the oracle re-derives the samples from the
+  //      companding round-trip closed form, so one wrong decoded
+  //      sample shifts grains and breaks the hash. Scale shape:
+  //      decode + grain map-side, one exchange by grain (df-capped
+  //      postings), bounded (pair, diag) windows. ----
+  private val AudioGrain = 8
+  private val AudioDfCap = 8
+  private val AudioMinShared = 8L
+
+  def audioClipDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_audnd_${math.abs(d.hashCode)}"
+    val marker = java.nio.file.Paths.get(tmp, "_STAGED")
+    val srcs = Seq(s"$d/documents.parquet", "audnd-fixture-v3:clipped-ulaw-curved")
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      graft.Fixtures.clearDir(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val full = Seq((id * 2,
+            UlawCodec.encodeFrom(id, 0, UlawCodec.sample2)))
+          val clipped =
+            if (id % 3 == 0)
+              Seq((id * 2 + 1, UlawCodec.encodeFrom(
+                id, 7 + (id % 23).toInt, UlawCodec.sample2)))
+            else Seq.empty
+          (full ++ clipped).iterator
+        })
+        .toDF("vid", "content")
+        .write.mode("overwrite").parquet(tmp)
+      graft.Fixtures.writeMarker(marker, srcs: _*)
+    }
+    val grains = s.read.parquet(tmp)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (_, pcm) = UlawCodec.decode(bytes)
+        (0 to pcm.length - AudioGrain).iterator.map { i =>
+          (vid, i.toLong, pcm.slice(i, i + AudioGrain).mkString(","))
+        }
+      })
+      .toDF("vid", "pos", "win_csv")
+      .select(col("vid"), col("pos"),
+              md5(col("win_csv").cast("binary")).as("grain"))
+      .localCheckpoint(true)
+    val kept = grains.groupBy("grain").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= AudioDfCap).select("grain")
+    val a = grains.join(kept, Seq("grain"))
+      .select(col("grain"), col("vid").as("vid_a"), col("pos").as("pa"))
+    val b = grains.join(kept, Seq("grain"))
+      .select(col("grain"), col("vid").as("vid_b"), col("pos").as("pb"))
+    val pr = a.join(b, Seq("grain")).filter(col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("pa"),
+              (col("pa") - col("pb")).as("diag"))
+      .localCheckpoint(true)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b", "diag").orderBy("pa")
+    val runs = pr
+      .withColumn("isl", col("pa") - row_number().over(wD))
+      .groupBy("vid_a", "vid_b", "diag", "isl")
+      .agg(count(lit(1)).as("run"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b")
+      .orderBy(col("run").desc, col("diag").asc)
+    val best = runs.withColumn("brn", row_number().over(wB))
+      .filter(col("brn") === 1)
+      .select(col("vid_a"), col("vid_b"), col("run").as("longest_run"),
+              col("diag").as("clip_offset"))
+    pr.groupBy("vid_a", "vid_b")
+      .agg(count(lit(1)).as("n_shared_grains"))
+      .filter(col("n_shared_grains") >= AudioMinShared)
+      .join(best, Seq("vid_a", "vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("n_shared_grains"),
+              col("longest_run"), col("clip_offset"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  private val audioClipDupSql = {
+    // samples after the companding round trip (the q195 closed form)
+    val roundtrip =
+      """m0 AS (SELECT vid, n, clip, i,
+        |   (((doc_id * 6151 + i * 389
+        |      + (doc_id % 7 + 1) * i * i * 31) % 64001) - 32000) AS pcm
+        |   FROM sidx),
+        |m1 AS (SELECT vid, n, clip, i,
+        |   (CASE WHEN pcm < 0 THEN -pcm ELSE pcm END) + 132 AS bb,
+        |   (CASE WHEN pcm < 0 THEN -1 ELSE 1 END) AS sgn FROM m0),
+        |m2 AS (SELECT vid, n, clip, i, sgn, bb,
+        |   (CASE WHEN bb >= 16384 THEN 7 WHEN bb >= 8192 THEN 6
+        |         WHEN bb >= 4096 THEN 5 WHEN bb >= 2048 THEN 4
+        |         WHEN bb >= 1024 THEN 3 WHEN bb >= 512 THEN 2
+        |         WHEN bb >= 256 THEN 1 ELSE 0 END) AS ex FROM m1),
+        |dec AS (SELECT vid, i - clip AS pos,
+        |   sgn * (((((bb >> (ex + 3)) & 15) * 8 + 132) << ex) - 132) AS sv
+        |   FROM m2)""".stripMargin
+    s"""WITH g AS (SELECT doc_id, 160 + (doc_id % 97) AS n FROM documents),
+       |vids AS (SELECT doc_id, doc_id * 2 AS vid, 0 AS clip, n FROM g
+       |         UNION ALL
+       |         SELECT doc_id, doc_id * 2 + 1, 7 + (doc_id % 23), n FROM g
+       |         WHERE doc_id % 3 = 0),
+       |sidx AS (SELECT v.vid, v.doc_id, v.n, v.clip, t.i
+       |         FROM vids v, LATERAL unnest(range(CAST(v.clip AS BIGINT),
+       |                                           CAST(v.n AS BIGINT))) t(i)),
+       |$roundtrip,
+       |w8 AS (SELECT vid, pos, list(sv) OVER (PARTITION BY vid ORDER BY pos
+       |         ROWS BETWEEN CURRENT ROW AND ${AudioGrain - 1} FOLLOWING)
+       |         AS win FROM dec),
+       |gr AS (SELECT vid, pos,
+       |    md5(list_aggregate(list_transform(win,
+       |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS grain
+       |  FROM w8 WHERE len(win) = $AudioGrain),
+       |kept AS (SELECT grain FROM gr GROUP BY grain
+       |         HAVING COUNT(*) <= $AudioDfCap),
+       |gk AS (SELECT gr.vid, gr.pos, gr.grain FROM gr JOIN kept USING (grain)),
+       |pr AS (SELECT x.vid AS vid_a, y.vid AS vid_b, x.pos AS pa,
+       |              x.pos - y.pos AS diag
+       |       FROM gk x JOIN gk y ON x.grain = y.grain AND x.vid < y.vid),
+       |rn AS (SELECT vid_a, vid_b, diag, pa, row_number() OVER
+       |         (PARTITION BY vid_a, vid_b, diag ORDER BY pa) AS rnn FROM pr),
+       |isl AS (SELECT vid_a, vid_b, diag, pa - rnn AS isl,
+       |               CAST(COUNT(*) AS BIGINT) AS run
+       |        FROM rn GROUP BY vid_a, vid_b, diag, pa - rnn),
+       |best AS (SELECT vid_a, vid_b, run AS longest_run, diag AS clip_offset
+       |   FROM (SELECT *, row_number() OVER (PARTITION BY vid_a, vid_b
+       |      ORDER BY run DESC, diag ASC) AS brn FROM isl) WHERE brn = 1),
+       |shared AS (SELECT vid_a, vid_b, CAST(COUNT(*) AS BIGINT)
+       |             AS n_shared_grains
+       |           FROM pr GROUP BY vid_a, vid_b
+       |           HAVING COUNT(*) >= $AudioMinShared)
+       |SELECT s2.vid_a, s2.vid_b, s2.n_shared_grains, b2.longest_run,
+       |       b2.clip_offset
+       |FROM shared s2 JOIN best b2 USING (vid_a, vid_b)
+       |ORDER BY vid_a, vid_b""".stripMargin
+  }
+
   // ---- q211: VIDEO NEAR-DUP — trimmed-clip detection over REAL Y4M
   //      containers, composing the decode family with the dedup
   //      discipline: the classic video-dedup case is a re-uploaded
@@ -2085,6 +2259,8 @@ object MultimodalOps {
       "REAL multi-frame container decode: JDK-encoded animated GIFs, own parser with a full GIF-LZW decompressor — decode ALL frames, sample every 2nd, spatial + motion energy (vs the unsampled predecessor) per sampled frame"),
     Q("q195_ulaw_codec", ulawDecodeEnergy, Some(ulawDecodeEnergySql),
       "REAL lossy audio codec: JDK-companded G.711 mu-law WAV files (fmt tag 7), own closed-form expander + chunk-walking parser — energy + sample-sum verb over the decoded samples; oracle reproduces the full lossy round trip in integer SQL"),
+    Q("q213_audio_clipdup", audioClipDup, Some(audioClipDupSql),
+      "audio clip-dup at ANY offset over REAL mu-law WAVs: decoded 8-sample windows fingerprint as positional md5 grains, df-capped inverted index, diagonal consensus + gaps-and-islands run — the clip offset (deliberately window-unaligned) surfaces as the dominant diagonal"),
     Q("q211_video_neardup", videoNearDup, Some(videoNearDupSql),
       "video near-dup (trimmed-clip detection) over REAL Y4M containers: per-frame content fingerprints from decoded luma planes, df-capped inverted index (never all-pairs), diagonal gaps-and-islands alignment — shared frames, longest run and its offset per candidate pair"),
     Q("q197_y4m_video", y4mFrameRgb, Some(y4mFrameRgbSql),
