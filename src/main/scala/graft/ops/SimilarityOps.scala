@@ -1454,7 +1454,8 @@ object SimilarityOps {
     s"LEAST($PqTrainMaxRounds, GREATEST(4, CAST(ceil(" +
       "4.0 * (SELECT COUNT(*) FROM embeddings) / 500.0) AS INTEGER)))"
 
-  private[graft] val PqTrainRounds = 3 // legacy floor kept for doc references
+  // (the legacy fixed 3-round budget is gone — every caller passes the
+  //  corpus-scaled pqTrainRoundsFor ladder explicitly, r12 advice)
 
   /** One training pass under literal books: per (s, code, j) member
     * count, quantized element sum, and quantized assignment-error sum
@@ -1516,7 +1517,7 @@ object SimilarityOps {
     * books (and so the audit) bit-identical across engines.
     */
   private[graft] def lloydLoopOn(df: DataFrame, vcol: Column, seed: PqBooks,
-                                 rounds: Int = PqTrainRounds)
+                                 rounds: Int)
       : (PqBooks, Seq[(Long, Long, Long, Long, Long)]) = {
     var books = seed
     val audit = Seq.newBuilder[(Long, Long, Long, Long, Long)]
@@ -1572,17 +1573,6 @@ object SimilarityOps {
       val kit = kit0.copy(resid = kit0.resid.localCheckpoint(true))
       val discArms = (1 to TopK)
         .map(p => s"WHEN $p THEN ${NdcgDisc(p - 1)}").mkString(" ")
-      def meanNdcgE6(top: DataFrame): Long = {
-        val g = topL2.select(col("qid"), col("vec_id"),
-          (lit(TopK + 1L) - col("rn")).as("gain"))
-        val per = top.join(g, Seq("qid", "vec_id"), "left")
-          .withColumn("gain", coalesce(col("gain"), lit(0L)))
-          .withColumn("disc", expr(s"CASE rn $discArms ELSE 0 END"))
-          .groupBy("qid").agg(sum(col("gain") * col("disc")).as("dcg"))
-          .select(expr(s"(dcg * 1000000) div $NdcgIdcgE9").as("n"))
-          .collect().map(_.getLong(0))
-        per.sum / NQueries // zero-candidate queries contribute 0
-      }
       def perQuery(top: DataFrame): Map[Long, Long] = {
         val g = topL2.select(col("qid"), col("vec_id"),
           (lit(TopK + 1L) - col("rn")).as("gain"))
@@ -2092,7 +2082,7 @@ cb$r AS MATERIALIZED (
   //      oracle-checked production index shape, and q163's 'trivfpq'
   //      row measures what training buys at serving time against the
   //      same exact-L2 truth as 'rivfpq'. Cost shape at 100 TB: the
-  //      training rounds are PqTrainRounds extra scans of the routed
+  //      training rounds are pqTrainRoundsFor(n) extra scans of the routed
   //      residual corpus, each collapsing map-side to ≤ PqM·PqK·PqSub
   //      = 1 024 rows of quantized partial sums — the index-BUILD
   //      cost a real deployment amortizes offline; the serving-time
@@ -2130,14 +2120,25 @@ cb$r AS MATERIALIZED (
   //      invalidates; derivations are deterministic, so every lane's
   //      output is bit-identical with or without a cache hit (Verify
   //      proves it — the oracle knows nothing of the cache). ----
-  private val sessionCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // Keyed by the SparkSession OBJECT through a WeakHashMap (r12 advice):
+  // an identity-hash string can be reused after a stopped session is
+  // GC'd (serving a new session DataFrames bound to a dead context) and
+  // leaks for the JVM lifetime; weak keys make each session's entries
+  // die with it. The inner map stays a ConcurrentHashMap so the
+  // compute-once contract within a session is unchanged.
+  private val sessionCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
   private def cachedAs[T <: AnyRef](s: SparkSession, d: String,
                                     kind: String)(f: => T): T = {
-    val key = System.identityHashCode(s).toString + "|" + kind + "|" +
+    val perSession = sessionCache.synchronized {
+      sessionCache.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+    }
+    val key = kind + "|" +
       graft.Fixtures.fingerprint(Seq(s"$d/embeddings.parquet"))
-    sessionCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+    perSession.computeIfAbsent(key, _ => f).asInstanceOf[T]
   }
 
   /** Shared exact-cosine top-K truth (qid, vec_id, rn). */
@@ -2183,7 +2184,7 @@ cb$r AS MATERIALIZED (
     }
 
   /** A residKit with its residual relation MATERIALIZED (the training
-    * loop re-scans it PqTrainRounds + 1 times) plus the Lloyd-trained
+    * loop re-scans it rounds + 1 times) plus the Lloyd-trained
     * residual books — shared by q177 and q163's 'trivfpq' system.
     */
   private[graft] case class ResidTrainedKit(kit: ResidKit, trained: PqBooks)
@@ -2344,7 +2345,7 @@ cb$r AS MATERIALIZED (
     * q163's twin. Expects `ikq`/`icc`/`iasg`/`iprb` (route) upstream.
     * Derives: the residual ARRAYS (`tvx` — the twin of residKit's
     * zip_with subtraction), seed books `tvcb0` from the [k, k+PqK)
-    * residuals, PqTrainRounds Lloyd rounds (assignment under the
+    * residuals, pqTrainRoundsFor(n) Lloyd rounds (assignment under the
     * previous round's books + quantized-integer mean update — the
     * q165 recipe verbatim, so every round's books are bit-identical
     * to [[lloydLoopOn]]'s), a final assignment `tvcodes` under the
@@ -3617,8 +3618,19 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     * the manifest fold is the only collect, deletes are directory ops.
     */
   private[graft] def vacuumTo(s: SparkSession, root: String, floor: Int): Seq[Long] = {
+    // The recorded floor is monotone (r12 advice): a later vacuum with a
+    // LOWER floor must not lower it — generation data at the old floor
+    // was already reclaimed, and a lowered record would let
+    // manifestPinnedRead accept pins whose cells silently read partial.
+    val floorPath = java.nio.file.Paths.get(root, "_VACUUM_FLOOR")
+    val recorded =
+      if (java.nio.file.Files.exists(floorPath))
+        new String(java.nio.file.Files.readAllBytes(floorPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      else Int.MinValue
+    val eff = math.max(recorded, floor)
     val rows = s.read.parquet(s"$root/manifest")
-      .filter(col("gen") <= floor)
+      .filter(col("gen") <= eff)
       .select(col("gen").cast("int"), col("cell"), col("dir"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
     val ownerGen = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).max }
@@ -3626,8 +3638,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     stale.foreach { case (_, c, dir) =>
       graft.Fixtures.clearDir(java.nio.file.Paths.get(root, dir, s"cell=$c"))
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "_VACUUM_FLOOR"), floor.toString)
+    java.nio.file.Files.writeString(floorPath, eff.toString)
     stale.map(_._2).distinct.sorted.toSeq
   }
 

@@ -190,7 +190,7 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
   }
 
   /** q177 rerun: q172's shape with the residual books Lloyd-trained
-    * for PqTrainRounds rounds before coding.
+    * for pqTrainRoundsFor(n) rounds before coding.
     */
   private def rerunTrained(vecs: Array[(Long, Array[Double])]): Seq[(Long, Long, Long, Long)] = {
     val r = route(vecs)

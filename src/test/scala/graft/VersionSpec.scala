@@ -202,4 +202,36 @@ class VersionSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((0L, 10L, 1L), (1L, 11L, 9L), (2L, 12L, 3L)))
   }
+
+  test("q210: the recorded vacuum floor is MONOTONE — a later vacuum " +
+       "with a lower floor cannot re-admit reclaimed pins (r12 advice)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_monotone").toString
+    def writeGen(dir: String, rows: Seq[(Long, Long, Long, Long, Long)]): Unit =
+      rows.toDF("vec_id", "s", "code", "err_e6", "cell")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$dir")
+    writeGen("g0", Seq((10L, 0L, 1L, 5L, 0L), (11L, 0L, 2L, 6L, 1L)))
+    writeGen("g1", Seq((11L, 0L, 9L, 1L, 1L)))
+    writeGen("g2", Seq((10L, 0L, 8L, 2L, 0L)))
+    Seq((0L, "g0"), (1L, "g0")).toDF("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen=0")
+    Seq((1L, "g1")).toDF("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen=1")
+    Seq((0L, "g2")).toDF("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen=2")
+    // floor 2 reclaims g0/cell=0 (superseded by g2) and g0/cell=1 (g1)
+    SimilarityOps.vacuumTo(spark, root, floor = 2)
+    val floorPath = java.nio.file.Paths.get(root, "_VACUUM_FLOOR")
+    assert(new String(java.nio.file.Files.readAllBytes(floorPath)).trim == "2")
+    // a LOWER later floor must not lower the record: g0's data is gone,
+    // so a pin-1 read of cell 0 would silently lose the row
+    SimilarityOps.vacuumTo(spark, root, floor = 1)
+    assert(new String(java.nio.file.Files.readAllBytes(floorPath)).trim == "2",
+      "vacuumTo lowered the recorded floor — reclaimed pins re-admitted")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.genPinnedRead(spark, root, 1, Seq(0L))
+    }
+    assert(e.getMessage.contains("vacuum floor"))
+  }
 }
