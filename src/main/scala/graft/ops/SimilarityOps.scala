@@ -1638,12 +1638,19 @@ object SimilarityOps {
     for (r <- 1 to rounds) {
       val sliceSql = s"list_slice(n.v, CAST(b.s * $PqSub + 1 AS BIGINT), " +
         s"CAST(b.s * $PqSub + $PqSub AS BIGINT))"
+      // the round gate lives on ndR, the EARLIEST per-round CTE, not
+      // just on the cbR union (r12 advice #4): DuckDB does not prune
+      // the dead update arm at plan time (measured — literal rnds=4 vs
+      // 16 both ran ~15 s), so an ungated ndR pays a full distance
+      // pass per dead round; gated here, a dead round degrades to an
+      // empty join (live rounds see a constant-true filter: no-op)
       sb ++= s""",
 nd$r AS (SELECT n.vec_id, n.v, b.s, b.code,
   (${dotFoldSql(sliceSql, sliceSql)}
    - 2.0 * ${dotFoldSql(sliceSql, "b.cv")}
    + ${dotFoldSql("b.cv", "b.cv")}) AS dist
-  FROM n CROSS JOIN cb${r - 1} b),
+  FROM n CROSS JOIN cb${r - 1} b
+  WHERE $r <= (SELECT rnds FROM pqprm)),
 ra$r AS (SELECT vec_id, v, s, code, dist, row_number() OVER
   (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn FROM nd$r),
 asg$r AS (SELECT vec_id, v, s, code, dist FROM ra$r WHERE rn = 1),
@@ -2368,10 +2375,12 @@ cb$r AS MATERIALIZED (
       s"   - 2.0 * ${dotFoldSql(sliceSql, "b.cv")}\n" +
       s"   + ${dotFoldSql("b.cv", "b.cv")})"
     for (r <- 1 to PqTrainMaxRounds) {
+      // same dead-round gate as pqTrainCteSql's ndR (r12 advice #4)
       sb ++= s""",
 tvnd$r AS (SELECT x.vec_id, x.v, b.s, b.code,
   $cauchy AS dist
-  FROM tvx x CROSS JOIN tvcb${r - 1} b),
+  FROM tvx x CROSS JOIN tvcb${r - 1} b
+  WHERE $r <= (SELECT rnds FROM tvprm)),
 tvra$r AS (SELECT vec_id, v, s, code, dist, row_number() OVER
   (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn FROM tvnd$r),
 tvasg$r AS (SELECT vec_id, v, s, code FROM tvra$r WHERE rn = 1),
