@@ -1987,7 +1987,52 @@ object MultimodalOps {
   private val AudioDfCap = 8
   private val AudioMinShared = 8L
 
-  def audioClipDup(s: SparkSession, d: String): DataFrame = {
+  def audioClipDup(s: SparkSession, d: String): DataFrame =
+    audioClipDupFrom(audioGrainsFor(s, d))
+
+  /** q213's pair stage from a (vid, pos, grain) relation — the LAZY
+    * core PlanShapeSpec fences (the registered lane checkpoints the
+    * candidate relation; `cp = identity` keeps the plan inspectable).
+    */
+  private[graft] def audioClipDupFrom(
+      grains: DataFrame,
+      cp: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val kept = grains.groupBy("grain").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= AudioDfCap).select("grain")
+    val a = grains.join(kept, Seq("grain"))
+      .select(col("grain"), col("vid").as("vid_a"), col("pos").as("pa"))
+    val b = grains.join(kept, Seq("grain"))
+      .select(col("grain"), col("vid").as("vid_b"), col("pos").as("pb"))
+    val pr = cp(a.join(b, Seq("grain")).filter(col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("pa"),
+              (col("pa") - col("pb")).as("diag")))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b", "diag").orderBy("pa")
+    val runs = pr
+      .withColumn("isl", col("pa") - row_number().over(wD))
+      .groupBy("vid_a", "vid_b", "diag", "isl")
+      .agg(count(lit(1)).as("run"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b")
+      .orderBy(col("run").desc, col("diag").asc)
+    val best = runs.withColumn("brn", row_number().over(wB))
+      .filter(col("brn") === 1)
+      .select(col("vid_a"), col("vid_b"), col("run").as("longest_run"),
+              col("diag").as("clip_offset"))
+    pr.groupBy("vid_a", "vid_b")
+      .agg(count(lit(1)).as("n_shared_grains"))
+      .filter(col("n_shared_grains") >= AudioMinShared)
+      .join(best, Seq("vid_a", "vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("n_shared_grains"),
+              col("longest_run"), col("clip_offset"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** q213's staged grain relation (fixture staging + map-side decode +
+    * fingerprint, checkpointed) — the registered lane's input and the
+    * spec surface for the plan fence.
+    */
+  private[graft] def audioGrainsFor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_audnd_${math.abs(d.hashCode)}"
     val marker = java.nio.file.Paths.get(tmp, "_STAGED")
@@ -2009,7 +2054,7 @@ object MultimodalOps {
         .write.mode("overwrite").parquet(tmp)
       graft.Fixtures.writeMarker(marker, srcs: _*)
     }
-    val grains = s.read.parquet(tmp)
+    s.read.parquet(tmp)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (vid, bytes) =>
         val (_, pcm) = UlawCodec.decode(bytes)
@@ -2021,36 +2066,6 @@ object MultimodalOps {
       .select(col("vid"), col("pos"),
               md5(col("win_csv").cast("binary")).as("grain"))
       .localCheckpoint(true)
-    val kept = grains.groupBy("grain").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= AudioDfCap).select("grain")
-    val a = grains.join(kept, Seq("grain"))
-      .select(col("grain"), col("vid").as("vid_a"), col("pos").as("pa"))
-    val b = grains.join(kept, Seq("grain"))
-      .select(col("grain"), col("vid").as("vid_b"), col("pos").as("pb"))
-    val pr = a.join(b, Seq("grain")).filter(col("vid_a") < col("vid_b"))
-      .select(col("vid_a"), col("vid_b"), col("pa"),
-              (col("pa") - col("pb")).as("diag"))
-      .localCheckpoint(true)
-    val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid_a", "vid_b", "diag").orderBy("pa")
-    val runs = pr
-      .withColumn("isl", col("pa") - row_number().over(wD))
-      .groupBy("vid_a", "vid_b", "diag", "isl")
-      .agg(count(lit(1)).as("run"))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid_a", "vid_b")
-      .orderBy(col("run").desc, col("diag").asc)
-    val best = runs.withColumn("brn", row_number().over(wB))
-      .filter(col("brn") === 1)
-      .select(col("vid_a"), col("vid_b"), col("run").as("longest_run"),
-              col("diag").as("clip_offset"))
-    pr.groupBy("vid_a", "vid_b")
-      .agg(count(lit(1)).as("n_shared_grains"))
-      .filter(col("n_shared_grains") >= AudioMinShared)
-      .join(best, Seq("vid_a", "vid_b"))
-      .select(col("vid_a"), col("vid_b"), col("n_shared_grains"),
-              col("longest_run"), col("clip_offset"))
-      .orderBy("vid_a", "vid_b")
   }
 
   private val audioClipDupSql = {
@@ -2135,7 +2150,14 @@ object MultimodalOps {
   //      over bounded candidate rows. ----
   private val VidDfCap = 4
 
-  def videoNearDup(s: SparkSession, d: String): DataFrame = {
+  def videoNearDup(s: SparkSession, d: String): DataFrame =
+    videoNearDupFrom(videoSigsFor(s, d))
+
+  /** q211's staged fingerprint relation (fixture staging + map-side
+    * decode + per-frame md5, checkpointed) — the registered lane's
+    * input and the spec surface for the plan fence.
+    */
+  private[graft] def videoSigsFor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_vidnd_${math.abs(d.hashCode)}"
     val marker = java.nio.file.Paths.get(tmp, "_STAGED")
@@ -2155,7 +2177,7 @@ object MultimodalOps {
         .write.mode("overwrite").parquet(tmp)
       graft.Fixtures.writeMarker(marker, srcs: _*)
     }
-    val sigs = s.read.parquet(tmp)
+    s.read.parquet(tmp)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (vid, bytes) =>
         val (_, _, frames) = Y4mCodec.decode(bytes)
@@ -2167,16 +2189,24 @@ object MultimodalOps {
       .select(col("vid"), col("frame_idx"),
               md5(col("luma_csv").cast("binary")).as("sig"))
       .localCheckpoint(true)
+  }
+
+  /** q211's pair stage from a (vid, frame_idx, sig) relation — the
+    * LAZY core PlanShapeSpec fences (`cp = identity` keeps the plan
+    * inspectable; the registered lane checkpoints the candidates).
+    */
+  private[graft] def videoNearDupFrom(
+      sigs: DataFrame,
+      cp: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val kept = sigs.groupBy("sig").agg(count(lit(1)).as("df"))
       .filter(col("df") <= VidDfCap).select("sig")
     val a = sigs.join(kept, Seq("sig"))
       .select(col("sig"), col("vid").as("vid_a"), col("frame_idx").as("fa"))
     val b = sigs.join(kept, Seq("sig"))
       .select(col("sig"), col("vid").as("vid_b"), col("frame_idx").as("fb"))
-    val pr = a.join(b, Seq("sig")).filter(col("vid_a") < col("vid_b"))
+    val pr = cp(a.join(b, Seq("sig")).filter(col("vid_a") < col("vid_b"))
       .select(col("vid_a"), col("vid_b"), col("fa"), col("fb"),
-              (col("fa") - col("fb")).as("diag"))
-      .localCheckpoint(true)
+              (col("fa") - col("fb")).as("diag")))
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy("vid_a", "vid_b", "diag").orderBy("fa")
     val runs = pr

@@ -1406,10 +1406,8 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
             if (cells.nonEmpty) {
               val pin = s.read.parquet(laneManifest)
                 .agg(max(col("gen"))).collect()(0).getInt(0)
-              graft.ops.SimilarityOps
-                .manifestPinnedRead(s, laneManifest, storeRoot, pin, cells)
-                .join(broadcast(b.select("qid", "cell")), Seq("cell"))
-                .filter(col("vec_id") =!= col("qid"))
+              svServeRelation(s, laneManifest, storeRoot, pin, cells,
+                  b.select("qid", "cell"))
                 .select(lit(batchId).cast("int").as("batch"),
                         lit(pin).as("gen_served"), col("qid"), col("cell"),
                         col("vec_id"), col("s"), col("code"), col("err_e6"))
@@ -1439,6 +1437,19 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
               "err_e6")
       .orderBy("batch", "qid", "cell", "vec_id", "s")
   }
+
+  /** q212's per-micro-batch serving relation — the q193 manifest-pinned
+    * pruned fetch joined against the batch's broadcast probe set. A
+    * named surface so PlanShapeSpec can fence the shape (pruned store
+    * FileScans + broadcast probe join) outside the running stream.
+    */
+  private[graft] def svServeRelation(s: SparkSession, laneManifest: String,
+      storeRoot: String, pin: Int, cells: Seq[Long],
+      probes: DataFrame): DataFrame =
+    graft.ops.SimilarityOps
+      .manifestPinnedRead(s, laneManifest, storeRoot, pin, cells)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
 
   // ---- q204: STATEFUL STREAMING FUNNEL — the streaming twin of
   //      q201's strict-order view→click→purchase conversion, and the
@@ -1639,43 +1650,52 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     * (t1,t2,t3). Exact under ANY arrival order whose event-time
     * disorder is bounded by half the watermark delay.
     */
-  private[graft] def wmFoldFinal(s: SparkSession, srcDir: String,
-                                 qname: String): DataFrame = {
+  /** The q209 UNSTARTED stream (watermark + per-user
+    * flatMapGroupsWithState) — a named surface so PlanShapeSpec can
+    * fence the state plan (per-user keying, the 2d watermark) without
+    * running the stream.
+    */
+  private[graft] def wmFoldStream(s: SparkSession, srcDir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.readStream.schema(funnelSliceSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", s"${2 * DisorderUs / 1000000L} seconds")
+      .as[FunnelEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelWmSt, FunnelWmEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvt], state: GroupState[FunnelWmSt]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelWmSt(-1L, -1L, -1L, Nil, 0L, 0L))
+          // watermark as of THIS batch (max event time of prior
+          // batches minus the 2d delay); 0 before the first advance
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val arrived = rows
+            .map(e => FunnelPend(e.tus, e.event_id, e.event_type)).toSeq
+          val all = (st0.pending ++ arrived)
+            .sortBy(p => (p.tus, p.event_id))
+          // events at/below the watermark can never be preceded by a
+          // still-unseen earlier event — finalize them in order
+          val (ripe, hold) = all.partition(_.tus <= wmUs)
+          val (f1, f2, f3) = foldFunnel(st0.t1, st0.t2, st0.t3, ripe)
+          val st = FunnelWmSt(f1, f2, f3, hold, st0.version + 1,
+            st0.seen + arrived.length)
+          state.update(st)
+          // provisional emission: finalized fold extended over the
+          // pending buffer (complete at end-of-stream by definition)
+          val (p1, p2, p3) = foldFunnel(f1, f2, f3, hold)
+          Iterator.single(FunnelWmEmit(uid, p1, p2, p3, st.version,
+            hold.length.toLong, st.seen))
+      }
+      .toDF()
+  }
+
+  private[graft] def wmFoldFinal(s: SparkSession, srcDir: String,
+                                 qname: String): DataFrame = {
     withStreamShufflePartitions(s) {
-      val q = s.readStream.schema(funnelSliceSchema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-        .withColumn("ts", timestamp_micros(col("tus")))
-        .withWatermark("ts", s"${2 * DisorderUs / 1000000L} seconds")
-        .as[FunnelEvt]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState[FunnelWmSt, FunnelWmEmit](
-          OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (uid: Long, rows: Iterator[FunnelEvt], state: GroupState[FunnelWmSt]) =>
-            val st0 = state.getOption.getOrElse(
-              FunnelWmSt(-1L, -1L, -1L, Nil, 0L, 0L))
-            // watermark as of THIS batch (max event time of prior
-            // batches minus the 2d delay); 0 before the first advance
-            val wmUs = state.getCurrentWatermarkMs() * 1000L
-            val arrived = rows
-              .map(e => FunnelPend(e.tus, e.event_id, e.event_type)).toSeq
-            val all = (st0.pending ++ arrived)
-              .sortBy(p => (p.tus, p.event_id))
-            // events at/below the watermark can never be preceded by a
-            // still-unseen earlier event — finalize them in order
-            val (ripe, hold) = all.partition(_.tus <= wmUs)
-            val (f1, f2, f3) = foldFunnel(st0.t1, st0.t2, st0.t3, ripe)
-            val st = FunnelWmSt(f1, f2, f3, hold, st0.version + 1,
-              st0.seen + arrived.length)
-            state.update(st)
-            // provisional emission: finalized fold extended over the
-            // pending buffer (complete at end-of-stream by definition)
-            val (p1, p2, p3) = foldFunnel(f1, f2, f3, hold)
-            Iterator.single(FunnelWmEmit(uid, p1, p2, p3, st.version,
-              hold.length.toLong, st.seen))
-        }
-        .toDF()
+      val q = wmFoldStream(s, srcDir)
         .writeStream.outputMode("update").format("memory")
         .queryName(qname).start()
       try q.processAllAvailable()
@@ -1696,7 +1716,10 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   private[graft] def wmFoldEmissions(s: SparkSession, qname: String): DataFrame =
     s.table(qname)
 
-  def streamFunnelWm(s: SparkSession, d: String): DataFrame = {
+  /** Stage (idempotently) and return q209's jittered-arrival source
+    * dir — shared by the registered lane and the plan fence.
+    */
+  private[graft] def wmFunnelSrcDir(s: SparkSession, d: String): String = {
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_funnelw_src_$hex")
@@ -1718,7 +1741,12 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       stageFunnelSlices(s, srcDir, ranked)
       Fixtures.writeMarker(marker, s"$d/events.parquet")
     }
-    funnelRollup(wmFoldFinal(s, srcDir.toString, s"graft_funnelw_$hex"))
+    srcDir.toString
+  }
+
+  def streamFunnelWm(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    funnelRollup(wmFoldFinal(s, wmFunnelSrcDir(s, d), s"graft_funnelw_$hex"))
   }
 
   val queries: Seq[Q] = Seq(

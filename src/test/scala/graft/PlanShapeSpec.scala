@@ -339,6 +339,96 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"probe top-K lost its map-side partial:\n$plan")
   }
 
+  test("q210 post-vacuum pinned read prunes partitions at every " +
+       "generation's FileScan (r12 plan-fence ask)") {
+    // the vacuum must not change the read's shape: a pin-at-floor read
+    // over a vacuumed store still resolves owners from the manifest and
+    // scans each generation dir partition-PRUNED — an empty
+    // PartitionFilters would mean the whole (partially reclaimed) store
+    // is scanned, silently including cells the vacuum half-emptied
+    val root = ops.SimilarityOps.cloneVersionStore(spark, sf)
+    ops.SimilarityOps.vacuumTo(spark, root, floor = 1)
+    val plan = ops.SimilarityOps.genPinnedRead(spark, root, 1, Seq(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"post-vacuum pinned read does not prune partitions:\n$plan")
+  }
+
+  test("q211 video near-dup pair stage: df-capped postings equi-join, " +
+       "never a nested loop or cartesian (r12 plan-fence ask)") {
+    // the inverted index exists so candidates come from fingerprint
+    // equality — a BroadcastNestedLoopJoin / CartesianProduct here
+    // means the join key was lost and the corpus goes all-pairs
+    val sigs = ops.MultimodalOps.videoSigsFor(spark, sf)
+    val plan = ops.MultimodalOps.videoNearDupFrom(sigs, identity)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair stage degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("Join"), s"expected the postings self-join:\n$plan")
+  }
+
+  test("q213 audio clip-dup pair stage: df-capped grain equi-join, " +
+       "never a nested loop or cartesian (r12 plan-fence ask)") {
+    val grains = ops.MultimodalOps.audioGrainsFor(spark, sf)
+    val plan = ops.MultimodalOps.audioClipDupFrom(grains, identity)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair stage degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("Join"), s"expected the grain self-join:\n$plan")
+  }
+
+  test("q212 serving fetch reuses q193's pruned shape: pruned store " +
+       "FileScans + broadcast probe join (r12 plan-fence ask)") {
+    // replicate the lane's batch-0 moment outside the stream: a cloned
+    // store, the run-local gen-0 manifest, and the exact per-batch
+    // serving relation the foreachBatch issues
+    import org.apache.spark.sql.functions.{col => c}
+    val hex = java.lang.Integer.toHexString(sf.hashCode)
+    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_svvac_fence_$hex"
+    val storeRoot = s"$laneRoot/store"
+    val laneManifest = s"$laneRoot/manifest"
+    Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
+    ops.SimilarityOps.cloneVersionStoreTo(spark, sf, storeRoot)
+    spark.read.parquet(s"$storeRoot/manifest").filter(c("gen") === 0)
+      .select("cell", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$laneManifest/gen=0")
+    import spark.implicits._
+    val probes = Seq((100L, 0L), (101L, 1L)).toDF("qid", "cell")
+    val plan = streaming.StreamingOps.svServeRelation(
+        spark, laneManifest, storeRoot, 0, Seq(0L, 1L), probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_svvac_fence") && l.contains("PartitionFilters: [cell")),
+      s"serving fetch does not prune the store scan on cell:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join degraded to a sort-merge join:\n$plan")
+  }
+
+  test("q209 state plan stays per-user-keyed under the 2d watermark " +
+       "(r12 plan-fence ask)") {
+    // the funnel's exactness proof hangs on (a) per-user state keying
+    // and (b) a watermark delay of exactly twice the staged disorder
+    // bound — fence both on the UNSTARTED stream's analyzed plan
+    val srcDir = streaming.StreamingOps.wmFunnelSrcDir(spark, sf)
+    val analyzed = streaming.StreamingOps.wmFoldStream(spark, srcDir)
+      .queryExecution.analyzed
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, FlatMapGroupsWithState}
+    val fm = analyzed.collect { case f: FlatMapGroupsWithState => f }
+    assert(fm.size == 1, s"expected one FlatMapGroupsWithState:\n$analyzed")
+    // the grouping key deserializes from the per-user groupByKey — its
+    // single grouping attribute must trace to user_id (value: Long)
+    assert(fm.head.groupingAttributes.size == 1,
+      s"state must key on exactly the user:\n${fm.head.groupingAttributes}")
+    val wm = analyzed.collect { case w: EventTimeWatermark => w }
+    assert(wm.size == 1, s"expected one EventTimeWatermark:\n$analyzed")
+    assert(wm.head.delay.microseconds == 2 * streaming.StreamingOps.DisorderUs,
+      s"watermark delay is not 2x the disorder bound: ${wm.head.delay}")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
