@@ -38,6 +38,22 @@ object SimilarityOps {
   private val Dim = 64
   private[graft] val NPlanes = 6
   private[graft] val NQueries = 5
+
+  /** q163's eval width (r12 verdict #2): 5 queries cannot resolve the
+    * nDCG effects the grid exists to measure (single-query swings
+    * exceed 0.5 — bench_evidence/r12_pq_budget.md), and 25 still reads
+    * the trained-vs-seed residual delta as a 0.001 coin-flip; 100 — the
+    * width the r12 wide dev eval proved resolvable — reproduces the
+    * trained-book win (+0.004 at sf0.1) INSIDE the lane. The
+    * rank-metrics lane, its truth sets and the shared routing kit all
+    * evaluate this width; the single-system registered lanes keep the
+    * 5-query presentation (their outputs are per-qid independent, so a
+    * kit probing a SUPERSET of queries serves them unchanged). A side
+    * benefit: the old width's IVF floors were inflated by
+    * centroid-query leakage (queries 0..24 were themselves cell
+    * centroids); at 100 the grid measures honest recall.
+    */
+  private[graft] val EvalQueries = 100
   private[graft] val TopK = 10
 
   /** md5-seeded weight in [-1000, 1000] — the shared deterministic
@@ -79,8 +95,8 @@ object SimilarityOps {
   // ---- exact brute-force top-k for a broadcast query set ----
   def simTopK(s: SparkSession, d: String): DataFrame = simTopKOn(base(s, d))
 
-  private[graft] def simTopKOn(all: DataFrame): DataFrame = {
-    val q = all.filter(col("vec_id") < NQueries)
+  private[graft] def simTopKOn(all: DataFrame, nq: Int = NQueries): DataFrame = {
+    val q = all.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -152,9 +168,10 @@ object SimilarityOps {
     * collisions, pre-ranking (DevAnnSweep counts these as probe cost).
     */
   private[graft] def lshCandidates(
-      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]],
+      nq: Int = NQueries): DataFrame = {
     val all = allIn.withColumn("bkt", bucketFor(col("v"), ws))
-    val q = all.filter(col("vec_id") < NQueries)
+    val q = all.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
               col("nrm").as("qn"), col("bkt").as("qbkt"))
     all.join(broadcast(q),
@@ -164,8 +181,9 @@ object SimilarityOps {
   }
 
   private[graft] def simAnnLshOn(
-      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]]): DataFrame =
-    rankTopK(lshCandidates(allIn, ws))
+      allIn: DataFrame, ws: IndexedSeq[IndexedSeq[Long]],
+      nq: Int = NQueries): DataFrame =
+    rankTopK(lshCandidates(allIn, ws, nq))
 
   private val simAnnLshSql =
     s"""WITH $baseCte,
@@ -244,11 +262,12 @@ object SimilarityOps {
     * per-table work the T-tables model describes).
     */
   private[graft] def mtCollisions(
-      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
+      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nq: Int = NQueries): DataFrame = {
     val tagged = all.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array(tws.map(tw => mtBucket(col("v"), tw)): _*))
           .as(Seq("t", "bkt")))
-    val q = tagged.filter(col("vec_id") < NQueries)
+    val q = tagged.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
               col("t").as("qt"), col("bkt").as("qbkt"))
     tagged.join(broadcast(q),
@@ -260,24 +279,26 @@ object SimilarityOps {
   }
 
   private[graft] def mtCandidates(
-      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
-    mtCollisions(all, tws)
+      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nq: Int = NQueries): DataFrame =
+    mtCollisions(all, tws, nq)
       .groupBy("qid", "vec_id").agg(max(col("cos_r")).as("cos_r"))
 
   private[graft] def simAnnMultiLshOn(
-      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
-    rankTopK(mtCandidates(all, tws))
+      all: DataFrame, tws: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nq: Int = NQueries): DataFrame =
+    rankTopK(mtCandidates(all, tws, nq))
 
   /** CTE chain ending in `mr (qid, vec_id, cos_r, rn)` — the SQL twin
     * of [[simAnnMultiLsh]]'s ranked list, shared by q164 and q163.
     */
-  private val multiLshCteSql = {
+  private def multiLshCteSql(nq: Int = NQueries): String = {
     val arms = (0 until MtTables)
       .map(t => s"SELECT vec_id, v, nrm, $t AS t, ${mtBucketSql("v", t)} AS bkt FROM n")
       .mkString("\n       UNION ALL ")
     s"""mb AS ($arms),
        |mq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, t AS qt, bkt AS qbkt
-       |       FROM mb WHERE vec_id < $NQueries),
+       |       FROM mb WHERE vec_id < $nq),
        |mc AS (SELECT mq.qid, mb.vec_id,
        |  round(${dotFoldSql("mq.qv", "mb.v")} / (mq.qn * mb.nrm), 6) AS cos_r
        |  FROM mb JOIN mq ON mb.t = mq.qt AND mb.bkt = mq.qbkt
@@ -291,7 +312,7 @@ object SimilarityOps {
 
   private val simAnnMultiLshSql =
     s"""WITH $baseCte,
-       |$multiLshCteSql
+       |${multiLshCteSql()}
        |SELECT qid, vec_id, cos_r, CAST(rn AS BIGINT) AS rn
        |FROM mr ORDER BY qid, rn""".stripMargin
 
@@ -502,7 +523,7 @@ object SimilarityOps {
     * (assignment) and `iprb` (query probes) — shared by the exact
     * scorer below and q171's ADC scorer.
     */
-  private val ivfRouteCteSql =
+  private def ivfRouteCteSql(nq: Int = NQueries): String =
     s"""ikq AS (SELECT LEAST($IvfKMax, GREATEST($IvfMinCells,
        |  CAST(CEIL(COUNT(*) / $IvfCellTarget.0) AS BIGINT))) AS k FROM n),
        |icc AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n, ikq
@@ -515,14 +536,14 @@ object SimilarityOps {
        |  FROM ia),
        |iasg AS (SELECT vec_id, v, nrm, cid AS cell FROM ir0 WHERE crn = 1),
        |iprb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
-       |           FROM ir0 WHERE crn <= $IvfProbes AND vec_id < $NQueries)""".stripMargin
+       |           FROM ir0 WHERE crn <= $IvfProbes AND vec_id < $nq)""".stripMargin
 
   /** CTE chain ending in `ivr (qid, vec_id, cos_r, rn)` — the SQL twin
     * of [[simAnnIvfOn]]'s ranked list, i-prefixed so it composes with
     * the PQ and multi-LSH chains inside q163's twin.
     */
-  private val ivfCteSql =
-    s"""$ivfRouteCteSql,
+  private def ivfCteSql(nq: Int = NQueries): String =
+    s"""${ivfRouteCteSql(nq)},
        |icand AS (SELECT p.qid, s.vec_id,
        |  round(${dotFoldSql("p.qv", "s.v")} / (p.qn * s.nrm), 6) AS cos_r
        |  FROM iasg s JOIN iprb p ON s.cell = p.cell
@@ -533,7 +554,7 @@ object SimilarityOps {
 
   private val simAnnIvfSql =
     s"""WITH $baseCte,
-       |$ivfCteSql
+       |${ivfCteSql()}
        |SELECT qid, vec_id, cos_r, rn FROM ivr ORDER BY qid, rn""".stripMargin
 
   // ---- one full k-means (Lloyd) iteration: the iterative-ML primitive
@@ -1038,8 +1059,9 @@ object SimilarityOps {
   /** (ADC top-K with ranks, exact-L2 top-K with ranks) — the shared
     * ranked lists behind q157 (overlap) and q163 (rank metrics).
     */
-  private def pqSearchParts(s: SparkSession, all: DataFrame): (DataFrame, DataFrame) =
-    pqSearchPartsB(s, all, booksFromCents(pqCents(all)))
+  private def pqSearchParts(s: SparkSession, all: DataFrame,
+                            nq: Int = NQueries): (DataFrame, DataFrame) =
+    pqSearchPartsB(s, all, booksFromCents(pqCents(all)), nq)
 
   /** ADC search under arbitrary (e.g. trained) books — q157 runs it on
     * the seed books, q166 on the [[pqTrainCore]] output (PqTrainSpec
@@ -1050,8 +1072,15 @@ object SimilarityOps {
     * floor-e6 integers), broadcast to every scorer. Shared by q157/
     * q166/q169 (full-corpus ADC) and q171 (IVF-pruned ADC).
     */
-  private def pqLutDf(s: SparkSession, all: DataFrame, books: PqBooks): DataFrame = {
-    val queries = pqCents(all).take(NQueries) // vec_id < NQueries ⊂ seed set
+  private def pqLutDf(s: SparkSession, all: DataFrame, books: PqBooks,
+                      nq: Int = NQueries): DataFrame = {
+    // query vectors collected directly (bounded: nq rows) — the old
+    // `pqCents.take(NQueries)` shortcut only worked while nq <= PqK;
+    // q163's EvalQueries width exceeds the seed set
+    val queries: Array[(Long, Array[Double])] =
+      all.filter(col("vec_id") < nq).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
     val lutRows: Seq[(Long, Long, Long, Long)] = for {
       (qid, qv) <- queries.toSeq
       sIdx <- 0 until PqM
@@ -1073,14 +1102,15 @@ object SimilarityOps {
       .select(col("vec_id"), col("s").cast("long").as("s"), col("c.cid").as("code"))
 
   private[graft] def pqSearchPartsB(
-      s: SparkSession, all: DataFrame, books: PqBooks): (DataFrame, DataFrame) = {
+      s: SparkSession, all: DataFrame, books: PqBooks,
+      nq: Int = NQueries): (DataFrame, DataFrame) = {
     val codes = pqCodesOnly(all, books)
-    val lut = pqLutDf(s, all, books)
+    val lut = pqLutDf(s, all, books, nq)
     val adc = codes
       .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lcid"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id").agg(sum(col("dlut")).as("adc_e6"))
-    val q = all.filter(col("vec_id") < NQueries)
+    val q = all.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -1824,11 +1854,14 @@ cb$r AS MATERIALIZED (
     */
   private[graft] def ivfPqAdc(
       s: SparkSession, all: DataFrame, k: Long,
-      routing: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
+      routing: Option[(DataFrame, DataFrame)] = None,
+      nq: Int = NQueries): (DataFrame, DataFrame) = {
     val (assigned, probes) = routing.getOrElse(ivfRouting(all, k, IvfProbes))
     val books = pqSeedBooks(all)
     val codes = pqCodesOnly(all, books)
-    val lut = pqLutDf(s, all, books)
+    // nq must cover the routing's query width (q163 passes a wide
+    // routing + EvalQueries; LUT rows for unprobed qids never join)
+    val lut = pqLutDf(s, all, books, nq)
       .withColumnRenamed("qid", "lqid")
     // prune: probed-cell members only — the equi-join on cell is the
     // inverted-list probe; probes is NQueries·nProbes rows, broadcast
@@ -1931,7 +1964,7 @@ cb$r AS MATERIALIZED (
       .map(sI => s"${pqSubDistSql(sI, "pq.qv", "c.cv")} AS ld_$sI").mkString(",\n  ")
     val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$pqCodesCteSql,
        |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
        |pl0 AS (SELECT pq.qid, c.cid,
@@ -2145,13 +2178,29 @@ cb$r AS MATERIALIZED (
     }
     val key = kind + "|" +
       graft.Fixtures.fingerprint(Seq(s"$d/embeddings.parquet"))
-    perSession.computeIfAbsent(key, _ => f).asInstanceOf[T]
+    // NOT computeIfAbsent: cached builds nest (sharedTrainedKit derives
+    // from sharedResidKit), and a nested computeIfAbsent on the same
+    // ConcurrentHashMap throws "Recursive update". Compute outside the
+    // map instead; a concurrent duplicate build races benignly (the
+    // artifacts are deterministic) and first-write-wins keeps one
+    // canonical instance.
+    val existing = perSession.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = f
+      val prev = perSession.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
   }
 
-  /** Shared exact-cosine top-K truth (qid, vec_id, rn). */
+  /** Shared exact-cosine top-K truth (qid, vec_id, rn) — computed at
+    * [[EvalQueries]] width (q163's gain source needs it; q199's recall
+    * referent keys on its own 5-query probe set, so the superset is
+    * invisible to it).
+    */
   private[graft] def sharedSimTruth(s: SparkSession, d: String): DataFrame =
     cachedAs(s, d, "simtruth") {
-      simTopKOn(base(s, d)).localCheckpoint(true)
+      simTopKOn(base(s, d), EvalQueries).localCheckpoint(true)
     }
 
   /** Shared RAW-vector training run (q165's audit, q166's books):
@@ -2173,7 +2222,13 @@ cb$r AS MATERIALIZED (
     cachedAs(s, d, "residkit") {
       val all = base(s, d).localCheckpoint(true)
       val k = ivfCellCount(s, d)
-      val (a0, p0) = ivfRouting(all, k, IvfProbes)
+      // probe the EvalQueries SUPERSET: q163's seven systems need the
+      // wide width; q172/q177's presentations key on their 5-query
+      // exact-truth side, so extra probed qids fall out of their
+      // outputs unchanged (per-qid independence)
+      val (a0, p0raw) = ivfRoutingRankedFor(all, k, IvfProbes,
+        col("vec_id") < EvalQueries)
+      val p0 = p0raw.drop("crn")
       val kit0 = residKit(all, k,
         Some((a0.localCheckpoint(true), p0.localCheckpoint(true))))
       kit0.copy(resid = kit0.resid.localCheckpoint(true))
@@ -2341,7 +2396,7 @@ cb$r AS MATERIALIZED (
 
   private val ivfPqResidualSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |$residAdcCteSql,
        |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
@@ -2427,7 +2482,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val ivfPqTrainedSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residTrainedCteSql,
        |pq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < $NQueries),
        |${ivfAdcTailSqlFor("tvcnd", "tvadc")}""".stripMargin
@@ -2440,7 +2495,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     */
   private[graft] val streamAnnQuerySql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |sq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell
        |       FROM ir0 WHERE crn <= $IvfProbes AND vec_id % 7 = 5),
        |scand AS (SELECT q.qid, a.vec_id,
@@ -2468,7 +2523,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     */
   private[graft] val streamVacuumServeSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
        |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
@@ -2494,7 +2549,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private[graft] val streamVersionedServeSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
        |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
@@ -2520,7 +2575,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     */
   private[graft] val streamVectorIngestSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |best AS (SELECT vec_id, s, scid, dist FROM (SELECT vec_id, s, scid,
        |  dist, row_number() OVER (PARTITION BY vec_id, s
@@ -2682,7 +2737,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val ivfStatsSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |occ AS (SELECT c.cid, CAST(COUNT(a.vec_id) AS BIGINT) AS occupancy
        |        FROM icc c LEFT JOIN iasg a ON a.cell = c.cid GROUP BY c.cid)
        |SELECT occupancy, CAST(COUNT(*) AS BIGINT) AS n_cells
@@ -2760,7 +2815,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val cellSplitSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |socc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ_before
        |         FROM iasg GROUP BY cell),
        |schosen AS (SELECT cell, occ_before FROM
@@ -2873,7 +2928,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val splitServingSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |zocc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS ob
        |         FROM iasg GROUP BY cell),
        |zchosen AS (SELECT cell FROM
@@ -3090,7 +3145,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val indexLayoutSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
        |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
@@ -3354,7 +3409,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val indexDeleteSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
        |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
@@ -3671,7 +3726,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val indexVacuumSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
        |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
@@ -3695,7 +3750,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val indexVersionsSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |$residRuCteSql,
        |lcodes AS (SELECT vec_id, CAST(s AS BIGINT) AS s, scid AS cid,
        |  CAST(floor(dist * 1000000.0) AS BIGINT) AS err_e6 FROM
@@ -3818,7 +3873,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
          |          AS recall_millionths
          |      FROM ftt LEFT JOIN ${tag}t USING (qid, vec_id) GROUP BY ftt.qid)""".stripMargin
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |el AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v,
        |       CAST(label AS BIGINT) AS lbl FROM embeddings),
        |nl AS (SELECT vec_id, v, lbl, ${normSql("v")} AS nrm FROM el),
@@ -3982,7 +4037,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
 
   private val partitionedFilteredAnnSql =
     s"""WITH $baseCte,
-       |$ivfRouteCteSql,
+       |${ivfRouteCteSql()},
        |el AS (SELECT vec_id, ${toDoubleSql("embedding")} AS v,
        |       CAST(label AS BIGINT) AS lbl FROM embeddings),
        |nl AS (SELECT vec_id, v, lbl, ${normSql("v")} AS nrm FROM el),
@@ -4045,7 +4100,9 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     // design — it IS what each system under eval does differently.
     val all = base(s, d).persist()
     val k = ivfCellCount(s, d)
-    val (topAdc, topL2) = pqSearchParts(s, all)
+    // the grid evaluates at EvalQueries width (r12 verdict #2: 5-query
+    // deltas are noise-dominated — single-query nDCG swings exceed 0.5)
+    val (topAdc, topL2) = pqSearchParts(s, all, EvalQueries)
     val cosTop = sharedSimTruth(s, d) // shared with q199 (session cache)
     // the trained kit is the session-cached build artifact shared with
     // q177: ONE n×k coarse routing (feeding all three IVF-family
@@ -4055,11 +4112,12 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     val routing = (kitT.kit.assigned, kitT.kit.probes)
     def sysList(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("sys"), col("qid"), col("vec_id"), col("rn"))
-    val sysRows = sysList("lsh", simAnnLshOn(all, planeInt))
-      .unionByName(sysList("mlsh", simAnnMultiLshOn(all, mtPlaneInt)))
+    val sysRows = sysList("lsh", simAnnLshOn(all, planeInt, EvalQueries))
+      .unionByName(sysList("mlsh", simAnnMultiLshOn(all, mtPlaneInt, EvalQueries)))
       .unionByName(sysList("ivf", simAnnIvfRouted(routing._1, routing._2)))
       .unionByName(sysList("adc", topAdc))
-      .unionByName(sysList("ivfpq", adcTopK(ivfPqAdc(s, all, k, Some(routing))._2)))
+      .unionByName(sysList("ivfpq",
+        adcTopK(ivfPqAdc(s, all, k, Some(routing), EvalQueries)._2)))
       .unionByName(sysList("rivfpq", adcTopK(residualAdcOn(s, kitT.kit, kitT.kit.books)._2)))
       .unionByName(sysList("trivfpq", adcTopK(residualAdcOn(s, kitT.kit, kitT.trained)._2)))
     // cosine-ranked truth for the cosine lanes; exact-L2 truth for the
@@ -4088,7 +4146,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
            sum(col("gain") * col("disc")).as("dcg0"))
     import s.implicits._
     val grid = Seq("adc", "ivf", "ivfpq", "lsh", "mlsh", "rivfpq", "trivfpq").toDF("sys")
-      .crossJoin(all.filter(col("vec_id") < NQueries).select(col("vec_id").as("qid")))
+      .crossJoin(all.filter(col("vec_id") < EvalQueries).select(col("vec_id").as("qid")))
     val result = grid.join(m, Seq("sys", "qid"), "left")
       .select(col("sys"), col("qid"),
               coalesce(col("n_rel0"), lit(0L)).as("n_rel"),
@@ -4112,10 +4170,10 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     val lutCaseArms = (0 until PqM).map(sI => s"WHEN ${sI + 1} THEN ld_$sI").mkString(" ")
     s"""WITH $baseCte,
        |$pqCodesCteSql,
-       |$multiLshCteSql,
-       |$ivfCteSql,
+       |${multiLshCteSql(EvalQueries)},
+       |${ivfCteSql(EvalQueries)},
        |qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
-       |       WHERE vec_id < $NQueries),
+       |       WHERE vec_id < $EvalQueries),
        |cs AS (SELECT qq.qid, n.vec_id,
        |  round(${dotFoldSql("qq.qv", "n.v")} / (qq.qn * n.nrm), 6) AS cos_r
        |  FROM n CROSS JOIN qq WHERE n.vec_id <> qq.qid),
@@ -4124,7 +4182,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |  WHERE rn <= $TopK),
        |lb AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bkt FROM n),
        |lq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt AS qbkt FROM lb
-       |       WHERE vec_id < $NQueries),
+       |       WHERE vec_id < $EvalQueries),
        |lc AS (SELECT lq.qid, lb.vec_id,
        |  round(${dotFoldSql("lq.qv", "lb.v")} / (lq.qn * lb.nrm), 6) AS cos_r
        |  FROM lb JOIN lq ON lb.bkt = lq.qbkt AND lb.vec_id <> lq.qid),
@@ -4208,7 +4266,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
        |            UNION ALL SELECT 'mlsh'
        |            UNION ALL SELECT 'rivfpq'
        |            UNION ALL SELECT 'trivfpq') CROSS JOIN
-       |           (SELECT vec_id AS qid FROM n WHERE vec_id < $NQueries)),
+       |           (SELECT vec_id AS qid FROM n WHERE vec_id < $EvalQueries)),
        |f AS (SELECT grid.sys, grid.qid,
        |        CAST(COALESCE(m.n_rel, 0) AS BIGINT) AS n_rel,
        |        CAST(COALESCE(m.frp0, 0) AS BIGINT) AS first_rel_pos,

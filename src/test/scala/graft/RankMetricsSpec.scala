@@ -108,12 +108,14 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("quality floors hold at sf0.1 — the trends survive cells filling (r11)") {
-    // r10 VERDICT #6: the floors above run at the small sf; the bench
-    // corpus is 4x bigger (2000 vectors, k = 32 cells). The full
-    // three-sf grid lives in bench_evidence/r11_grid_sf.md — measured
-    // there: ivf 0.976 (IMPROVES with scale), mlsh 0.652 (stable
-    // band), lsh <= 0.174 (stays the labeled-weak lane). Floors sit
-    // with generous margin so this guards regressions, not noise.
+    // Floors re-based at the r13 EvalQueries=100 width. The old 25-/5-
+    // query floors (ivf >= 0.7, measured 0.98) were inflated by
+    // CENTROID-QUERY LEAKAGE: at sf0.1 the IVF kit has k = 32 cells
+    // seeded from vec_id < 32, so queries vec_id < 25 were themselves
+    // centroids and probed their own perfectly-aligned cells. At 100
+    // queries the grid measures honest IVF recall (0.539 measured) —
+    // the drop is the leakage leaving, not a regression. Deterministic
+    // fixture => deterministic values; margins guard refactors.
     val rows = ops.SimilarityOps.rankMetrics(spark, "/root/testdata/sf0.1")
       .select("sys", "ndcg_e6").collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -124,20 +126,20 @@ class RankMetricsSpec extends AnyFunSuite with SparkTestBase {
     info(f"sf0.1 mean nDCG@10: ivf ${meanNd("ivf")}%.3f " +
       f"mlsh ${meanNd("mlsh")}%.3f lsh ${meanNd("lsh")}%.3f " +
       f"rivfpq ${meanNd("rivfpq")}%.3f trivfpq ${meanNd("trivfpq")}%.3f")
-    assert(meanNd("ivf") >= 0.7,
-      f"ivf quality collapsed at sf0.1: ${meanNd("ivf")}%.3f < 0.7")
-    assert(meanNd("mlsh") >= 0.35,
-      f"registered ANN path floor at sf0.1: ${meanNd("mlsh")}%.3f < 0.35")
+    assert(meanNd("ivf") >= 0.45,
+      f"ivf quality collapsed at sf0.1: ${meanNd("ivf")}%.3f < 0.45 (0.539 at r13)")
+    assert(meanNd("mlsh") >= 0.5,
+      f"registered ANN path floor at sf0.1: ${meanNd("mlsh")}%.3f < 0.5 (0.671 at r13)")
     assert(meanNd("mlsh") > meanNd("lsh"),
       "multi-table LSH did not improve on single-table at sf0.1")
-    // trained-vs-seed residual books: the 5-query grid cannot resolve
-    // the training effect (single-query nDCG swings exceed 0.5 —
-    // bench_evidence/r12_pq_budget.md), so the trained-books FLOOR is
-    // asserted where it is measurable: PqTrainSpec's 100-query
-    // driver-side wide eval (trained must not lose to seed). Here the
-    // grid values are recorded and range-checked only.
-    Seq("rivfpq", "trivfpq").foreach { sys =>
-      assert(meanNd(sys) >= 0.0 && meanNd(sys) <= 1.0)
-    }
+    // the trained-book win IN THE LANE (r12 verdict #2): at the 100-
+    // query width the corpus-scaled Lloyd ladder's residual books must
+    // not lose to the seed books — the effect the 5-query grid provably
+    // could not resolve (single-query swings > 0.5,
+    // bench_evidence/r12_pq_budget.md; measured +0.004 at r13, the
+    // same magnitude the r12 wide dev eval found)
+    assert(meanNd("trivfpq") >= meanNd("rivfpq"),
+      f"trained residual books lost to seed books in the lane: " +
+        f"${meanNd("trivfpq")}%.3f < ${meanNd("rivfpq")}%.3f")
   }
 }
