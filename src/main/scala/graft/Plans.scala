@@ -542,6 +542,22 @@ object Plans {
       "(df-capped postings self-join, never all-pairs), and bounded " +
       "(pair, diag) windows — narrated in COVERAGE.md, pair-table " +
       "pinned closed-form in VideoNearDupSpec.\n")
+    locally {
+      // q214: the per-doc audit relation is the composite's real plan
+      // surface (the registered lane checkpoints only the 20-row card)
+      val (audited, handles) = ops.PipelineOps.pipelineDocs(spark, d)
+      val plan214 = audited.queryExecution.executedPlan.toString
+      handles.foreach(_.unpersist(false))
+      sb.append("\n## q214_pipeline_composite (per-doc audit relation)\n\n" +
+        "the whole gate chain on one relation: pushed-down quality/" +
+        "lang/PII filters over the persisted survivor base, q34's " +
+        "banded MinHash self-join (one exchange, df-bounded pairs), " +
+        "the single-hop group-key window, and the contamination " +
+        "attach as a BROADCAST join against the metadata-scale bench-" +
+        "gram set — no cartesian anywhere (PlanShapeSpec fences it); " +
+        "the mix/pack/card tail aggregates per source map-side\n\n" +
+        "```\n" + plan214 + "```\n")
+    }
     sb.append("\n## q212_stream_vacuum_serve (streaming lifecycle composite)\n\n" +
       "swap + vacuum under a live query stream: per-batch serving is " +
       "the SAME manifestPinnedRead plan dumped for q193 above (pruned " +

@@ -27,6 +27,7 @@ object Registry {
       graft.ops.EventOps.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++
+      graft.ops.PipelineOps.queries ++
       graft.ops.SimilarityOps.queries ++
       graft.ops.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries

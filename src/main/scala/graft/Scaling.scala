@@ -139,7 +139,8 @@ object Scaling {
     ("q210_index_vacuum", "generation vacuum: cell-granular GC at the pin floor", "embeddings"),
     ("q211_video_neardup", "video near-dup: frame fingerprints + diagonal alignment", "documents"),
     ("q212_stream_vacuum_serve", "online lifecycle: swap + vacuum under a live query stream", "embeddings"),
-    ("q213_audio_clipdup", "audio clip-dup: positional window grains, any offset", "documents"))
+    ("q213_audio_clipdup", "audio clip-dup: positional window grains, any offset", "documents"),
+    ("q214_pipeline_composite", "end-to-end curation composite: 6 gates + mix + pack + card", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -320,7 +320,12 @@ object CoreOps {
   //      derives the same per-source rollup from the parquet — green
   //      proves JSON write → sampled-infer → nested read → dot-path
   //      aggregation round-trips every field exactly. ----
-  def jsonlIngest(s: SparkSession, d: String): DataFrame = {
+  /** Stage (idempotently) the q194 JSONL fixture and return the
+    * DECODED document relation — the composite pipeline lane (q214)
+    * starts from this, so its ingest stage is the real q194 read path
+    * while the oracle starts from the parquet source of truth.
+    */
+  private[graft] def jsonlDocs(s: SparkSession, d: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
     val marker = java.nio.file.Paths.get(tmp, "_FIXTURE_OK")
     if (!graft.Fixtures.markerCurrent(marker, s"$d/documents.parquet")) {
@@ -333,6 +338,10 @@ object CoreOps {
       graft.Fixtures.writeMarker(marker, s"$d/documents.parquet")
     }
     graft.sources.JsonIngest.readInferFast(s, tmp)
+  }
+
+  def jsonlIngest(s: SparkSession, d: String): DataFrame = {
+    jsonlDocs(s, d)
       .groupBy(col("meta.source").as("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("doc_id")).as("sum_id"),

@@ -201,8 +201,8 @@ object TextOps {
   //      RE2 common subset so Spark and DuckDB rewrite identically; the
   //      oracle hash-matches md5 of the REWRITTEN text, which verifies
   //      every replacement position, not just the counts. ----
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val EntityRe = "\\b(customer|supplier|order)\\b"
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val EntityRe = "\\b(customer|supplier|order)\\b"
 
   def piiRedact(s: SparkSession, d: String): DataFrame =
     docs(s, d)

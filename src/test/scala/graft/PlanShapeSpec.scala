@@ -429,6 +429,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"watermark delay is not 2x the disorder bound: ${wm.head.delay}")
   }
 
+  test("q214 composite: banded pair equi-join + broadcast contamination " +
+       "attach, never a cartesian (r13)") {
+    // the per-doc audit relation carries the whole gate chain: its
+    // near-dup stage must stay the q34 banded equi-join and the
+    // contamination attach must ride the broadcast bench-gram set —
+    // a cartesian/nested-loop here means a gate lost its key
+    val (audited, handles) = ops.PipelineOps.pipelineDocs(spark, sf)
+    val plan = audited.queryExecution.executedPlan.toString
+    handles.foreach(_.unpersist(false))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"contamination attach lost its broadcast:\n$plan")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
