@@ -29,16 +29,20 @@ package graft.sources
   * plain CSV); a 100 TB corpus never ships uncompressed, so this lane
   * adds the decompression half the reference leaves to the shell.
   *
-  * Throughput (r12, measured — bench_evidence/r12_inflate_throughput
+  * Throughput (r12 decode + r13 encode, measured —
+  * bench_evidence/r12_inflate_throughput.md, r13_encode_throughput
   * .md): after the root-table Huffman decode and the deferred-modulo
   * Adler-32 / sliced CRC-32, every decode shape is within 1.5× of the
   * JDK's NATIVE zlib, and the shape that dominates corpus ingest
-  * (per-record gzip members) is 1.28× FASTER than GZIPInputStream —
+  * (per-record gzip members) is ~1.4× FASTER than GZIPInputStream —
   * own code stays on every decode path on merit, not just ownership.
-  * The ENCODE side (deflateFixed, ~0.37× of native level 6) is the
-  * named trade: greedy fixed-Huffman is algorithmically lighter by
-  * design, and q207/q208's write half exists to prove codec ownership,
-  * not to serve.
+  * The ENCODE side closed its r12 carve-out in r13: the 0.37×-of-
+  * native reading was NOT the greedy fixed-Huffman algorithm — it was
+  * a fresh 128 KiB hash-head array allocated and filled PER DOCUMENT
+  * (plus bit-at-a-time Huffman emission); with the generation-stamped
+  * thread-local head table and pre-reversed code tables, per-doc
+  * encode (the shape q207/q208 write) runs ~2.5× FASTER than
+  * Deflater-6 — ratio stays the greedy/fixed trade, speed does not.
   */
 object GzipIngest {
 
@@ -318,26 +322,57 @@ object GzipIngest {
   // ---- own DEFLATE ENCODER (q207's sink half) ----
 
   /** LSB-first bit writer; Huffman codes go MSB-of-code-first per
-    * RFC 1951 §3.1.1.
+    * RFC 1951 §3.1.1 — [[huff]] therefore emits the BIT-REVERSED code
+    * in one [[bits]] call (r13 encode-throughput fix: the first cut
+    * looped one bits(…,1) call per code bit through a
+    * ByteArrayOutputStream — 8-9 calls per literal was most of the
+    * 0.37x encode gap). A 64-bit accumulator over a raw growable
+    * array flushes whole bytes; the emitted stream is byte-identical.
     */
-  private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var buf = 0
+  private final class BitWriter(cap: Int) {
+    private var arr = new Array[Byte](math.max(64, cap))
+    private var n = 0
+    private var acc = 0L
     private var cnt = 0
-    def bits(v: Int, n: Int): Unit = {
-      buf |= (v & ((1 << n) - 1)) << cnt
-      cnt += n
-      while (cnt >= 8) { out.write(buf & 0xff); buf >>>= 8; cnt -= 8 }
+    def bits(v: Int, nb: Int): Unit = {
+      acc |= (v.toLong & ((1L << nb) - 1)) << cnt
+      cnt += nb
+      while (cnt >= 8) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(n) = (acc & 0xff).toByte; n += 1
+        acc >>>= 8; cnt -= 8
+      }
     }
-    def huff(code: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { bits((code >> i) & 1, 1); i -= 1 }
-    }
+    def huff(code: Int, nb: Int): Unit = bits(revBits(code, nb), nb)
     def finish(): Array[Byte] = {
-      if (cnt > 0) out.write(buf & 0xff)
-      out.toByteArray
+      if (cnt > 0) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length + 1)
+        arr(n) = (acc & 0xff).toByte; n += 1
+      }
+      java.util.Arrays.copyOf(arr, n)
     }
   }
+
+  /** Reverse the low `n` bits of `v` (MSB-first code -> LSB-first
+    * stream order).
+    */
+  private def revBits(v: Int, n: Int): Int = {
+    var r = 0; var x = v; var i = 0
+    while (i < n) { r = (r << 1) | (x & 1); x >>= 1; i += 1 }
+    r
+  }
+
+  /** Pre-reversed fixed-table literal/length codes (symbol -> stream-
+    * order code + length) and 5-bit distance codes — one table lookup
+    * + one bits() call per symbol.
+    */
+  private val FixedLitRev: Array[Int] = Array.tabulate(286) { sym =>
+    val (c, n) = fixedLitCode(sym); revBits(c, n)
+  }
+  private val FixedLitBits: Array[Int] = Array.tabulate(286) { sym =>
+    fixedLitCode(sym)._2
+  }
+  private val FixedDistRev: Array[Int] = Array.tabulate(30)(d => revBits(d, 5))
 
   /** Fixed-table code for a literal/length symbol (RFC 1951 §3.2.6). */
   private def fixedLitCode(sym: Int): (Int, Int) =
@@ -373,27 +408,53 @@ object GzipIngest {
     * InflateSpec holds it against GZIPInputStream/Inflater, the
     * decoders we do NOT control.
     */
+  /** Per-thread hash-head table with generation stamping: a fresh
+    * 2^15-int head array PER CALL (the first cut's Array.fill) cost
+    * 128 KiB of allocate+fill per document — on the ~300 B docs the
+    * q207/q208 sinks actually write, that WAS the encoder (r13 encode
+    * forensics). A slot is live iff its stamp equals this call's
+    * generation, so reuse needs no clearing; match behavior is
+    * bit-identical to the fresh-array version.
+    */
+  private final class DeflateState {
+    val head = new Array[Int](1 << 15)
+    val stamp = new Array[Int](1 << 15)
+    var gen = 0
+  }
+  private val dfState =
+    ThreadLocal.withInitial[DeflateState](() => new DeflateState)
+
   def deflateFixed(raw: Array[Byte]): Array[Byte] = {
-    val bw = new BitWriter
+    val bw = new BitWriter(raw.length / 2 + 64)
     bw.bits(1, 1) // BFINAL: single block
     bw.bits(1, 2) // BTYPE 01: fixed Huffman
     val HashBits = 15
-    val head = Array.fill(1 << HashBits)(-1)
+    val st = dfState.get()
+    if (st.gen == Int.MaxValue) {
+      java.util.Arrays.fill(st.stamp, 0); st.gen = 0
+    }
+    st.gen += 1
+    val g = st.gen
+    val head = st.head
+    val stamp = st.stamp
     val prev = new Array[Int](raw.length)
     def h3(i: Int): Int =
       (((raw(i) & 0xff) << 10) ^ ((raw(i + 1) & 0xff) << 5) ^
         (raw(i + 2) & 0xff)) & ((1 << HashBits) - 1)
+    def headAt(h: Int): Int = if (stamp(h) == g) head(h) else -1
     def insert(i: Int): Unit =
-      if (i + 3 <= raw.length) { val h = h3(i); prev(i) = head(h); head(h) = i }
+      if (i + 3 <= raw.length) {
+        val h = h3(i)
+        prev(i) = headAt(h); head(h) = i; stamp(h) = g
+      }
     def emitLen(len: Int): Unit = {
       val li = LenCodeOf(len)
-      val (c, n) = fixedLitCode(257 + li)
-      bw.huff(c, n)
+      bw.bits(FixedLitRev(257 + li), FixedLitBits(257 + li))
       if (LenExtra(li) > 0) bw.bits(len - LenBase(li), LenExtra(li))
     }
     def emitDist(d: Int): Unit = {
       val di = distCodeOf(d)
-      bw.huff(di, 5)
+      bw.bits(FixedDistRev(di), 5)
       if (DistExtra(di) > 0) bw.bits(d - DistBase(di), DistExtra(di))
     }
     var i = 0
@@ -401,13 +462,21 @@ object GzipIngest {
       var bestLen = 0
       var bestDist = 0
       if (i + 3 <= raw.length) {
-        var cand = head(h3(i))
+        var cand = headAt(h3(i))
         var chain = 0
-        while (cand >= 0 && chain < 64 && i - cand <= 32768) {
-          var l = 0
-          val max = math.min(258, raw.length - i)
-          while (l < max && raw(cand + l) == raw(i + l)) l += 1
-          if (l >= 3 && l > bestLen) { bestLen = l; bestDist = i - cand }
+        val max = math.min(258, raw.length - i)
+        // zlib's two chain-walk cuts (they change which match WINS, not
+        // validity — specs pin decoded content, never encoded bytes):
+        // screen each candidate by the single byte a longer-than-best
+        // match must share before paying a full compare, and stop the
+        // walk once a "nice" match is in hand
+        while (cand >= 0 && chain < 64 && i - cand <= 32768 && bestLen < 64) {
+          if (bestLen == 0 ||
+              (bestLen < max && raw(cand + bestLen) == raw(i + bestLen))) {
+            var l = 0
+            while (l < max && raw(cand + l) == raw(i + l)) l += 1
+            if (l >= 3 && l > bestLen) { bestLen = l; bestDist = i - cand }
+          }
           cand = prev(cand)
           chain += 1
         }
@@ -418,13 +487,13 @@ object GzipIngest {
         while (k < bestLen) { insert(i + k); k += 1 }
         i += bestLen
       } else {
-        val (c, n) = fixedLitCode(raw(i) & 0xff)
-        bw.huff(c, n)
+        val s = raw(i) & 0xff
+        bw.bits(FixedLitRev(s), FixedLitBits(s))
         insert(i)
         i += 1
       }
     }
-    locally { val (c, n) = fixedLitCode(256); bw.huff(c, n) } // end of block
+    bw.bits(FixedLitRev(256), FixedLitBits(256)) // end of block
     bw.finish()
   }
 
