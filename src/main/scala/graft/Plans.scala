@@ -558,6 +558,23 @@ object Plans {
         "the mix/pack/card tail aggregates per source map-side\n\n" +
         "```\n" + plan214 + "```\n")
     }
+    locally {
+      // q215: the admission card's lazy plan (the registered lane
+      // checkpoints; sigs/base-index scans print as checkpointed RDD
+      // leaves, the admission joins above them are the fence surface)
+      val (lazy215, handles) = ops.PipelineOps.pipelineIncrementLazy(spark, d)
+      val plan215 = lazy215.queryExecution.executedPlan.toString
+      handles.foreach(_.unpersist(false))
+      sb.append("\n## q215_pipeline_increment (admission card)\n\n" +
+        "the q137 asymmetry over the whole gate chain: delta gates are " +
+        "pushed-down per-row filters, the dup-vs-base stage joins the " +
+        "delta's banded keys against the BASE INDEX's banded keys " +
+        "((band, key) equi-joins — cost linear in the batch, the base " +
+        "side contributes only its index rows), the within-batch check " +
+        "is the same shape self-joined, and the card is a per-source " +
+        "aggregate — no cartesian anywhere (PlanShapeSpec fences it)\n\n" +
+        "```\n" + plan215 + "```\n")
+    }
     sb.append("\n## q212_stream_vacuum_serve (streaming lifecycle composite)\n\n" +
       "swap + vacuum under a live query stream: per-batch serving is " +
       "the SAME manifestPinnedRead plan dumped for q193 above (pruned " +

@@ -140,7 +140,8 @@ object Scaling {
     ("q211_video_neardup", "video near-dup: frame fingerprints + diagonal alignment", "documents"),
     ("q212_stream_vacuum_serve", "online lifecycle: swap + vacuum under a live query stream", "embeddings"),
     ("q213_audio_clipdup", "audio clip-dup: positional window grains, any offset", "documents"),
-    ("q214_pipeline_composite", "end-to-end curation composite: 6 gates + mix + pack + card", "documents"))
+    ("q214_pipeline_composite", "end-to-end curation composite: 6 gates + mix + pack + card", "documents"),
+    ("q215_pipeline_increment", "incremental composite: delta gates + index admission", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
@@ -183,6 +184,11 @@ object Scaling {
     sb.append("scaling means `time x` tracks `data x`; `time x` well below is\n")
     sb.append("overhead-bound, well above would flag a super-linear stage.\n")
     sb.append("Regenerate: `sbt \"runMain graft.Scaling\"`.\n\n")
+    sb.append("Sub-second media/archive cells reading above data-x at this\n" +
+      "toy decade are FIXED-COST artifacts, not scaling defects —\n" +
+      "settled by one more amplification decade in\n" +
+      "bench_evidence/r13_media_amp.md (50k real containers: time-x\n" +
+      "0.8-1.8 against 10x data, `sbt \"runMain graft.DevAmpScale 10\"`).\n\n")
     sb.append("| query | what | table | sf0.001 | sf0.01 | sf0.1 | data x | time x |\n")
     sb.append("|---|---|---|---|---|---|---|---|\n")
     Picks.foreach { case (name, what, table) =>

@@ -90,15 +90,8 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("text"), col("rtext"))
       .persist()
     // g4: q34's banded MinHash pairs over the REDACTED survivors
-    val sh = g3k
-      .select(col("doc_id"), tokens(col("rtext")).as("rtoks"))
-      .filter(size(col("rtoks")) >= 3)
-      .select(col("doc_id"), hashedShingles(shingles(col("rtoks"), 3)).as("sh"))
-      .select(col("doc_id"),
-        graft.expressions.MinHashSig.minhashSig(col("sh")).as("sig"))
-      .persist()
-    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
-    val banded = sh.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "key")))
+    val sh = sigsOf(g3k).persist()
+    val banded = bandedOf(sh)
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -139,6 +132,39 @@ object PipelineOps {
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
       .withColumn("n_tok", size(tokens(col("rtext"))).cast("long"))
     (audited, Seq(g3k, sh))
+  }
+
+  /** MinHash signatures of a (doc_id, …, rtext) relation — the same
+    * fused-kernel pipeline q34 uses, over the redacted text.
+    */
+  private[graft] def sigsOf(docsIn: DataFrame): DataFrame =
+    docsIn
+      .select(col("doc_id"), tokens(col("rtext")).as("rtoks"))
+      .filter(size(col("rtoks")) >= 3)
+      .select(col("doc_id"), hashedShingles(shingles(col("rtoks"), 3)).as("sh"))
+      .select(col("doc_id"),
+        graft.expressions.MinHashSig.minhashSig(col("sh")).as("sig"))
+
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    sigs.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "key")))
+  }
+
+  /** All four gate signals on a (doc_id, source, text) relation —
+    * q215's delta chain (the base chain keeps its staged form in
+    * [[pipelineDocs]]).
+    */
+  private[graft] def gateAudit(docsIn: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docsIn
+      .withColumn("score", TextOps.scoreCol(toks))
+      .withColumn("lang_pred", TextOps.predCol(toks))
+      .withColumn("n_red",
+        (regexp_count(col("text"), lit(TextOps.EmailRe))
+          + regexp_count(col("text"), lit(TextOps.EntityRe))).cast("long"))
+      .withColumn("rtext",
+        regexp_replace(regexp_replace(col("text"), TextOps.EntityRe, "[ENTITY]"),
+          TextOps.EmailRe, "[EMAIL]"))
   }
 
   def pipelineComposite(s: SparkSession, d: String): DataFrame = {
@@ -211,46 +237,73 @@ object PipelineOps {
     result
   }
 
-  private[graft] val pipelineCompositeSql: String = {
+  /** The delta gate chain, `p`-prefixed so it composes next to the
+    * base chain inside q215's oracle — SAME gate formulas as the base
+    * chain below (one source of truth per gate lives in TextOps; this
+    * generator only renames the CTEs).
+    */
+  private def gateChainSql(inCte: String, p: String): String = {
     val t = "string_split(text, ' ')"
-    val rt = "string_split(rtext, ' ')"
-    val bands = (0 until MinhashBands)
-      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
-      .mkString("\n UNION ALL ")
-    s"""WITH d0 AS (SELECT doc_id, source, text FROM documents),
-       |g1 AS (SELECT *, ${TextOps.scoreSql(t)} AS score FROM d0),
-       |g1k AS (SELECT * FROM g1 WHERE score >= $QualityMin),
-       |g2k AS (SELECT * FROM g1k WHERE ${TextOps.predSql(t)} <> 'und'),
-       |g3 AS (SELECT *,
+    s"""${p}g1 AS (SELECT *, ${TextOps.scoreSql(t)} AS score FROM $inCte),
+       |${p}g1k AS (SELECT * FROM ${p}g1 WHERE score >= $QualityMin),
+       |${p}g2k AS (SELECT * FROM ${p}g1k WHERE ${TextOps.predSql(t)} <> 'und'),
+       |${p}g3 AS (SELECT *,
        |   (len(regexp_extract_all(text, '${TextOps.EmailRe}'))
        |    + len(regexp_extract_all(text, '${TextOps.EntityRe}'))) AS n_red,
        |   regexp_replace(regexp_replace(text, '${TextOps.EntityRe}', '[ENTITY]', 'g'),
        |     '${TextOps.EmailRe}', '[EMAIL]', 'g') AS rtext
-       |  FROM g2k),
-       |g3k AS (SELECT doc_id, source, text, rtext FROM g3
-       |        WHERE n_red < $PiiQuarantineAt),
-       |sh AS (SELECT doc_id, ${hashedShinglesSql(shinglesSql("rtoks", 3))} AS sh
-       |       FROM (SELECT doc_id, $rt AS rtoks FROM g3k)
+       |  FROM ${p}g2k),
+       |${p}g3k AS MATERIALIZED (SELECT doc_id, source, text, rtext FROM ${p}g3
+       |        WHERE n_red < $PiiQuarantineAt)""".stripMargin
+  }
+
+  /** `p`-prefixed shingle/signature/band chain over `inCte` (defaults
+    * to `${p}g3k`; q215's delta chain reads its post-contamination
+    * relation instead). sigs/banded are MATERIALIZED: both get
+    * referenced by multiple downstream CTEs and DuckDB re-inlines
+    * multi-referenced CTEs per reference (the r12 lesson).
+    */
+  private def sigChainSql(p: String, inCte: String = null): String = {
+    val in = if (inCte == null) s"${p}g3k" else inCte
+    val rt = "string_split(rtext, ' ')"
+    val bands = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM ${p}sigs")
+      .mkString("\n UNION ALL ")
+    s"""${p}sh AS (SELECT doc_id, ${hashedShinglesSql(shinglesSql("rtoks", 3))} AS sh
+       |       FROM (SELECT doc_id, $rt AS rtoks FROM $in)
        |       WHERE len(rtoks) >= 3),
-       |sigs AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
-       |banded AS ($bands),
+       |${p}sigs AS MATERIALIZED (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM ${p}sh),
+       |${p}banded AS MATERIALIZED ($bands)""".stripMargin
+  }
+
+  private def estJSql(sx: String, sy: String): String =
+    s"""CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+       |         i -> CASE WHEN $sx[i] = $sy[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |         / ${MinhashK.toDouble}""".stripMargin
+
+  /** Shared chain prefix (d0 .. g5k, the curated final set) — the
+    * q214 oracle's first half, reused verbatim as q215's base state.
+    */
+  private val chainPrefixSql: String = {
+    val t = "string_split(text, ' ')"
+    s"""d0 AS (SELECT doc_id, source, text FROM documents),
+       |${gateChainSql("d0", "")},
+       |${sigChainSql("")},
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |          FROM banded x JOIN banded y
        |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |nd AS (SELECT a, b FROM pairs
        |       JOIN sigs sx ON sx.doc_id = pairs.a
        |       JOIN sigs sy ON sy.doc_id = pairs.b
-       |       WHERE CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
-       |         i -> CASE WHEN sx.sig[i] = sy.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-       |         / ${MinhashK.toDouble} >= 0.5),
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
        |pmin AS (SELECT doc_id, MIN(p) AS pm FROM
        |          (SELECT a AS doc_id, b AS p FROM nd
        |           UNION ALL SELECT b, a FROM nd) GROUP BY doc_id),
        |g4 AS (SELECT g3k.*, least(g3k.doc_id, COALESCE(pmin.pm, g3k.doc_id)) AS gkey
        |       FROM g3k LEFT JOIN pmin ON pmin.doc_id = g3k.doc_id),
-       |g4w AS (SELECT *, CAST(1000000 // (COUNT(*) OVER (PARTITION BY gkey))
+       |g4w AS MATERIALIZED (SELECT *, CAST(1000000 // (COUNT(*) OVER (PARTITION BY gkey))
        |          AS BIGINT) AS w_e6 FROM g4),
-       |bench AS (SELECT DISTINCT g FROM
+       |bench AS MATERIALIZED (SELECT DISTINCT g FROM
        |           (SELECT unnest(${hashedShinglesSql(shinglesSql("btoks", DecontamGram))}) AS g
        |            FROM (SELECT $t AS btoks FROM d0 WHERE doc_id < $BenchHoldout)
        |            WHERE len(btoks) >= $DecontamGram)),
@@ -261,8 +314,14 @@ object PipelineOps {
        |                   WHERE doc_id >= $BenchHoldout)
        |             WHERE len(ctoks) >= $DecontamGram) gg
        |           JOIN bench USING (g)),
-       |g5k AS (SELECT * FROM g4w WHERE doc_id >= $BenchHoldout
-       |        AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |g5k AS MATERIALIZED (SELECT * FROM g4w WHERE doc_id >= $BenchHoldout
+       |        AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+  }
+
+  private[graft] val pipelineCompositeSql: String = {
+    val t = "string_split(text, ' ')"
+    val rt = "string_split(rtext, ' ')"
+    s"""WITH $chainPrefixSql,
        |ing AS (SELECT source, COUNT(*) AS n_ingested FROM d0 GROUP BY source),
        |s1 AS (SELECT source, COUNT(*) AS n1 FROM g1 WHERE score < $QualityMin
        |       GROUP BY source),
@@ -314,7 +373,233 @@ object PipelineOps {
        |ORDER BY ing.source""".stripMargin
   }
 
+  // ---- q215: INCREMENTAL composite — the daily-ingest shape of q214
+  //      (the q137 discipline lifted to the WHOLE gate chain): a new
+  //      batch lands against an already-curated corpus, runs the same
+  //      quality / lang-ID / PII gates, decontaminates against the
+  //      same benchmark grams, and is then ADMITTED against the base
+  //      corpus's fingerprint index (delta x index banded join — at
+  //      100 TB that index is the persisted artifact; per ingest the
+  //      cost is linear in the batch, never the corpus) plus a
+  //      within-batch self-check. Delta fixture is closed-form in both
+  //      engines: a near-dup variant ('delta ' prepended — every
+  //      original 3-shingle survives, so est_j stays high) of every
+  //      doc_id % 5 == 0 doc, plus an exact re-submission of every
+  //      doc_id % 7 == 3 doc. Classification buckets are DISJOINT in
+  //      pipeline order (gates -> contamination -> dup-vs-base ->
+  //      dup-within-batch -> admitted), so per-source conservation
+  //      holds and the card is a complete admission audit. ----
+  private val DeltaNearOffset = 1000000L
+  private val DeltaCopyOffset = 2000000L
+
+  /** The closed-form delta batch over the ingested corpus. */
+  private[graft] def deltaBatch(d0: DataFrame): DataFrame =
+    d0.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + DeltaNearOffset).as("doc_id"), col("source"),
+              concat(lit("delta "), col("text")).as("text"))
+      .unionByName(
+        d0.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + DeltaCopyOffset).as("doc_id"), col("source"),
+                  col("text")))
+
+  def pipelineIncrement(s: SparkSession, d: String): DataFrame = {
+    val (lazyResult, handles) = pipelineIncrementLazy(s, d)
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
+  /** The un-checkpointed admission card + the persisted handles to
+    * release — the plan surface PlanShapeSpec fences (the dup-vs-base
+    * stage must stay a (band, key) equi-join against the index).
+    */
+  private[graft] def pipelineIncrementLazy(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val d0 = CoreOps.jsonlDocs(s, d)
+      .select(col("doc_id"), col("meta.source").as("source"), col("text"))
+      .repartition(col("doc_id"))
+      .persist()
+    // the base curated state = q214's final survivor set; its
+    // fingerprint index is what a deployment keeps on disk
+    val (audited0, handles) = pipelineDocs(s, d)
+    val audited = audited0.persist()
+    val baseFinal = audited.filter(!col("is_bench") && !col("is_contam"))
+      .select("doc_id", "rtext")
+    val bSigs = sigsOf(baseFinal).localCheckpoint(true)
+    val bBand = bandedOf(bSigs)
+    val dAudit = gateAudit(deltaBatch(d0)).persist()
+    val dg3k = dAudit
+      .filter(col("score") >= QualityMin && col("lang_pred") =!= "und" &&
+        col("n_red") < PiiQuarantineAt)
+      .select("doc_id", "source", "text", "rtext")
+      .persist()
+    // contamination against the SAME benchmark grams (original text)
+    val bench = d0.filter(col("doc_id") < BenchHoldout)
+      .select(tokens(col("text")).as("btoks"))
+      .filter(size(col("btoks")) >= DecontamGram)
+      .select(explode(hashedShingles(shingles(col("btoks"), DecontamGram))).as("g"))
+      .distinct()
+    val dContam = dg3k.select(col("doc_id"), tokens(col("text")).as("ctoks"))
+      .filter(size(col("ctoks")) >= DecontamGram)
+      .select(col("doc_id"),
+        explode(hashedShingles(shingles(col("ctoks"), DecontamGram))).as("g"))
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+    val clean = dg3k
+      .join(dContam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
+      .persist()
+    val dcln = clean.filter(!col("is_contam"))
+    val dSigs = sigsOf(dcln).localCheckpoint(true)
+    val dBand = bandedOf(dSigs)
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    def estOk = matches.cast("double") / lit(MinhashK.toDouble) >= 0.5
+    // delta x base-index candidates (the q137 asymmetry: the base side
+    // contributes only its banded index rows, never re-pairing itself)
+    val dvb = dBand.as("x").join(bBand.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .filter(estOk)
+      .select(col("a").as("doc_id")).distinct()
+    val dwd = dBand.as("x").join(dBand.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(dSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .filter(estOk)
+      .select(col("a").as("doc_id")).distinct()
+    val flagged = clean
+      .join(dvb.withColumn("f_dvb", lit(true)), Seq("doc_id"), "left")
+      .join(dwd.withColumn("f_dwd", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_dvb", !col("is_contam") && coalesce(col("f_dvb"), lit(false)))
+      .withColumn("is_dwd",
+        !col("is_contam") && !col("is_dvb") && coalesce(col("f_dwd"), lit(false)))
+      .persist()
+    val ing = deltaBatch(d0).groupBy("source").agg(count(lit(1)).as("n_delta"))
+    val z1 = dAudit.filter(col("score") < QualityMin)
+      .groupBy("source").agg(count(lit(1)).as("n1"))
+    val z2 = dAudit.filter(col("score") >= QualityMin && col("lang_pred") === "und")
+      .groupBy("source").agg(count(lit(1)).as("n2"))
+    val z3 = dAudit.filter(col("score") >= QualityMin &&
+        col("lang_pred") =!= "und" && col("n_red") >= PiiQuarantineAt)
+      .groupBy("source").agg(count(lit(1)).as("n3"))
+    val z4 = flagged.filter(col("is_contam"))
+      .groupBy("source").agg(count(lit(1)).as("n4"))
+    val z5 = flagged.filter(col("is_dvb"))
+      .groupBy("source").agg(count(lit(1)).as("n5"))
+    val z6 = flagged.filter(col("is_dwd"))
+      .groupBy("source").agg(count(lit(1)).as("n6"))
+    val adm = flagged
+      .filter(!col("is_contam") && !col("is_dvb") && !col("is_dwd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_admitted"),
+           sum(col("doc_id")).as("admitted_checksum"),
+           sum(size(tokens(col("rtext"))).cast("long")).as("admitted_tok"))
+    val result = ing
+      .join(z1, Seq("source"), "left").join(z2, Seq("source"), "left")
+      .join(z3, Seq("source"), "left").join(z4, Seq("source"), "left")
+      .join(z5, Seq("source"), "left").join(z6, Seq("source"), "left")
+      .join(adm, Seq("source"), "left")
+      .select(col("source"), col("n_delta"),
+        coalesce(col("n1"), lit(0L)).as("n_quality_dropped"),
+        coalesce(col("n2"), lit(0L)).as("n_lang_dropped"),
+        coalesce(col("n3"), lit(0L)).as("n_pii_quarantined"),
+        coalesce(col("n4"), lit(0L)).as("n_contam_dropped"),
+        coalesce(col("n5"), lit(0L)).as("n_dup_vs_base"),
+        coalesce(col("n6"), lit(0L)).as("n_dup_within"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("admitted_checksum"), lit(0L)).as("admitted_checksum"),
+        coalesce(col("admitted_tok"), lit(0L)).as("admitted_tok"))
+      .orderBy("source")
+    (result,
+     handles :+ audited :+ dAudit :+ dg3k :+ clean :+ flagged :+ d0)
+  }
+
+  private[graft] val pipelineIncrementSql: String = {
+    val t = "string_split(text, ' ')"
+    val rt = "string_split(rtext, ' ')"
+    s"""WITH $chainPrefixSql,
+       |delta AS (SELECT doc_id + $DeltaNearOffset AS doc_id, source,
+       |            'delta ' || text AS text
+       |          FROM documents WHERE doc_id % 5 = 0
+       |          UNION ALL
+       |          SELECT doc_id + $DeltaCopyOffset, source, text
+       |          FROM documents WHERE doc_id % 7 = 3),
+       |${gateChainSql("delta", "d")},
+       |dcontam AS (SELECT DISTINCT doc_id FROM
+       |            (SELECT doc_id,
+       |               unnest(${hashedShinglesSql(shinglesSql("ctoks", DecontamGram))}) AS g
+       |             FROM (SELECT doc_id, $t AS ctoks FROM dg3k)
+       |             WHERE len(ctoks) >= $DecontamGram) gg
+       |           JOIN bench USING (g)),
+       |dcln AS MATERIALIZED (SELECT * FROM dg3k
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM dcontam)),
+       |${sigChainSql("d", "dcln")},
+       |bsig AS MATERIALIZED (SELECT s.doc_id, s.sig FROM sigs s
+       |        JOIN g5k USING (doc_id)),
+       |bband AS MATERIALIZED (SELECT b.doc_id, b.band, b.key FROM banded b
+       |        JOIN g5k USING (doc_id)),
+       |cvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM dbanded x JOIN bband y
+       |          ON x.band = y.band AND x.key = y.key),
+       |dvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM cvb
+       |       JOIN dsigs sx ON sx.doc_id = cvb.a
+       |       JOIN bsig sy ON sy.doc_id = cvb.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
+       |cwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM dbanded x JOIN dbanded y
+       |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
+       |dwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM cwd
+       |       JOIN dsigs sx ON sx.doc_id = cwd.a
+       |       JOIN dsigs sy ON sy.doc_id = cwd.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5
+       |         AND a NOT IN (SELECT doc_id FROM dvb)),
+       |adm AS (SELECT * FROM dcln
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM dvb)
+       |          AND doc_id NOT IN (SELECT doc_id FROM dwd)),
+       |ding AS (SELECT source, COUNT(*) AS n_delta FROM delta GROUP BY source),
+       |z1 AS (SELECT source, COUNT(*) AS n1 FROM dg1 WHERE score < $QualityMin
+       |       GROUP BY source),
+       |z2 AS (SELECT source, COUNT(*) AS n2 FROM dg1k
+       |       WHERE ${TextOps.predSql(t)} = 'und' GROUP BY source),
+       |z3 AS (SELECT source, COUNT(*) AS n3 FROM dg3
+       |       WHERE n_red >= $PiiQuarantineAt GROUP BY source),
+       |z4 AS (SELECT source, COUNT(*) AS n4 FROM dg3k
+       |       JOIN dcontam USING (doc_id) GROUP BY source),
+       |z5 AS (SELECT source, COUNT(*) AS n5 FROM dcln
+       |       JOIN dvb USING (doc_id) GROUP BY source),
+       |z6 AS (SELECT source, COUNT(*) AS n6 FROM dcln
+       |       JOIN dwd USING (doc_id) GROUP BY source),
+       |za AS (SELECT source, COUNT(*) AS n_admitted,
+       |         CAST(SUM(doc_id) AS BIGINT) AS admitted_checksum,
+       |         CAST(SUM(len($rt)) AS BIGINT) AS admitted_tok
+       |       FROM adm GROUP BY source)
+       |SELECT ding.source, ding.n_delta,
+       |  COALESCE(z1.n1, 0) AS n_quality_dropped,
+       |  COALESCE(z2.n2, 0) AS n_lang_dropped,
+       |  COALESCE(z3.n3, 0) AS n_pii_quarantined,
+       |  COALESCE(z4.n4, 0) AS n_contam_dropped,
+       |  COALESCE(z5.n5, 0) AS n_dup_vs_base,
+       |  COALESCE(z6.n6, 0) AS n_dup_within,
+       |  COALESCE(za.n_admitted, 0) AS n_admitted,
+       |  COALESCE(za.admitted_checksum, 0) AS admitted_checksum,
+       |  COALESCE(za.admitted_tok, 0) AS admitted_tok
+       |FROM ding
+       |LEFT JOIN z1 USING (source) LEFT JOIN z2 USING (source)
+       |LEFT JOIN z3 USING (source) LEFT JOIN z4 USING (source)
+       |LEFT JOIN z5 USING (source) LEFT JOIN z6 USING (source)
+       |LEFT JOIN za USING (source)
+       |ORDER BY ding.source""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q215_pipeline_increment", pipelineIncrement, Some(pipelineIncrementSql),
+      "INCREMENTAL composite (the q137 discipline over the whole gate chain): a closed-form delta batch (near-dup variants + exact re-submissions) runs the same quality/lang/PII gates, decontaminates against the same benchmark grams, then is ADMITTED against the q214-curated base corpus's MinHash fingerprint index (delta x index banded join — cost linear in the batch) plus a within-batch self-check; disjoint buckets in pipeline order make the per-source admission card a conservation-complete audit"),
     Q("q214_pipeline_composite", pipelineComposite, Some(pipelineCompositeSql),
       "END-TO-END curation composite: real JSONL ingest -> quality gate -> lang-ID gate -> PII redact+quarantine -> MinHash near-dup downweighting (on the REDACTED text) -> benchmark holdout + decontamination (on ORIGINAL text) -> sqrt-temperature mix over the WEIGHTED token mass -> per-source packing -> dataset card; one oracle proves the gates compose (weights survive the mix, the pack respects every quarantine)"))
 }

@@ -444,6 +444,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"contamination attach lost its broadcast:\n$plan")
   }
 
+  test("q215 increment: admission joins stay (band,key) equi-joins, " +
+       "never a cartesian (r13)") {
+    // the incremental contract: the delta checks against the base
+    // INDEX via band-key equality (cost linear in the batch) — a
+    // cartesian/nested-loop here means delta x corpus went all-pairs
+    val (lazyDf, handles) = ops.PipelineOps.pipelineIncrementLazy(spark, sf)
+    val plan = lazyDf.queryExecution.executedPlan.toString
+    handles.foreach(_.unpersist(false))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("Join"), s"expected the banded admission joins:\n$plan")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
