@@ -2002,8 +2002,15 @@ cb$r AS MATERIALIZED (
   //      CTEs. ----
   def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
     // the kit is the session-cached artifact shared with q177/q163
-    // (the UNTRAINED layer — no Lloyd run on this path)
-    val kit = sharedResidKit(s, d)
+    // (the UNTRAINED layer — no Lloyd run on this path). The shared
+    // kit probes the EvalQueries superset for q163; this lane's
+    // presentation is the 5-query set, and candidates are per-qid
+    // independent — filtering the probes BEFORE candidate generation
+    // keeps the output bit-identical while the serving join carries
+    // only this lane's queries (r13: the wide kit had grown q172's
+    // candidate set 20x for rows its pqOverlap then discarded).
+    val kit0 = sharedResidKit(s, d)
+    val kit = kit0.copy(probes = kit0.probes.filter(col("qid") < NQueries))
     val all = base(s, d)
     val (cand, adc) = residualAdcOn(s, kit, kit.books)
     prunedAdcResult(all, cand, adc).localCheckpoint(true)
@@ -2132,10 +2139,13 @@ cb$r AS MATERIALIZED (
     // the kit (routing + residuals + Lloyd rounds) is the session-
     // cached build artifact shared with q163; serving below is the
     // per-run work (ivfPqResidualTrainedCore stays the uncached lazy
-    // surface PlanShapeSpec fences)
-    val kit = sharedTrainedKit(s, d)
+    // surface PlanShapeSpec fences). Probes filtered to this lane's
+    // 5-query presentation — see ivfPqResidual's note.
+    val kitT = sharedTrainedKit(s, d)
+    val kit = kitT.kit.copy(
+      probes = kitT.kit.probes.filter(col("qid") < NQueries))
     val all = base(s, d)
-    val (cand, adc) = residualAdcOn(s, kit.kit, kit.trained)
+    val (cand, adc) = residualAdcOn(s, kit, kitT.trained)
     prunedAdcResult(all, cand, adc).localCheckpoint(true)
   }
 
