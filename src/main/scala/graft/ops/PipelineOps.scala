@@ -167,6 +167,21 @@ object PipelineOps {
           TextOps.EmailRe, "[EMAIL]"))
   }
 
+  /** Session-shared audited relation (the whole gate chain's per-doc
+    * outcome) — q214 and q215 derive IDENTICALLY from the same corpus,
+    * so the build is computed once per (session, documents
+    * fingerprint) and checkpointed (the r12 cross-lane cache
+    * discipline; outputs bit-identical on hit or miss).
+    */
+  private[graft] def sharedAudited(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.cachedAs(s, "pipeaudit",
+        Seq(s"$d/documents.parquet")) {
+      val (audited, handles) = pipelineDocs(s, d)
+      val out = audited.localCheckpoint(true)
+      handles.foreach(_.unpersist(false))
+      out
+    }
+
   def pipelineComposite(s: SparkSession, d: String): DataFrame = {
     val d0 = CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
@@ -185,8 +200,7 @@ object PipelineOps {
       .filter((regexp_count(col("text"), lit(TextOps.EmailRe))
         + regexp_count(col("text"), lit(TextOps.EntityRe))) >= PiiQuarantineAt)
       .groupBy("source").agg(count(lit(1)).as("n3"))
-    val (audited0, handles) = pipelineDocs(s, d)
-    val audited = audited0.persist()
+    val audited = sharedAudited(s, d)
     val s4 = audited.filter(col("w_e6") < 1000000L)
       .groupBy("source").agg(count(lit(1)).as("n4"))
     val s5b = audited.filter(col("is_bench"))
@@ -233,7 +247,7 @@ object PipelineOps {
         coalesce(col("pack_tok"), lit(0L)).as("pack_tok"))
       .orderBy("source")
       .localCheckpoint(true)
-    (handles :+ audited :+ fin0 :+ d0 :+ scored).foreach(_.unpersist(false))
+    Seq(fin0, d0, scored).foreach(_.unpersist(false))
     result
   }
 
@@ -402,6 +416,18 @@ object PipelineOps {
           .select((col("doc_id") + DeltaCopyOffset).as("doc_id"), col("source"),
                   col("text")))
 
+  /** Session-shared MinHash index over the curated final set — the
+    * artifact q215's admission probes (and the thing a deployment
+    * persists between ingests).
+    */
+  private[graft] def sharedBaseIndex(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.cachedAs(s, "pipebsig",
+        Seq(s"$d/documents.parquet")) {
+      val audited = sharedAudited(s, d)
+      sigsOf(audited.filter(!col("is_bench") && !col("is_contam"))
+        .select("doc_id", "rtext")).localCheckpoint(true)
+    }
+
   def pipelineIncrement(s: SparkSession, d: String): DataFrame = {
     val (lazyResult, handles) = pipelineIncrementLazy(s, d)
     val result = lazyResult.localCheckpoint(true)
@@ -419,13 +445,11 @@ object PipelineOps {
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
       .repartition(col("doc_id"))
       .persist()
-    // the base curated state = q214's final survivor set; its
-    // fingerprint index is what a deployment keeps on disk
-    val (audited0, handles) = pipelineDocs(s, d)
-    val audited = audited0.persist()
-    val baseFinal = audited.filter(!col("is_bench") && !col("is_contam"))
-      .select("doc_id", "rtext")
-    val bSigs = sigsOf(baseFinal).localCheckpoint(true)
+    // the base curated state = q214's final survivor set (the session-
+    // shared audited build); its fingerprint index is what a
+    // deployment keeps on disk — shared too (a deployment never
+    // re-fingerprints the corpus per ingest)
+    val bSigs = sharedBaseIndex(s, d)
     val bBand = bandedOf(bSigs)
     val dAudit = gateAudit(deltaBatch(d0)).persist()
     val dg3k = dAudit
@@ -516,8 +540,8 @@ object PipelineOps {
         coalesce(col("admitted_checksum"), lit(0L)).as("admitted_checksum"),
         coalesce(col("admitted_tok"), lit(0L)).as("admitted_tok"))
       .orderBy("source")
-    (result,
-     handles :+ audited :+ dAudit :+ dg3k :+ clean :+ flagged :+ d0)
+    // audited is the session-shared checkpoint — NOT unpersisted here
+    (result, Seq(dAudit, dg3k, clean, flagged, d0))
   }
 
   private[graft] val pipelineIncrementSql: String = {

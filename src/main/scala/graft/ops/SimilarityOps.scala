@@ -2170,38 +2170,13 @@ cb$r AS MATERIALIZED (
   //      invalidates; derivations are deterministic, so every lane's
   //      output is bit-identical with or without a cache hit (Verify
   //      proves it — the oracle knows nothing of the cache). ----
-  // Keyed by the SparkSession OBJECT through a WeakHashMap (r12 advice):
-  // an identity-hash string can be reused after a stopped session is
-  // GC'd (serving a new session DataFrames bound to a dead context) and
-  // leaks for the JVM lifetime; weak keys make each session's entries
-  // die with it. The inner map stays a ConcurrentHashMap so the
-  // compute-once contract within a session is unchanged.
-  private val sessionCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
-
+  // The generic weak-keyed compute-once machinery lives in
+  // graft.SessionCache (r13: PipelineOps shares the same discipline);
+  // this wrapper just pins the corpus fingerprint to the embeddings
+  // file every similarity artifact derives from.
   private def cachedAs[T <: AnyRef](s: SparkSession, d: String,
-                                    kind: String)(f: => T): T = {
-    val perSession = sessionCache.synchronized {
-      sessionCache.computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
-    }
-    val key = kind + "|" +
-      graft.Fixtures.fingerprint(Seq(s"$d/embeddings.parquet"))
-    // NOT computeIfAbsent: cached builds nest (sharedTrainedKit derives
-    // from sharedResidKit), and a nested computeIfAbsent on the same
-    // ConcurrentHashMap throws "Recursive update". Compute outside the
-    // map instead; a concurrent duplicate build races benignly (the
-    // artifacts are deterministic) and first-write-wins keeps one
-    // canonical instance.
-    val existing = perSession.get(key)
-    if (existing != null) existing.asInstanceOf[T]
-    else {
-      val v = f
-      val prev = perSession.putIfAbsent(key, v)
-      (if (prev != null) prev else v).asInstanceOf[T]
-    }
-  }
+                                    kind: String)(f: => T): T =
+    graft.SessionCache.cachedAs(s, kind, Seq(s"$d/embeddings.parquet"))(f)
 
   /** Shared exact-cosine top-K truth (qid, vec_id, rn) — computed at
     * [[EvalQueries]] width (q163's gain source needs it; q199's recall
