@@ -582,6 +582,15 @@ object Plans {
       "is metadata-scale directory deletion (no data job); nothing in " +
       "the composite adds plan surface beyond its parts — shape " +
       "narrated in COVERAGE.md, liveness in VersionSpec.\n")
+    sb.append("\n## q216_stream_pipeline_ingest (streaming curation composite)\n\n" +
+      "q215 as a stream: each micro-batch's gate chain is the same " +
+      "pushed-down per-row expression pipeline, the admission joins " +
+      "are the q215 (band, key) equi-joins against the static base " +
+      "index plus the ACCUMULATED per-batch index parquet (state " +
+      "lives in the index — no state store), and verdicts append per " +
+      "batch; the final card is a per-source aggregate of the verdict " +
+      "log. Stream == batch is asserted in-process (StreamPipelineSpec) " +
+      "and by sharing q215's oracle verbatim.\n")
     sb.append("\n## q204_stream_funnel / q209_stream_funnel_ooo (stateful streams)\n\n" +
       "both run inside a streaming query (flatMapGroupsWithState), so " +
       "there is no batch plan to dump: state is 3 longs per user " +

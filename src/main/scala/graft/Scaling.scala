@@ -141,7 +141,8 @@ object Scaling {
     ("q212_stream_vacuum_serve", "online lifecycle: swap + vacuum under a live query stream", "embeddings"),
     ("q213_audio_clipdup", "audio clip-dup: positional window grains, any offset", "documents"),
     ("q214_pipeline_composite", "end-to-end curation composite: 6 gates + mix + pack + card", "documents"),
-    ("q215_pipeline_increment", "incremental composite: delta gates + index admission", "documents"))
+    ("q215_pipeline_increment", "incremental composite: delta gates + index admission", "documents"),
+    ("q216_stream_pipeline_ingest", "q215 as a stream: per-batch gates + accumulated-index admission", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -60,12 +60,12 @@ import graft.{Q, Tables}
   */
 object PipelineOps {
 
-  private[ops] val QualityMin = 0.35
-  private[ops] val PiiQuarantineAt = 11
-  private[ops] val BenchHoldout = 20L
-  private[ops] val DecontamGram = 8
-  private[ops] val PackBudget = 4096L
-  private[ops] val MixBudgetTok = 1000000000L
+  private[graft] val QualityMin = 0.35
+  private[graft] val PiiQuarantineAt = 11
+  private[graft] val BenchHoldout = 20L
+  private[graft] val DecontamGram = 8
+  private[graft] val PackBudget = 4096L
+  private[graft] val MixBudgetTok = 1000000000L
 
   /** The surviving per-doc relation after every gate, with per-stage
     * flags — the spec surface (the registered lane aggregates it).
@@ -405,9 +405,27 @@ object PipelineOps {
   //      holds and the card is a complete admission audit. ----
   private val DeltaNearOffset = 1000000L
   private val DeltaCopyOffset = 2000000L
+  private val DeltaRevAOffset = 3000000L
+  private val DeltaRevBOffset = 4000000L
 
-  /** The closed-form delta batch over the ingested corpus. */
-  private[graft] def deltaBatch(d0: DataFrame): DataFrame =
+  /** The closed-form delta batch over the ingested corpus. Three
+    * branches, each exercising a different admission bucket:
+    *  - a 'delta '-prefixed NEAR-DUP variant of every doc_id % 5 == 0
+    *    doc (every original 3-shingle survives -> caught vs the base
+    *    index when the original is in the final set);
+    *  - an exact RE-SUBMISSION of every doc_id % 7 == 3 doc;
+    *  - TWO REVERSED-TOKEN copies of every doc_id % 11 == 1 doc — the
+    *    within-batch twins: score/lang/PII are token-ORDER-INVARIANT
+    *    (so the twins pass the gates iff the original does), reversed
+    *    3-shingles are disjoint from every forward shingle in the
+    *    base index (no dup-vs-base), and the twins match each other
+    *    exactly — the larger id lands in dup_within, the smaller is
+    *    admitted. Without this branch dup_within is structurally dead:
+    *    variants of FINAL docs classify dup-vs-base first, and copies
+    *    of gate-dropped docs fail the same gates their original did.
+    */
+  private[graft] def deltaBatch(d0: DataFrame): DataFrame = {
+    val rev = concat_ws(" ", reverse(split(col("text"), " ")))
     d0.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + DeltaNearOffset).as("doc_id"), col("source"),
               concat(lit("delta "), col("text")).as("text"))
@@ -415,6 +433,15 @@ object PipelineOps {
         d0.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + DeltaCopyOffset).as("doc_id"), col("source"),
                   col("text")))
+      .unionByName(
+        d0.filter(col("doc_id") % 11 === 1)
+          .select((col("doc_id") + DeltaRevAOffset).as("doc_id"), col("source"),
+                  rev.as("text")))
+      .unionByName(
+        d0.filter(col("doc_id") % 11 === 1)
+          .select((col("doc_id") + DeltaRevBOffset).as("doc_id"), col("source"),
+                  rev.as("text")))
+  }
 
   /** Session-shared MinHash index over the curated final set — the
     * artifact q215's admission probes (and the thing a deployment
@@ -553,7 +580,15 @@ object PipelineOps {
        |          FROM documents WHERE doc_id % 5 = 0
        |          UNION ALL
        |          SELECT doc_id + $DeltaCopyOffset, source, text
-       |          FROM documents WHERE doc_id % 7 = 3),
+       |          FROM documents WHERE doc_id % 7 = 3
+       |          UNION ALL
+       |          SELECT doc_id + $DeltaRevAOffset, source,
+       |            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |          FROM documents WHERE doc_id % 11 = 1
+       |          UNION ALL
+       |          SELECT doc_id + $DeltaRevBOffset, source,
+       |            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |          FROM documents WHERE doc_id % 11 = 1),
        |${gateChainSql("delta", "d")},
        |dcontam AS (SELECT DISTINCT doc_id FROM
        |            (SELECT doc_id,

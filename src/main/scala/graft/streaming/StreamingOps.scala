@@ -1451,6 +1451,189 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
 
+  // ---- q216: the q215 INCREMENTAL COMPOSITE RUNNING AS A STREAM —
+  //      the online ingest pipeline: the q215 delta batch lands as
+  //      THREE id-ordered arrival slices (mtime-ordered files,
+  //      maxFilesPerTrigger=1 -> three micro-batches); every batch
+  //      runs the full gate chain STATELESSLY (quality / lang-ID /
+  //      PII are per-row expressions; contamination joins the
+  //      broadcast benchmark-gram set), then admits against TWO
+  //      indexes: the static curated-base MinHash index (the
+  //      session-shared artifact a deployment keeps on disk) and the
+  //      ACCUMULATED index of every previously-arrived clean delta
+  //      doc (appended per batch — the stream's state lives in the
+  //      index, the q188 discipline, so the stateless-join shape has
+  //      unbounded uptime). Because arrival slices are id-ordered,
+  //      "arrived earlier" == "smaller doc_id", so the accumulated +
+  //      within-batch smaller-id check reproduces q215's batch
+  //      dup-within rule EXACTLY — the lane shares q215's oracle
+  //      VERBATIM, the strongest stream==batch claim (the q138/q204
+  //      discipline, here for the whole curation chain). ----
+  def streamPipelineIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.PipelineOps
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_spi_$hex"
+    val outDir = s"$laneRoot/out"
+    val storeDir = s"$laneRoot/seen"
+    // fresh run-local state every run: the accumulated index mutates
+    Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
+    val d0 = graft.ops.CoreOps.jsonlDocs(s, d)
+      .select(col("doc_id"), col("meta.source").as("source"), col("text"))
+    // arrival slices: the q215 delta in doc_id order, three files
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_spi_src_$hex")
+    val marker = srcDir.resolve("_STAGED")
+    val fixSrcs = Seq(s"$d/documents.parquet", "spi-fixture-v2:rev-twins")
+    if (!Fixtures.markerCurrent(marker, fixSrcs: _*)) {
+      Fixtures.clearDir(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ranked = PipelineOps.deltaBatch(d0)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      val n = ranked.count()
+      (0 until 3).foreach { i =>
+        val stage = srcDir.resolve(s"_stage_$i")
+        ranked.filter(col("rk") > lit(i * n / 3) && col("rk") <= lit((i + 1) * n / 3))
+          .select("doc_id", "source", "text")
+          .coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = new java.io.File(stage.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = srcDir.resolve(s"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() - (30000L - i * 10000L))
+        Fixtures.clearDir(stage)
+      }
+      Fixtures.writeMarker(marker, fixSrcs: _*)
+    }
+    // static artifacts, materialized BEFORE the stream starts
+    val bSigs = PipelineOps.sharedBaseIndex(s, d)
+    val bBand = PipelineOps.bandedOf(bSigs).localCheckpoint(true)
+    val bench = d0.filter(col("doc_id") < PipelineOps.BenchHoldout)
+      .select(tokens(col("text")).as("btoks"))
+      .filter(size(col("btoks")) >= PipelineOps.DecontamGram)
+      .select(explode(hashedShingles(
+        shingles(col("btoks"), PipelineOps.DecontamGram))).as("g"))
+      .distinct().localCheckpoint(true)
+    val estJOk = {
+      val m = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _)
+      m.cast("double") / lit(MinhashK.toDouble) >= 0.5
+    }
+    withStreamShufflePartitions(s, 2) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val audit = PipelineOps.gateAudit(batch)
+            .withColumn("n_tok", size(tokens(col("rtext"))).cast("long"))
+            .persist()
+          try {
+            val dg3k = audit.filter(col("score") >= PipelineOps.QualityMin &&
+                col("lang_pred") =!= "und" &&
+                col("n_red") < PipelineOps.PiiQuarantineAt)
+              .select("doc_id", "source", "text", "rtext", "n_tok")
+              .persist()
+            val contam = dg3k
+              .select(col("doc_id"), tokens(col("text")).as("ctoks"))
+              .filter(size(col("ctoks")) >= PipelineOps.DecontamGram)
+              .select(col("doc_id"), explode(hashedShingles(
+                shingles(col("ctoks"), PipelineOps.DecontamGram))).as("g"))
+              .join(broadcast(bench), "g")
+              .select("doc_id").distinct()
+              .withColumn("is_contam", lit(true))
+            val dcln = dg3k.join(contam, Seq("doc_id"), "left")
+              .filter(col("is_contam").isNull)
+              .drop("is_contam")
+            val dSigs = PipelineOps.sigsOf(dcln).localCheckpoint(true)
+            val dBand = PipelineOps.bandedOf(dSigs)
+            // prior-arrival index (empty on batch 0)
+            val prior =
+              if (java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir)))
+                s.read.parquet(storeDir)
+              else s.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                dSigs.schema)
+            val dvb = dBand.as("x").join(bBand.as("y"),
+                col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+              .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+              .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+              .filter(estJOk)
+              .select(col("a").as("doc_id")).distinct()
+              .withColumn("f_dvb", lit(true))
+            val earlier = PipelineOps.bandedOf(prior)
+              .unionByName(dBand) // within-batch side handled by a > b
+            val dwd = dBand.as("x").join(earlier.as("y"),
+                col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+                  col("x.doc_id") > col("y.doc_id"))
+              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+              .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+              .join(prior.unionByName(dSigs)
+                .select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+              .filter(estJOk)
+              .select(col("a").as("doc_id")).distinct()
+              .withColumn("f_dwd", lit(true))
+            // per-doc verdict rows (bucket names match q215's columns)
+            audit
+              .join(contam, Seq("doc_id"), "left")
+              .join(dvb, Seq("doc_id"), "left")
+              .join(dwd, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("source"), col("n_tok"),
+                when(col("score") < PipelineOps.QualityMin, "quality")
+                  .when(col("lang_pred") === "und", "lang")
+                  .when(col("n_red") >= PipelineOps.PiiQuarantineAt, "pii")
+                  .when(coalesce(col("is_contam"), lit(false)), "contam")
+                  .when(coalesce(col("f_dvb"), lit(false)), "dup_base")
+                  .when(coalesce(col("f_dwd"), lit(false)), "dup_within")
+                  .otherwise("admitted").as("bucket"),
+                lit(batchId).cast("long").as("batch"))
+              .write.mode("append").parquet(outDir)
+            // the stream's state lives in the index: append this
+            // batch's clean signatures for later arrivals to probe
+            dSigs.write.mode("append").parquet(storeDir)
+            dg3k.unpersist(false)
+            ()
+          } finally { audit.unpersist(false); () }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the q215 card from the streamed verdicts — SAME columns, SAME
+    // oracle (pipelineIncrementSql)
+    val v = s.read.parquet(outDir)
+    v.groupBy("source").agg(
+        count(lit(1)).as("n_delta"),
+        sum(when(col("bucket") === "quality", 1L).otherwise(0L)).as("n_quality_dropped"),
+        sum(when(col("bucket") === "lang", 1L).otherwise(0L)).as("n_lang_dropped"),
+        sum(when(col("bucket") === "pii", 1L).otherwise(0L)).as("n_pii_quarantined"),
+        sum(when(col("bucket") === "contam", 1L).otherwise(0L)).as("n_contam_dropped"),
+        sum(when(col("bucket") === "dup_base", 1L).otherwise(0L)).as("n_dup_vs_base"),
+        sum(when(col("bucket") === "dup_within", 1L).otherwise(0L)).as("n_dup_within"),
+        sum(when(col("bucket") === "admitted", 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("bucket") === "admitted", col("doc_id")).otherwise(0L))
+          .as("admitted_checksum"),
+        sum(when(col("bucket") === "admitted", col("n_tok")).otherwise(0L))
+          .as("admitted_tok"))
+      .orderBy("source")
+      .localCheckpoint(true)
+  }
+
+  /** Per-batch verdict log (spec surface: cross-batch liveness). */
+  private[graft] def spiVerdicts(s: SparkSession, d: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    s.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_spi_$hex/out")
+  }
+
   // ---- q204: STATEFUL STREAMING FUNNEL — the streaming twin of
   //      q201's strict-order view→click→purchase conversion, and the
   //      one stateful shape the battery lacked: a per-key STATE
@@ -1750,6 +1933,9 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q216_stream_pipeline_ingest", streamPipelineIngest,
+      Some(graft.ops.PipelineOps.pipelineIncrementSql),
+      "the q215 incremental composite RUNNING AS A STREAM: three id-ordered arrival slices each run the full gate chain statelessly (per-row gates + broadcast bench grams) and admit against the static curated-base MinHash index PLUS the accumulated index of earlier arrivals (state lives in the index — unbounded uptime); id-ordered arrival makes 'earlier' == 'smaller id', so the lane shares q215's oracle VERBATIM — stream == batch for the whole curation chain"),
     Q("q209_stream_funnel_ooo", streamFunnelWm,
       Some(graft.ops.EventOps.funnelSql),
       "watermark-bounded OUT-OF-ORDER streaming funnel: per-user finalized fold + pending buffer, events finalize in event-time order once the watermark passes (delay = 2x the staged disorder bound), late early views retro-lower t1 and resurrect discarded steps — arrival slices genuinely shuffled, oracle == q201's batch SQL"),

@@ -34,7 +34,8 @@ class PipelineIncrementSpec extends AnyFunSuite with SparkTestBase {
     // ---- 1. liveness of the defining buckets ----
     assert(tot(1) > 0, "quality gate never fired on the delta")
     assert(tot(5) > 0, "dup-vs-base never fired — the index caught nothing")
-    assert(tot(8) > 0, "nothing admitted — inert increment")
+    assert(tot(6) > 0, "dup-within never fired — the twin branch is dead")
+    assert(tot(7) > 0, "nothing admitted — inert increment")
 
     // ---- 2. conservation ----
     got.foreach { case (src, t) =>
@@ -48,11 +49,16 @@ class PipelineIncrementSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val base = chain(docs)
     val bSig = sigsOf(base.fin.map { case (id, _, _, rt) => (id, rt) }.toSeq)
+    def revTxt(t: String): String = toks(t).reverse.mkString(" ")
     val delta: Array[(Long, String, String)] =
       docs.filter(_._1 % 5 == 0)
         .map { case (id, s, t) => (id + 1000000L, s, "delta " + t) } ++
       docs.filter(_._1 % 7 == 3)
-        .map { case (id, s, t) => (id + 2000000L, s, t) }
+        .map { case (id, s, t) => (id + 2000000L, s, t) } ++
+      docs.filter(_._1 % 11 == 1)
+        .map { case (id, s, t) => (id + 3000000L, s, revTxt(t)) } ++
+      docs.filter(_._1 % 11 == 1)
+        .map { case (id, s, t) => (id + 4000000L, s, revTxt(t)) }
     val dg1k = delta.filter { case (_, _, t) => score(toks(t)) >= 0.35 }
     val dg2k = dg1k.filter { case (_, _, t) => pred(toks(t)) != "und" }
     val dg3k = dg2k.filter { case (_, _, t) => nRed(t) < 11 }
