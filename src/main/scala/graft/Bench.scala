@@ -38,8 +38,11 @@ object Bench {
     * taken on a contended box self-annotates (r8: a loaded driver run
     * read 197 s vs 119 s idle for identical code; without this field
     * the contamination is only detectable by forensic re-runs).
+    * private[graft]: ScaleSmoke stamps the same flag (r13 verdict #3 —
+    * its committed artifact was captured at loadavg 4.76 with no flag,
+    * contradicting the repo's own contention rule).
     */
-  private def loadAvg1m(): Double =
+  private[graft] def loadAvg1m(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split("\\s+")(0).toDouble
@@ -56,7 +59,7 @@ object Bench {
     * cross-round perf adjudication (the arbiter is then an idle
     * same-session re-run, the r10 protocol).
     */
-  private val ContendedLoadAvg = 2.0
+  private[graft] val ContendedLoadAvg = 2.0
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1m()
@@ -74,6 +77,12 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val memMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rssMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // raw per-rep seconds, in run order, exactly the sample the metric
+    // was computed over (r13 verdict #3: q148's contended median hid a
+    // single 12 s rep spike — min/median alone cannot localize which
+    // rep a contention burst polluted; the arrays make it post-hoc
+    // diagnosable without a re-run)
+    val repSec = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
     // ---- JVM + codegen warm-up on the smallest sf (O19) ----
     val warmSf = "/root/testdata/sf0.001"
@@ -123,13 +132,15 @@ object Bench {
         results(s"stage_$name") = median(times.drop(1)) // drop warm-up rep
         memMb(s"stage_$name") = heapMb()
         rssMb(s"stage_$name") = procStatusMb("VmRSS")
+        repSec(s"stage_$name") = times.drop(1) // the sample the median saw
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stage $name failed: $e")
-        // all three maps stay key-aligned on failure — consumers that
+        // all maps stay key-aligned on failure — consumers that
         // zip the JSON objects by key set must not misattribute values
         results(s"stage_$name") = -1
         memMb(s"stage_$name") = -1
         rssMb(s"stage_$name") = -1
+        repSec(s"stage_$name") = Seq.empty
       }
     }
 
@@ -236,11 +247,13 @@ object Bench {
         results(q.name) = times.min
         qMedian(q.name) = median(times)
         qRepCount(q.name) = times.length
+        repSec(q.name) = times
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: $e")
         results(q.name) = -1
         qMedian(q.name) = -1
         qRepCount(q.name) = 0
+        repSec(q.name) = Seq.empty
       }
     }
 
@@ -268,8 +281,11 @@ object Bench {
       .mkString("{", ",", "}")
     val qsReps = qRepCount.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsRaw = repSec.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(num(_, 4)).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","errors":$errors,"queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"loadavg_start":${num(loadStart, 2)},"loadavg_end":${num(loadEnd, 2)},"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","errors":$errors,"queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"rep_sec":$qsRaw,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"loadavg_start":${num(loadStart, 2)},"loadavg_end":${num(loadEnd, 2)},"contended":$contended,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

@@ -26,15 +26,22 @@ object DevAmpScale {
     val spark = Sessions.benchSession("graft-ampscale")
     spark.sparkContext.setLogLevel("WARN")
     val marker = java.nio.file.Paths.get(ampDir, "_AMP_OK")
-    if (!Fixtures.markerCurrent(marker, s"$base/documents.parquet")) {
+    // v2 token: the offset scheme changed (derived, not fixed) — a
+    // stale v1 amp dir in tmp must regenerate
+    val ampSrcs = Seq(s"$base/documents.parquet", "amp-fixture-v2:derived-offset")
+    if (!Fixtures.markerCurrent(marker, ampSrcs: _*)) {
       Fixtures.clearDir(java.nio.file.Paths.get(ampDir))
       val docs = spark.read.parquet(s"$base/documents.parquet")
+      // offset derived from the corpus, not fixed (r13 ADVICE): a
+      // fixed stride that ids ever reached would collide copies and
+      // silently SHRINK the amplified corpus, understating time-x
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
       (0 until amp).map(i =>
-          docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+          docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
         .reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
-      Fixtures.writeMarker(marker, s"$base/documents.parquet")
+      Fixtures.writeMarker(marker, ampSrcs: _*)
     }
     val byName = Registry.all.map(q => q.name -> q).toMap
     def bestOf2(d: String, name: String): Double = {

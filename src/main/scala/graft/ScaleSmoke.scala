@@ -36,6 +36,16 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1m()
+    // same threshold + flag as Bench (r13 verdict #3: the committed
+    // SCALE_SMOKE.json was captured at loadavg 4.76 with no flag,
+    // contradicting the repo's own contention rule) — flag, don't
+    // refuse, and a contended run must not clobber an idle artifact
+    val contended = loadStart > Bench.ContendedLoadAvg
+    if (contended)
+      System.err.println(
+        f"[scale-smoke] WARNING: loadavg_start $loadStart%.2f > " +
+          f"${Bench.ContendedLoadAvg}%.1f — box is contended; run is " +
+          "stamped \"contended\": true and must not replace idle artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,7 +181,7 @@ object ScaleSmoke {
       .mkString("{", ",", "}")
     val loadEnd = loadAvg1m()
     val line =
-      s"""{"metric":"scale_smoke_30.3M","value":${num(results.values.sum)},"unit":"sec","queries":$qs,"rss_mb":$rs,"rows":$Rows,"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)}}"""
+      s"""{"metric":"scale_smoke_30.3M","value":${num(results.values.sum)},"unit":"sec","queries":$qs,"rss_mb":$rs,"rows":$Rows,"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"contended":$contended}"""
     println(line)
     // machine-readable copy for graft.Plot (O23); partial tuning runs
     // must not clobber the full-run artifact

@@ -2887,7 +2887,12 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       ivfRoutingRankedWith(all, newKit, IvfProbes, col("vec_id") < NQueries)
     val assignedA = assignedA0.localCheckpoint(true)
     val probesA = rankedA.drop("crn")
+    // sharedSimTruth is the 100-query r13 artifact; THIS lane's
+    // contract is the NQueries probe set — filter at the use site
+    // (r13 ADVICE: the 5-query width must not depend on an incidental
+    // downstream inner join with nCand)
     val truth = sharedSimTruth(s, d).select("qid", "vec_id")
+      .filter(col("qid") < NQueries)
     def phase(tag: String, assigned: DataFrame, probes: DataFrame): DataFrame = {
       val scored = scoreProbed(assigned, probes)
       val nCand = scored.groupBy("qid").agg(count(lit(1)).as("n_cand"))

@@ -1554,10 +1554,17 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
               .drop("is_contam")
             val dSigs = PipelineOps.sigsOf(dcln).localCheckpoint(true)
             val dBand = PipelineOps.bandedOf(dSigs)
-            // prior-arrival index (empty on batch 0)
+            // prior-arrival index: batches STRICTLY BEFORE this one —
+            // path-addressed per-batch dirs (batch=<id>) make a
+            // re-executed micro-batch idempotent (r13 ADVICE: blind
+            // appends would duplicate rows on retry) and the strict
+            // filter keeps this batch's own partial output, if any
+            // survived a crash, out of its re-run's probe side
             val prior =
               if (java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir)))
                 s.read.parquet(storeDir)
+                  .filter(col("batch") < batchId)
+                  .select("doc_id", "sig")
               else s.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](),
                 dSigs.schema)
@@ -1593,12 +1600,14 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
                   .when(coalesce(col("is_contam"), lit(false)), "contam")
                   .when(coalesce(col("f_dvb"), lit(false)), "dup_base")
                   .when(coalesce(col("f_dwd"), lit(false)), "dup_within")
-                  .otherwise("admitted").as("bucket"),
-                lit(batchId).cast("long").as("batch"))
-              .write.mode("append").parquet(outDir)
-            // the stream's state lives in the index: append this
-            // batch's clean signatures for later arrivals to probe
-            dSigs.write.mode("append").parquet(storeDir)
+                  .otherwise("admitted").as("bucket"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            // the stream's state lives in the index: this batch's
+            // clean signatures land in their OWN batch=<id> partition
+            // for later arrivals to probe — overwrite, not append, so
+            // a re-executed micro-batch replaces rather than
+            // duplicates its contribution (restart/retry-safe)
+            dSigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
             dg3k.unpersist(false)
             ()
           } finally { audit.unpersist(false); () }
@@ -1627,11 +1636,15 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .localCheckpoint(true)
   }
 
-  /** Per-batch verdict log (spec surface: cross-batch liveness). */
+  /** Per-batch verdict log (spec surface: cross-batch liveness).
+    * `batch` is the discovered partition column of the per-batch
+    * idempotent write layout — cast back to the long the specs read.
+    */
   private[graft] def spiVerdicts(s: SparkSession, d: String): DataFrame = {
     val hex = java.lang.Integer.toHexString(d.hashCode)
     s.read.parquet(
-      s"${System.getProperty("java.io.tmpdir")}/graft_spi_$hex/out")
+        s"${System.getProperty("java.io.tmpdir")}/graft_spi_$hex/out")
+      .withColumn("batch", col("batch").cast("long"))
   }
 
   // ---- q204: STATEFUL STREAMING FUNNEL — the streaming twin of

@@ -108,14 +108,27 @@ class PipelineIncrementSpec extends AnyFunSuite with SparkTestBase {
         assert(dvb.contains(id),
           s"exact re-submission $id of a base-final doc was not rejected")
     }
-    // a re-submission whose base original was gate-dropped (and which
-    // itself survives the delta gates clean) must NOT be flagged
-    // dup-vs-base UNLESS it near-matches some OTHER final doc
-    val baseById = docs.map(d => d._1 -> d).toMap
+    // a re-submission whose base original was dropped from the final
+    // set (and which itself survives the delta gates clean) must NOT
+    // be flagged dup-vs-base UNLESS it genuinely near-matches some
+    // OTHER base-final doc — the index holds the CURATED state, so
+    // the original's raw-corpus presence alone must not reject it.
+    // The "other match" side is checked brute-force over ALL final
+    // sigs (not just banded candidates), so a dvb flag that has no
+    // full-scan support would fail loudly here (r13 ADVICE: this
+    // semantic was described but never asserted).
     val resubOfDropped = copies.filter { case (id, _, _, _) =>
       !finIds.contains(id - 2000000L) }
+    resubOfDropped.foreach { case (id, _, _, _) =>
+      dSig.get(id).foreach { sig =>
+        val matchesSomeFinal = bSig.exists { case (_, sb) => estJ(sig, sb) >= 0.5 }
+        assert(!dvb.contains(id) || matchesSomeFinal,
+          s"clean re-submission $id of a non-final base doc was rejected " +
+            "dup-vs-base with no supporting near-match in the final set — " +
+            "the index is leaking non-curated state")
+      }
+    }
     info(s"re-submissions: ${resubOfFinal.length} of final docs (all rejected), " +
-      s"${resubOfDropped.length} of gate-dropped docs")
-    assert(baseById.nonEmpty) // silence unused warnings defensively
+      s"${resubOfDropped.length} of non-final docs (dvb only with full-scan support)")
   }
 }
