@@ -455,6 +455,132 @@ object PipelineOps {
         .select("doc_id", "rtext")).localCheckpoint(true)
     }
 
+  // ---- q217: the PERSISTED admission index (r13 verdict #1) — the
+  //      q179 on-disk discipline applied to the TEXT side. q215/q216's
+  //      own docs call the curated-base MinHash fingerprint index "the
+  //      persisted artifact at 100 TB", yet until this lane it lived
+  //      only in the session cache: a restart re-fingerprinted the
+  //      corpus. Here the banded index is WRITTEN partitioned by
+  //      pb = band * KeyBuckets + hash(key) % KeyBuckets (each row
+  //      carries its doc's full signature inline, so one pruned fetch
+  //      answers both candidate lookup and the est_j verification —
+  //      no second corpus-side join), and a delta probe reads ONLY its
+  //      candidate buckets back through a partition-PRUNED FileScan.
+  //      At 100 TB: KeyBuckets scales to thousands, an ingest batch
+  //      touches the buckets its own keys hash into, and the probe's
+  //      bucket list is metadata-scale (bounded by bands x buckets and
+  //      by 4 x batch rows, whichever is smaller). Compaction = fold
+  //      newly-admitted signatures into exactly the touched buckets
+  //      via the q182 stage-and-swap — untouched buckets are never
+  //      read OR rewritten (AdmissionIndexSpec proves fold == rebuild
+  //      byte-for-byte on row sets and that only touched buckets
+  //      change). The lane itself is q215's admission run THROUGH the
+  //      disk index — same card, same oracle, verbatim. ----
+  private[graft] val IndexKeyBuckets = 8
+
+  private[graft] def pbCol(band: Column, key: Column): Column =
+    band.cast("long") * IndexKeyBuckets + pmod(xxhash64(key), lit(IndexKeyBuckets.toLong))
+
+  /** Banded index rows with the signature INLINE: (doc_id, sig, band,
+    * key, pb). Inline sigs trade bands x sig storage for a one-fetch
+    * probe — the candidate join and the est_j check read the same
+    * pruned rows, which is the difference between one and two index
+    * round-trips per ingest at scale.
+    */
+  private[graft] def indexRowsOf(sigs: DataFrame): DataFrame = {
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    sigs.select(col("doc_id"), col("sig"),
+        posexplode(bandCols).as(Seq("band", "key")))
+      .withColumn("pb", pbCol(col("band"), col("key")))
+  }
+
+  private[graft] def admissionIndexDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_admidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  /** Build (idempotently, marker-keyed on the corpus) the on-disk
+    * admission index of the q214-curated final set: one writer task
+    * per bucket, rows clustered (band, key, doc_id) so each posting
+    * run is contiguous. Returns the directory.
+    */
+  private[graft] def persistAdmissionIndex(s: SparkSession, d: String): String = {
+    val dir = admissionIndexDir(d)
+    val marker = java.nio.file.Paths.get(dir, "_FIXTURE_OK")
+    if (!graft.Fixtures.markerCurrent(marker, s"$d/documents.parquet")) {
+      indexRowsOf(sharedBaseIndex(s, d))
+        .repartition(col("pb"))
+        .sortWithinPartitions("pb", "band", "key", "doc_id")
+        .write.partitionBy("pb").mode("overwrite").parquet(dir)
+      graft.Fixtures.writeMarker(marker, s"$d/documents.parquet")
+    }
+    dir
+  }
+
+  /** The pruned probe: dup-vs-base doc_ids of `dSigs` against the
+    * on-disk index. The delta's candidate buckets are collected
+    * driver-side (metadata-scale: <= MinhashBands * IndexKeyBuckets
+    * values regardless of batch size) and pushed as a partition
+    * filter — PlanShapeSpec fences that the store FileScan actually
+    * prunes on pb. Semantics == the in-memory dvb join, which is what
+    * lets q217 share q215's oracle verbatim.
+    */
+  private[graft] def probeAdmissionIndex(
+      s: SparkSession, dir: String, dSigs: DataFrame): DataFrame = {
+    val dBand = bandedOf(dSigs).withColumn("pb", pbCol(col("band"), col("key")))
+    // partition values discover as int — probe with ints so the
+    // pruning predicate needs no cast (a cast kills partition pruning)
+    val pbs = dBand.select("pb").distinct()
+      .collect().map(_.getLong(0).toInt).sorted
+    val idx = s.read.parquet(dir).filter(col("pb").isin(pbs.toIndexedSeq: _*))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    dBand.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+              col("y.sig").as("sig_b"))
+      .dropDuplicates("a", "b")
+      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .filter(matches.cast("double") / lit(MinhashK.toDouble) >= 0.5)
+      .select(col("a").as("doc_id")).distinct()
+  }
+
+  /** Fold newly-admitted signatures into an EXISTING on-disk admission
+    * index without a rebuild (q182's stage-and-swap for the text
+    * side): only the fold's touched pb buckets are read back and
+    * rewritten; untouched buckets are never opened. Returns the
+    * touched bucket ids (spec surface).
+    */
+  private[graft] def foldIntoAdmissionIndex(
+      s: SparkSession, dir: String, newSigs: DataFrame): Seq[Long] = {
+    val add = indexRowsOf(newSigs).localCheckpoint(true)
+    val touched = add.select("pb").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val existing = s.read.parquet(dir)
+      .filter(col("pb").isin(touched.map(_.toInt): _*))
+      .select("doc_id", "sig", "band", "key")
+      .withColumn("pb", pbCol(col("band"), col("key")))
+    val merged = existing.unionByName(
+        add.select("doc_id", "sig", "band", "key", "pb"))
+      .repartition(col("pb"))
+      .sortWithinPartitions("pb", "band", "key", "doc_id")
+    SimilarityOps.stageAndSwap(dir, merged, touched, partCol = "pb")
+    touched
+  }
+
+  /** q217: q215's incremental admission with the dup-vs-base stage
+    * served by the PERSISTED index — the restart story: nothing here
+    * re-fingerprints the corpus once the index exists on disk.
+    */
+  def pipelineIncrementDisk(s: SparkSession, d: String): DataFrame = {
+    val dir = persistAdmissionIndex(s, d)
+    val (lazyResult, handles) = pipelineIncrementLazy(s, d,
+      Some(dSigs => probeAdmissionIndex(s, dir, dSigs)))
+    val result = lazyResult.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    result
+  }
+
   def pipelineIncrement(s: SparkSession, d: String): DataFrame = {
     val (lazyResult, handles) = pipelineIncrementLazy(s, d)
     val result = lazyResult.localCheckpoint(true)
@@ -465,9 +591,15 @@ object PipelineOps {
   /** The un-checkpointed admission card + the persisted handles to
     * release — the plan surface PlanShapeSpec fences (the dup-vs-base
     * stage must stay a (band, key) equi-join against the index).
+    * `dvbVia`, when set, supplies the dup-vs-base rejection set from
+    * the delta's signatures instead of the in-memory index join —
+    * q217 routes it through the PERSISTED on-disk index; everything
+    * else (gates, contamination, within-batch check, card) is shared
+    * verbatim, which is why q217 can register q215's oracle unchanged.
     */
   private[graft] def pipelineIncrementLazy(
-      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+      s: SparkSession, d: String,
+      dvbVia: Option[DataFrame => DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val d0 = CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
       .repartition(col("doc_id"))
@@ -509,13 +641,17 @@ object PipelineOps {
     def estOk = matches.cast("double") / lit(MinhashK.toDouble) >= 0.5
     // delta x base-index candidates (the q137 asymmetry: the base side
     // contributes only its banded index rows, never re-pairing itself)
-    val dvb = dBand.as("x").join(bBand.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-      .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-      .filter(estOk)
-      .select(col("a").as("doc_id")).distinct()
+    val dvb = dvbVia match {
+      case Some(f) => f(dSigs)
+      case None =>
+        dBand.as("x").join(bBand.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+          .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+          .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+          .filter(estOk)
+          .select(col("a").as("doc_id")).distinct()
+    }
     val dwd = dBand.as("x").join(dBand.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") > col("y.doc_id"))
@@ -657,6 +793,8 @@ object PipelineOps {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q217_pipeline_index_disk", pipelineIncrementDisk, Some(pipelineIncrementSql),
+      "q215's incremental admission with the dup-vs-base stage served by the PERSISTED on-disk MinHash index (the q179 discipline for the text side): banded rows written partitionBy(pb = band x bucket(key)) with signatures inline, the delta probe reads ONLY its candidate buckets through a partition-PRUNED FileScan, and compaction folds admitted signatures into exactly the touched buckets via stage-and-swap (AdmissionIndexSpec: fold == rebuild) — card and oracle shared with q215 verbatim"),
     Q("q215_pipeline_increment", pipelineIncrement, Some(pipelineIncrementSql),
       "INCREMENTAL composite (the q137 discipline over the whole gate chain): a closed-form delta batch (near-dup variants + exact re-submissions) runs the same quality/lang/PII gates, decontaminates against the same benchmark grams, then is ADMITTED against the q214-curated base corpus's MinHash fingerprint index (delta x index banded join — cost linear in the batch) plus a within-batch self-check; disjoint buckets in pipeline order make the per-source admission card a conservation-complete audit"),
     Q("q214_pipeline_composite", pipelineComposite, Some(pipelineCompositeSql),

@@ -3262,19 +3262,22 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       s: SparkSession, d: String, pred: Column): DataFrame =
     compactionCodes(residKit(base(s, d), ivfCellCount(s, d)), pred)
 
-  /** The stage-and-swap commit shared by q182/q187/q188: write the
-    * merged cells to a staging dir, then atomically replace exactly
-    * the touched cell directories (a fully-emptied cell writes no
-    * stage dir — the cleared destination IS its correct final state).
+  /** The stage-and-swap commit shared by q182/q187/q188 (and, via
+    * `partCol`, by the q217 text admission index): write the merged
+    * partitions to a staging dir, then atomically replace exactly
+    * the touched partition directories (a fully-emptied partition
+    * writes no stage dir — the cleared destination IS its correct
+    * final state).
     */
   private[graft] def stageAndSwap(
-      out: String, merged: DataFrame, touched: Seq[Long]): Unit = {
+      out: String, merged: DataFrame, touched: Seq[Long],
+      partCol: String = "cell"): Unit = {
     val stage = out + "_stage"
     graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
-    merged.write.partitionBy("cell").mode("overwrite").parquet(stage)
+    merged.write.partitionBy(partCol).mode("overwrite").parquet(stage)
     touched.foreach { c =>
-      val src = java.nio.file.Paths.get(stage, s"cell=$c")
-      val dst = java.nio.file.Paths.get(out, s"cell=$c")
+      val src = java.nio.file.Paths.get(stage, s"$partCol=$c")
+      val dst = java.nio.file.Paths.get(out, s"$partCol=$c")
       graft.Fixtures.clearDir(dst)
       if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
     }

@@ -1518,12 +1518,6 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .select(explode(hashedShingles(
         shingles(col("btoks"), PipelineOps.DecontamGram))).as("g"))
       .distinct().localCheckpoint(true)
-    val estJOk = {
-      val m = aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
-        lit(0L), _ + _)
-      m.cast("double") / lit(MinhashK.toDouble) >= 0.5
-    }
     withStreamShufflePartitions(s, 2) {
       val q = s.readStream.schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("source", StringType),
@@ -1536,24 +1530,6 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
             .withColumn("n_tok", size(tokens(col("rtext"))).cast("long"))
             .persist()
           try {
-            val dg3k = audit.filter(col("score") >= PipelineOps.QualityMin &&
-                col("lang_pred") =!= "und" &&
-                col("n_red") < PipelineOps.PiiQuarantineAt)
-              .select("doc_id", "source", "text", "rtext", "n_tok")
-              .persist()
-            val contam = dg3k
-              .select(col("doc_id"), tokens(col("text")).as("ctoks"))
-              .filter(size(col("ctoks")) >= PipelineOps.DecontamGram)
-              .select(col("doc_id"), explode(hashedShingles(
-                shingles(col("ctoks"), PipelineOps.DecontamGram))).as("g"))
-              .join(broadcast(bench), "g")
-              .select("doc_id").distinct()
-              .withColumn("is_contam", lit(true))
-            val dcln = dg3k.join(contam, Seq("doc_id"), "left")
-              .filter(col("is_contam").isNull)
-              .drop("is_contam")
-            val dSigs = PipelineOps.sigsOf(dcln).localCheckpoint(true)
-            val dBand = PipelineOps.bandedOf(dSigs)
             // prior-arrival index: batches STRICTLY BEFORE this one —
             // path-addressed per-batch dirs (batch=<id>) make a
             // re-executed micro-batch idempotent (r13 ADVICE: blind
@@ -1567,41 +1543,12 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
                   .select("doc_id", "sig")
               else s.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](),
-                dSigs.schema)
-            val dvb = dBand.as("x").join(bBand.as("y"),
-                col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-              .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-              .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-              .filter(estJOk)
-              .select(col("a").as("doc_id")).distinct()
-              .withColumn("f_dvb", lit(true))
-            val earlier = PipelineOps.bandedOf(prior)
-              .unionByName(dBand) // within-batch side handled by a > b
-            val dwd = dBand.as("x").join(earlier.as("y"),
-                col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-                  col("x.doc_id") > col("y.doc_id"))
-              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-              .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-              .join(prior.unionByName(dSigs)
-                .select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-              .filter(estJOk)
-              .select(col("a").as("doc_id")).distinct()
-              .withColumn("f_dwd", lit(true))
-            // per-doc verdict rows (bucket names match q215's columns)
-            audit
-              .join(contam, Seq("doc_id"), "left")
-              .join(dvb, Seq("doc_id"), "left")
-              .join(dwd, Seq("doc_id"), "left")
-              .select(col("doc_id"), col("source"), col("n_tok"),
-                when(col("score") < PipelineOps.QualityMin, "quality")
-                  .when(col("lang_pred") === "und", "lang")
-                  .when(col("n_red") >= PipelineOps.PiiQuarantineAt, "pii")
-                  .when(coalesce(col("is_contam"), lit(false)), "contam")
-                  .when(coalesce(col("f_dvb"), lit(false)), "dup_base")
-                  .when(coalesce(col("f_dwd"), lit(false)), "dup_within")
-                  .otherwise("admitted").as("bucket"))
-              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+                org.apache.spark.sql.types.StructType(Seq(
+                  StructField("doc_id", LongType),
+                  StructField("sig", ArrayType(LongType)))))
+            val (verdicts, dSigs, dg3k) =
+              spiBatchAdmit(s, audit, bench, bBand, bSigs, prior)
+            verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
             // the stream's state lives in the index: this batch's
             // clean signatures land in their OWN batch=<id> partition
             // for later arrivals to probe — overwrite, not append, so
@@ -1634,6 +1581,82 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
           .as("admitted_tok"))
       .orderBy("source")
       .localCheckpoint(true)
+  }
+
+  /** q216's per-batch admission relation — the whole stateless gate +
+    * two-index admission chain for ONE micro-batch, over the already
+    * gate-audited batch: contamination via the broadcast bench-gram
+    * set, dup-vs-base via a (band,key) equi-join against the static
+    * curated-base index, dup-within via the same join shape against
+    * the accumulated prior-arrival index unioned with the batch's own
+    * smaller ids. A NAMED surface (r13 verdict #2) so PlanShapeSpec
+    * can fence the shape — banded equi-joins and a broadcast attach,
+    * never a cartesian — without running the stream. Returns
+    * (verdict rows, the batch's clean signatures to fold into the
+    * accumulated index, the dg3k handle for the caller to unpersist).
+    */
+  private[graft] def spiBatchAdmit(s: SparkSession, audit: DataFrame,
+      bench: DataFrame, bBand: DataFrame, bSigs: DataFrame,
+      prior: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import graft.ops.PipelineOps
+    val estJOk = {
+      val m = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _)
+      m.cast("double") / lit(MinhashK.toDouble) >= 0.5
+    }
+    val dg3k = audit.filter(col("score") >= PipelineOps.QualityMin &&
+        col("lang_pred") =!= "und" &&
+        col("n_red") < PipelineOps.PiiQuarantineAt)
+      .select("doc_id", "source", "text", "rtext", "n_tok")
+      .persist()
+    val contam = dg3k
+      .select(col("doc_id"), tokens(col("text")).as("ctoks"))
+      .filter(size(col("ctoks")) >= PipelineOps.DecontamGram)
+      .select(col("doc_id"), explode(hashedShingles(
+        shingles(col("ctoks"), PipelineOps.DecontamGram))).as("g"))
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+      .withColumn("is_contam", lit(true))
+    val dcln = dg3k.join(contam, Seq("doc_id"), "left")
+      .filter(col("is_contam").isNull)
+      .drop("is_contam")
+    val dSigs = PipelineOps.sigsOf(dcln).localCheckpoint(true)
+    val dBand = PipelineOps.bandedOf(dSigs)
+    val dvb = dBand.as("x").join(bBand.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .filter(estJOk)
+      .select(col("a").as("doc_id")).distinct()
+      .withColumn("f_dvb", lit(true))
+    val earlier = PipelineOps.bandedOf(prior)
+      .unionByName(dBand) // within-batch side handled by a > b
+    val dwd = dBand.as("x").join(earlier.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(prior.unionByName(dSigs)
+        .select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .filter(estJOk)
+      .select(col("a").as("doc_id")).distinct()
+      .withColumn("f_dwd", lit(true))
+    // per-doc verdict rows (bucket names match q215's columns)
+    val verdicts = audit
+      .join(contam, Seq("doc_id"), "left")
+      .join(dvb, Seq("doc_id"), "left")
+      .join(dwd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        when(col("score") < PipelineOps.QualityMin, "quality")
+          .when(col("lang_pred") === "und", "lang")
+          .when(col("n_red") >= PipelineOps.PiiQuarantineAt, "pii")
+          .when(coalesce(col("is_contam"), lit(false)), "contam")
+          .when(coalesce(col("f_dvb"), lit(false)), "dup_base")
+          .when(coalesce(col("f_dwd"), lit(false)), "dup_within")
+          .otherwise("admitted").as("bucket"))
+    (verdicts, dSigs, dg3k)
   }
 
   /** Per-batch verdict log (spec surface: cross-batch liveness).

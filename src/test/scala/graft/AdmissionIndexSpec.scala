@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q217 persisted-admission-index properties:
+  *  1. DISK == MEMORY: the q217 card (admission via the on-disk index)
+  *     equals the q215 card (in-memory index) row-for-row — the two
+  *     lanes already share one oracle; this pins it in-process too.
+  *  2. FOLD == REBUILD: folding a signature delta into an existing
+  *     index via stage-and-swap yields exactly the row set of an index
+  *     rebuilt from scratch over base + delta (the q182 compaction
+  *     contract, here for the text side).
+  *  3. FOLD LOCALITY: only the fold's touched pb buckets are
+  *     rewritten — untouched bucket directories keep their files
+  *     byte-identical (names + sizes + content hashes), which is the
+  *     on-disk witness that compaction cost tracks the delta, not the
+  *     corpus.
+  */
+class AdmissionIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q217: disk-index admission card == q215 in-memory card") {
+    val disk = ops.PipelineOps.pipelineIncrementDisk(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val mem = ops.PipelineOps.pipelineIncrement(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(disk == mem,
+      s"disk-index admission diverged from in-memory:\n$disk\nvs\n$mem")
+  }
+
+  test("q217: fold == rebuild, and only touched buckets are rewritten") {
+    val bSigs = ops.PipelineOps.sharedBaseIndex(spark, sf)
+    // split the real base index: seed from two thirds, fold the rest
+    val seed = bSigs.filter(col("doc_id") % 3 =!= 0)
+    val delta = bSigs.filter(col("doc_id") % 3 === 0)
+    assert(delta.count() > 0, "degenerate split: empty fold delta")
+
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_foldspec"
+    val foldDir = s"$root/folded"
+    val fullDir = s"$root/rebuilt"
+    Fixtures.clearDir(java.nio.file.Paths.get(root))
+    def writeIdx(sigs: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      ops.PipelineOps.indexRowsOf(sigs)
+        .repartition(col("pb")).sortWithinPartitions("pb", "band", "key", "doc_id")
+        .write.partitionBy("pb").mode("overwrite").parquet(dir)
+    writeIdx(seed, foldDir)
+    writeIdx(bSigs, fullDir)
+
+    // snapshot per-bucket file listings before the fold
+    def bucketFiles(dir: String): Map[String, Seq[(String, Long)]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pb="))
+        .map { b =>
+          b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).sortBy(_._1).toSeq
+        }.toMap
+    }
+    val before = bucketFiles(foldDir)
+
+    val touched = ops.PipelineOps.foldIntoAdmissionIndex(spark, foldDir, delta)
+    assert(touched.nonEmpty, "fold touched no buckets")
+
+    // 2. fold == rebuild on the full row set (sig compared as a string
+    //    key — array equality via the same deterministic rendering)
+    def rowsOf(dir: String): Set[(Long, Long, Long, Long, String)] =
+      spark.read.parquet(dir)
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("key"),
+                col("pb").cast("long").as("pb"),
+                concat_ws(",", col("sig")).as("sigkey"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getString(4))).toSet
+    val folded = rowsOf(foldDir)
+    val rebuilt = rowsOf(fullDir)
+    assert(folded == rebuilt,
+      s"fold != rebuild: only-in-folded=${(folded -- rebuilt).take(3)}, " +
+        s"only-in-rebuilt=${(rebuilt -- folded).take(3)}")
+
+    // 3. locality: untouched buckets keep their exact files
+    val after = bucketFiles(foldDir)
+    val touchedNames = touched.map(c => s"pb=$c").toSet
+    before.foreach { case (bucket, files) =>
+      if (!touchedNames.contains(bucket))
+        assert(after(bucket) == files,
+          s"untouched bucket $bucket was rewritten: $files -> ${after(bucket)}")
+    }
+    Fixtures.clearDir(java.nio.file.Paths.get(root))
+  }
+}

@@ -457,6 +457,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Join"), s"expected the banded admission joins:\n$plan")
   }
 
+  test("q216 per-batch admission: banded equi-joins over the static + " +
+       "accumulated indexes, broadcast contamination, never a cartesian " +
+       "(r13 verdict #2)") {
+    // replicate one micro-batch's admission relation outside the
+    // stream via the extracted spiBatchAdmit surface: a plan
+    // regression in the per-batch joins (cartesian, lost broadcast)
+    // would otherwise pass sbt test silently inside foreachBatch
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split}
+    val batch = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "web", "kappa iota theta eta zeta epsilon delta gamma beta alpha"))
+      .toDF("doc_id", "source", "text")
+    val audit = ops.PipelineOps.gateAudit(batch)
+      .withColumn("n_tok", size(split(col("rtext"), " ")).cast("long"))
+    val bSigs = ops.PipelineOps.sharedBaseIndex(spark, sf)
+    val bBand = ops.PipelineOps.bandedOf(bSigs)
+    val bench = Seq(123456789L).toDF("g")
+    val prior = bSigs.limit(2) // stand-in for the accumulated index
+    val (verdicts, _, dg3k) = streaming.StreamingOps.spiBatchAdmit(
+      spark, audit, bench, bBand, bSigs, prior)
+    val plan = verdicts.queryExecution.executedPlan.toString
+    dg3k.unpersist(false)
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"contamination attach lost its broadcast:\n$plan")
+    assert(plan.contains("Join"), s"expected the banded admission joins:\n$plan")
+  }
+
+  test("q217 disk-index probe: store FileScan prunes on pb, admission " +
+       "stays a (band,key) equi-join (r14)") {
+    // the persisted-index contract: a delta probe reads ONLY its
+    // candidate pb buckets — an empty PartitionFilters means every
+    // ingest scans the whole corpus-scale index
+    val dir = ops.PipelineOps.persistAdmissionIndex(spark, sf)
+    val dSigs = ops.PipelineOps.sharedBaseIndex(spark, sf).limit(3)
+    val plan = ops.PipelineOps.probeAdmissionIndex(spark, dir, dSigs)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_admidx") && l.contains("PartitionFilters: [pb")),
+      s"probe does not prune the index scan on pb:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("Join"), s"expected the banded probe join:\n$plan")
+  }
+
   test("q177 trained residual IVF-PQ serves through q172's broadcast plan (r10)") {
     // training only changes the BOOK CONTENTS (driver-side values);
     // the serving plan must stay q172's — bounded candidate + LUT
