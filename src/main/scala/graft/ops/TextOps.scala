@@ -545,7 +545,7 @@ object TextOps {
   //      r8 #6), run the way real tokenizer trainers run it: ONE corpus
   //      scan builds the word-frequency table (the classic BPE
   //      pre-aggregation — the loop then never touches the corpus
-  //      again, only the vocab relation), then K=8 driver-paced merge
+  //      again, only the vocab relation), then K corpus-scaled merge
   //      rounds of count-pairs → argmax → apply-merge over the vocab.
   //      Words ride as sentinel-wrapped symbol strings ("abc" →
   //      "|a||b||c|"): a pair (x,y) is the literal "|x||y|", and
@@ -558,10 +558,28 @@ object TextOps {
   //      tie-break) and the K-row merge table touch the driver; the
   //      vocab stays a DataFrame, so at 100 TB (vocab ~10M words) each
   //      round is a small distributed scan, exactly like production
-  //      BPE training on a word-count dictionary. The round count is
-  //      FIXED (a data-dependent stop would not be SQL-expressible);
-  //      the SQL twin unrolls the same 8 rounds as generated CTEs. ----
-  private[graft] val BpeMergeRounds = 8
+  //      BPE training on a word-count dictionary. The merge budget
+  //      SCALES WITH THE CORPUS (r13 verdict #5 — the PQ family's
+  //      q165 ladder discipline): rounds = min(cap, max(8, ceil(8 *
+  //      total-word-occurrences / 25k))) — a real tokenizer's merge
+  //      count grows with training mass, and the cap bounds train
+  //      cost (each round is one vocab scan + one driver argmax).
+  //      The SQL twin unrolls the CAP as generated CTEs and computes
+  //      the SAME ladder from SUM(cnt); rounds past the ladder are
+  //      GATED (their pair scan returns nothing, the vocab passes
+  //      through unchanged), so dead rounds cost nothing and the twin
+  //      stays hash-identical at every scale factor. ----
+  private[graft] val BpeMaxRounds = 16
+
+  /** Corpus-scaled merge budget — MUST mirror [[bpeRoundsSqlExpr]]. */
+  private[graft] def bpeRoundsFor(totWords: Long): Int =
+    math.min(BpeMaxRounds,
+      math.max(8, math.ceil(8.0 * totWords / 25000.0).toInt))
+
+  /** The ladder in DuckDB form, over the generated w0 CTE. */
+  private def bpeRoundsSqlExpr: String =
+    s"LEAST($BpeMaxRounds, GREATEST(8, CAST(ceil(" +
+      "8.0 * (SELECT COALESCE(SUM(cnt), 0) FROM w0) / 25000.0) AS INTEGER)))"
 
   /** The bounded merge loop shared by q167 (merge table) and q168
     * (encoding): returns the K merge rows, the trained vocab (w, cnt,
@@ -584,10 +602,16 @@ object TextOps {
               regexp_replace(col("w"), "(.)", "|$1|").as("ws"))
       .persist()
     var cur = base
+    // the corpus-scaled budget: driven by total word OCCURRENCES
+    // (training mass), not distinct words — the fixture vocabulary is
+    // scale-invariant, so a distinct-word ladder would never move
+    val totWords = base.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head.getLong(0)
+    val rounds = bpeRoundsFor(totWords)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var k = 1
     var exhausted = false
-    while (k <= BpeMergeRounds && !exhausted) {
+    while (k <= rounds && !exhausted) {
       val syms = split(expr("substring(ws, 2, length(ws) - 2)"), "\\|\\|")
       val pairs = when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1),
@@ -680,9 +704,12 @@ object TextOps {
   }
 
   /** Generated training CTE chain shared by the q167 and q168 twins:
-    * w0 (word counts) → v0 (wrapped symbols) → per round k: pair
-    * counts (prK), argmax (bK), applied vocab (vK), merge row (mK).
-    * vK carries the word through so the encoder can join on it.
+    * w0 (word counts) → blad (the corpus-scaled merge budget) → v0
+    * (wrapped symbols) → per round k: pair counts (prK, GATED on the
+    * ladder — dead rounds scan nothing), argmax (bK), applied vocab
+    * (vK), merge row (mK). vK carries the word through so the encoder
+    * can join on it. `rounds` is the UNROLL CAP (pass BpeMaxRounds) —
+    * the live round count comes from blad at query time.
     */
   private[graft] def bpeCteSql(rounds: Int, docWhere: String = ""): String = {
     val t = tokensSql("text")
@@ -690,6 +717,7 @@ object TextOps {
     sb ++= s"""w0 AS (SELECT w, COUNT(*) AS cnt FROM (
       SELECT unnest($t) AS w FROM documents$docWhere)
       WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+blad AS MATERIALIZED (SELECT $bpeRoundsSqlExpr AS r),
 v0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS ws FROM w0)"""
     for (k <- 1 to rounds) {
       sb ++= s""",
@@ -697,7 +725,7 @@ pr$k AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
   SELECT cnt, unnest(list_transform(range(1, len(syms)),
     i -> syms[i] || ' ' || syms[i + 1])) AS pair
   FROM (SELECT cnt, str_split(substring(ws, 2, length(ws) - 2), '||') AS syms
-        FROM v${k - 1})) GROUP BY pair),
+        FROM v${k - 1} WHERE $k <= (SELECT r FROM blad))) GROUP BY pair),
 b$k AS MATERIALIZED (SELECT split_part(pair, ' ', 1) AS lhs,
   split_part(pair, ' ', 2) AS rhs, n FROM (
   SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rn FROM pr$k)
@@ -714,16 +742,16 @@ m$k AS (SELECT CAST($k AS BIGINT) AS step, lhs, rhs,
   }
 
   private val bpeMergesSql = {
-    val unions = (1 to BpeMergeRounds).map(k => s"SELECT * FROM m$k")
+    val unions = (1 to BpeMaxRounds).map(k => s"SELECT * FROM m$k")
       .mkString(" UNION ALL ")
-    s"WITH ${bpeCteSql(BpeMergeRounds)}\nSELECT * FROM ($unions) ORDER BY step"
+    s"WITH ${bpeCteSql(BpeMaxRounds)}\nSELECT * FROM ($unions) ORDER BY step"
   }
 
   private val bpeEncodeSql = {
     val t = tokensSql("text")
-    s"""WITH ${bpeCteSql(BpeMergeRounds)},
+    s"""WITH ${bpeCteSql(BpeMaxRounds)},
 vs AS (SELECT w, CAST((length(ws) - length(replace(ws, '|', ''))) // 2 AS BIGINT)
-         AS n_sym FROM v$BpeMergeRounds),
+         AS n_sym FROM v$BpeMaxRounds),
 dw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest($t) AS w FROM documents)
        WHERE w <> '')
 SELECT doc_id, COUNT(*) AS n_words,

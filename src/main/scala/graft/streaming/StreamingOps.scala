@@ -929,7 +929,7 @@ object StreamingOps {
   }
 
   private val streamTokenMeterSql = {
-    val rounds = graft.ops.TextOps.BpeMergeRounds
+    val rounds = graft.ops.TextOps.BpeMaxRounds
     s"""WITH ${graft.ops.TextOps.bpeCteSql(rounds, " WHERE doc_id % 5 <> 4")},
 vs AS (SELECT w, CAST((length(ws) - length(replace(ws, '|', ''))) // 2 AS BIGINT)
          AS n_sym FROM v$rounds),

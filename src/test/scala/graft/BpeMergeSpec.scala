@@ -7,14 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * textbook BPE implementation over symbol lists — same word-frequency
   * table, all-adjacent-positions pair counting, (count DESC, pair ASC)
   * argmax, greedy leftmost non-overlapping merge application. This is
-  * the proof that the string-replace trick IS BPE: both paths run 8
-  * full rounds and every (step, lhs, rhs, merged, pair_count) row must
-  * match, so a single divergent application anywhere cascades into a
-  * visible count mismatch downstream.
+  * the proof that the string-replace trick IS BPE: both paths run the
+  * SAME corpus-scaled merge budget (bpeRoundsFor — r14: the fixed 8
+  * became a ladder) and every (step, lhs, rhs, merged, pair_count)
+  * row must match, so a single divergent application anywhere
+  * cascades into a visible count mismatch downstream.
   */
 class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
-
-  private val Rounds = 8
 
   /** Greedy leftmost non-overlapping application of merge (a, b). */
   private def applyMerge(syms: List[String], a: String, b: String): List[String] = {
@@ -28,12 +27,15 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
     out.result()
   }
 
-  /** (merge table, trained word -> symbol count) by direct BPE. */
+  /** (merge table, trained word -> symbol count) by direct BPE, at
+    * the engine's own corpus-scaled budget.
+    */
   private def directBpe(words: Seq[(String, Long)])
       : (Seq[(Long, String, String, String, Long)], Map[String, Long]) = {
+    val rounds = ops.TextOps.bpeRoundsFor(words.map(_._2).sum)
     var vocab: Seq[(String, List[String], Long)] =
       words.map { case (w, c) => (w, w.toList.map(_.toString), c) }
-    val merges = (1 to Rounds).map { k =>
+    val merges = (1 to rounds).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (_, syms, c) =>
         syms.zip(syms.tail).foreach { p =>
@@ -49,12 +51,17 @@ class BpeMergeSpec extends AnyFunSuite with SparkTestBase {
     (merges, vocab.map { case (w, syms, _) => (w, syms.length.toLong) }.toMap)
   }
 
-  test("q167 merge table equals a direct symbol-list BPE over 8 rounds") {
+  test("q167 merge table equals a direct symbol-list BPE at the scaled budget") {
     val words = Tables.documents(spark, sf)
       .selectExpr("explode(split(text, ' ')) AS w").collect()
       .map(_.getString(0)).filter(_.matches("^[a-z]+$"))
       .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
     val (want, _) = directBpe(words)
+    // the ladder is LIVE at this sf: above the old fixed 8, so the
+    // scaled rounds do real work here (floor-width runs would not
+    // regression-test the ladder at all)
+    assert(want.length > 8,
+      s"merge budget not scaled at this corpus size: ${want.length}")
     val got = ops.TextOps.bpeMerges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
                  r.getString(3), r.getLong(4))).toSeq
