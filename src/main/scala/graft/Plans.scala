@@ -545,7 +545,7 @@ object Plans {
     locally {
       // q214: the per-doc audit relation is the composite's real plan
       // surface (the registered lane checkpoints only the 20-row card)
-      val (audited, handles) = ops.PipelineOps.pipelineDocs(spark, d)
+      val (audited, _, handles) = ops.PipelineOps.pipelineDocs(spark, d)
       val plan214 = audited.queryExecution.executedPlan.toString
       handles.foreach(_.unpersist(false))
       sb.append("\n## q214_pipeline_composite (per-doc audit relation)\n\n" +

@@ -69,10 +69,12 @@ object PipelineOps {
 
   /** The surviving per-doc relation after every gate, with per-stage
     * flags — the spec surface (the registered lane aggregates it).
-    * Returns (per-doc audit relation, handles to unpersist).
+    * Returns (per-doc audit relation, the verified near-dup pair list
+    * `nd` (a, b) — persisted; q218's takedown reuses it so a delete
+    * never re-mines candidates — and handles to unpersist).
     */
   private[graft] def pipelineDocs(s: SparkSession, d: String)
-      : (DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val d0 = CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
       .repartition(col("doc_id"))
@@ -105,6 +107,7 @@ object PipelineOps {
       .join(sh.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .filter(matches.cast("double") / lit(MinhashK.toDouble) >= 0.5)
       .select("a", "b")
+      .persist()
     val pmin = nd.select(col("a").as("doc_id"), col("b").as("p"))
       .unionByName(nd.select(col("b").as("doc_id"), col("a").as("p")))
       .groupBy("doc_id").agg(min(col("p")).as("pm"))
@@ -131,7 +134,7 @@ object PipelineOps {
       .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
       .withColumn("n_tok", size(tokens(col("rtext"))).cast("long"))
-    (audited, Seq(g3k, sh))
+    (audited, nd, Seq(g3k, sh, nd))
   }
 
   /** MinHash signatures of a (doc_id, …, rtext) relation — the same
@@ -168,19 +171,28 @@ object PipelineOps {
   }
 
   /** Session-shared audited relation (the whole gate chain's per-doc
-    * outcome) — q214 and q215 derive IDENTICALLY from the same corpus,
-    * so the build is computed once per (session, documents
-    * fingerprint) and checkpointed (the r12 cross-lane cache
-    * discipline; outputs bit-identical on hit or miss).
+    * outcome) PLUS the verified near-dup pair list — q214/q215/q218
+    * derive IDENTICALLY from the same corpus, so the build is computed
+    * once per (session, documents fingerprint) and checkpointed (the
+    * r12 cross-lane cache discipline; outputs bit-identical on hit or
+    * miss). The pair list rides along because it is the EXPENSIVE
+    * mined artifact (banded candidates + est_j verification): q218's
+    * takedown recomputes group weights from `pairs minus pairs
+    * touching a deleted doc` — a linear fold — instead of re-mining.
     */
-  private[graft] def sharedAudited(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedAuditedAndPairs(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
     graft.SessionCache.cachedAs(s, "pipeaudit",
         Seq(s"$d/documents.parquet")) {
-      val (audited, handles) = pipelineDocs(s, d)
+      val (audited, nd, handles) = pipelineDocs(s, d)
+      val outP = nd.localCheckpoint(true)
       val out = audited.localCheckpoint(true)
       handles.foreach(_.unpersist(false))
-      out
+      (out, outP)
     }
+
+  private[graft] def sharedAudited(s: SparkSession, d: String): DataFrame =
+    sharedAuditedAndPairs(s, d)._1
 
   def pipelineComposite(s: SparkSession, d: String): DataFrame = {
     val d0 = CoreOps.jsonlDocs(s, d)
@@ -296,41 +308,46 @@ object PipelineOps {
        |         / ${MinhashK.toDouble}""".stripMargin
 
   /** Shared chain prefix (d0 .. g5k, the curated final set) — the
-    * q214 oracle's first half, reused verbatim as q215's base state.
+    * q214 oracle's first half, reused verbatim as q215's base state
+    * and, prefixed + corpus-filtered, as q218's from-scratch
+    * re-curation twin.
     */
-  private val chainPrefixSql: String = {
+  private def chainPrefixSqlFor(p: String, docsWhere: String): String = {
     val t = "string_split(text, ' ')"
-    s"""d0 AS (SELECT doc_id, source, text FROM documents),
-       |${gateChainSql("d0", "")},
-       |${sigChainSql("")},
-       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |          FROM banded x JOIN banded y
+    s"""${p}d0 AS (SELECT doc_id, source, text FROM documents$docsWhere),
+       |${gateChainSql(s"${p}d0", p)},
+       |${sigChainSql(p)},
+       |${p}pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM ${p}banded x JOIN ${p}banded y
        |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |nd AS (SELECT a, b FROM pairs
-       |       JOIN sigs sx ON sx.doc_id = pairs.a
-       |       JOIN sigs sy ON sy.doc_id = pairs.b
+       |${p}nd AS (SELECT a, b FROM ${p}pairs
+       |       JOIN ${p}sigs sx ON sx.doc_id = ${p}pairs.a
+       |       JOIN ${p}sigs sy ON sy.doc_id = ${p}pairs.b
        |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
-       |pmin AS (SELECT doc_id, MIN(p) AS pm FROM
-       |          (SELECT a AS doc_id, b AS p FROM nd
-       |           UNION ALL SELECT b, a FROM nd) GROUP BY doc_id),
-       |g4 AS (SELECT g3k.*, least(g3k.doc_id, COALESCE(pmin.pm, g3k.doc_id)) AS gkey
-       |       FROM g3k LEFT JOIN pmin ON pmin.doc_id = g3k.doc_id),
-       |g4w AS MATERIALIZED (SELECT *, CAST(1000000 // (COUNT(*) OVER (PARTITION BY gkey))
-       |          AS BIGINT) AS w_e6 FROM g4),
-       |bench AS MATERIALIZED (SELECT DISTINCT g FROM
+       |${p}pmin AS (SELECT doc_id, MIN(p) AS pm FROM
+       |          (SELECT a AS doc_id, b AS p FROM ${p}nd
+       |           UNION ALL SELECT b, a FROM ${p}nd) GROUP BY doc_id),
+       |${p}g4 AS (SELECT ${p}g3k.*, least(${p}g3k.doc_id,
+       |         COALESCE(${p}pmin.pm, ${p}g3k.doc_id)) AS gkey
+       |       FROM ${p}g3k LEFT JOIN ${p}pmin ON ${p}pmin.doc_id = ${p}g3k.doc_id),
+       |${p}g4w AS MATERIALIZED (SELECT *, CAST(1000000 // (COUNT(*) OVER (PARTITION BY gkey))
+       |          AS BIGINT) AS w_e6 FROM ${p}g4),
+       |${p}bench AS MATERIALIZED (SELECT DISTINCT g FROM
        |           (SELECT unnest(${hashedShinglesSql(shinglesSql("btoks", DecontamGram))}) AS g
-       |            FROM (SELECT $t AS btoks FROM d0 WHERE doc_id < $BenchHoldout)
+       |            FROM (SELECT $t AS btoks FROM ${p}d0 WHERE doc_id < $BenchHoldout)
        |            WHERE len(btoks) >= $DecontamGram)),
-       |contam AS (SELECT DISTINCT doc_id FROM
+       |${p}contam AS (SELECT DISTINCT doc_id FROM
        |            (SELECT doc_id,
        |               unnest(${hashedShinglesSql(shinglesSql("ctoks", DecontamGram))}) AS g
-       |             FROM (SELECT doc_id, $t AS ctoks FROM g4w
+       |             FROM (SELECT doc_id, $t AS ctoks FROM ${p}g4w
        |                   WHERE doc_id >= $BenchHoldout)
        |             WHERE len(ctoks) >= $DecontamGram) gg
-       |           JOIN bench USING (g)),
-       |g5k AS MATERIALIZED (SELECT * FROM g4w WHERE doc_id >= $BenchHoldout
-       |        AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+       |           JOIN ${p}bench USING (g)),
+       |${p}g5k AS MATERIALIZED (SELECT * FROM ${p}g4w WHERE doc_id >= $BenchHoldout
+       |        AND doc_id NOT IN (SELECT doc_id FROM ${p}contam))""".stripMargin
   }
+
+  private val chainPrefixSql: String = chainPrefixSqlFor("", "")
 
   private[graft] val pipelineCompositeSql: String = {
     val t = "string_split(text, ' ')"
@@ -599,7 +616,8 @@ object PipelineOps {
     */
   private[graft] def pipelineIncrementLazy(
       s: SparkSession, d: String,
-      dvbVia: Option[DataFrame => DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
+      dvbVia: Option[DataFrame => DataFrame] = None,
+      deltaOf: DataFrame => DataFrame = deltaBatch): (DataFrame, Seq[DataFrame]) = {
     val d0 = CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
       .repartition(col("doc_id"))
@@ -610,7 +628,7 @@ object PipelineOps {
     // re-fingerprints the corpus per ingest)
     val bSigs = sharedBaseIndex(s, d)
     val bBand = bandedOf(bSigs)
-    val dAudit = gateAudit(deltaBatch(d0)).persist()
+    val dAudit = gateAudit(deltaOf(d0)).persist()
     val dg3k = dAudit
       .filter(col("score") >= QualityMin && col("lang_pred") =!= "und" &&
         col("n_red") < PiiQuarantineAt)
@@ -667,7 +685,7 @@ object PipelineOps {
       .withColumn("is_dwd",
         !col("is_contam") && !col("is_dvb") && coalesce(col("f_dwd"), lit(false)))
       .persist()
-    val ing = deltaBatch(d0).groupBy("source").agg(count(lit(1)).as("n_delta"))
+    val ing = deltaOf(d0).groupBy("source").agg(count(lit(1)).as("n_delta"))
     val z1 = dAudit.filter(col("score") < QualityMin)
       .groupBy("source").agg(count(lit(1)).as("n1"))
     val z2 = dAudit.filter(col("score") >= QualityMin && col("lang_pred") === "und")
@@ -705,6 +723,248 @@ object PipelineOps {
       .orderBy("source")
     // audited is the session-shared checkpoint — NOT unpersisted here
     (result, Seq(dAudit, dg3k, clean, flagged, d0))
+  }
+
+  // ---- q218: TAKEDOWN through the CURATION composite (r13 verdict
+  //      #6) — the right-to-be-forgotten path: a deterministic delete
+  //      set (doc_id % 17 == 5, outside the benchmark holdout) is
+  //      propagated through the CURATED corpus as one oracle-checked
+  //      pipeline: (1) the docs leave the persisted admission index
+  //      via q187-shaped TOMBSTONE deletes (stage-and-swap of ONLY
+  //      the buckets their bands hash into — at 100 TB a takedown
+  //      touches a handful of partitions, never the index);
+  //      (2) group weights are RECOMPUTED from the session-shared
+  //      near-dup pair list minus pairs touching a deleted doc — a
+  //      linear fold over the cached mined artifact, no re-banding,
+  //      no re-pairing, no re-fingerprinting; (3) the per-source card
+  //      re-emits (final count, checksum, weighted mass, mixture);
+  //      and (4) EVERY deleted doc is RE-SUBMITTED as a delta batch
+  //      against the post-takedown state — the inverse of q215's
+  //      always-rejected assertion: a deleted doc whose content no
+  //      longer near-matches any remaining curated doc must be
+  //      ADMITTED (the index honors the curated state both ways),
+  //      while one that still matches a surviving near-dup partner is
+  //      still rejected. Oracle = a FROM-SCRATCH re-curation of
+  //      documents-minus-deletes (the prefixed chain generator) plus
+  //      the q215 admission chain for the re-submissions — green
+  //      means the targeted update is hash-indistinguishable from
+  //      re-running the whole pipeline without the deleted docs. ----
+  private[graft] val TakedownOffset = 5000000L
+
+  /** The delete set: outside the bench holdout so the benchmark gram
+    * set — an eval artifact, not training corpus — is invariant and
+    * contamination flags need no recompute (the oracle's from-scratch
+    * twin would otherwise cascade the gram change, which is a
+    * different, rarer operation than a training-data takedown).
+    */
+  private[graft] def takedownPred(id: Column): Column =
+    id % 17 === 5 && id >= BenchHoldout
+
+  /** Every takedown-targeted doc re-submitted under a fresh id — the
+    * gates re-drop the ones they always dropped; the interesting rows
+    * are the formerly-FINAL docs now probing the tombstoned index.
+    */
+  private[graft] def takedownResubs(d0: DataFrame): DataFrame =
+    d0.filter(takedownPred(col("doc_id")))
+      .select((col("doc_id") + TakedownOffset).as("doc_id"), col("source"),
+              col("text"))
+
+  /** q187's tombstone shape for the admission index: remove
+    * `delSigs`'s docs from the on-disk index by rewriting ONLY the
+    * buckets their banded rows live in (derived from the signatures —
+    * no index scan locates them) via stage-and-swap. Returns touched
+    * bucket ids.
+    */
+  private[graft] def deleteFromAdmissionIndex(
+      s: SparkSession, dir: String, delSigs: DataFrame): Seq[Long] = {
+    val delRows = indexRowsOf(delSigs).localCheckpoint(true)
+    val touched = delRows.select("pb").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return Nil
+    val del = delRows.select("doc_id").distinct()
+    val remaining = s.read.parquet(dir)
+      .filter(col("pb").isin(touched.map(_.toInt): _*))
+      .select("doc_id", "sig", "band", "key")
+      .withColumn("pb", pbCol(col("band"), col("key")))
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .repartition(col("pb"))
+      .sortWithinPartitions("pb", "band", "key", "doc_id")
+    SimilarityOps.stageAndSwap(dir, remaining, touched, partCol = "pb")
+    touched
+  }
+
+  /** Run-local tombstoned clone of the persisted admission index with
+    * the takedown set deleted — the post-takedown serving artifact
+    * (the pristine fixture index stays untouched for other lanes).
+    */
+  private[graft] def takedownIndexDir(s: SparkSession, d: String): String = {
+    val src = persistAdmissionIndex(s, d)
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_td_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    graft.Fixtures.clearDir(java.nio.file.Paths.get(dst))
+    SimilarityOps.copyTree(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dst))
+    deleteFromAdmissionIndex(s, dst,
+      sharedBaseIndex(s, d).filter(takedownPred(col("doc_id"))))
+    dst
+  }
+
+  def pipelineTakedown(s: SparkSession, d: String): DataFrame = {
+    // 1-2. tombstone the on-disk index; re-submit every deleted doc
+    //      through the full gate chain + admission against it
+    val tdDir = takedownIndexDir(s, d)
+    val (resubCard0, handles) = pipelineIncrementLazy(s, d,
+      Some(dSigs => probeAdmissionIndex(s, tdDir, dSigs)), takedownResubs)
+    val resubCard = resubCard0.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    // 3. the post-takedown card: weights refold from the cached pair
+    //    list (survivor pairs are identical in a from-scratch rerun —
+    //    banding is per-doc, so no surviving pair appears or vanishes)
+    val (audited, ndPairs) = sharedAuditedAndPairs(s, d)
+    val del = takedownPred(col("doc_id"))
+    val survivors = audited.filter(!del).drop("gkey", "w_e6")
+    val ndLive = ndPairs.filter(
+      !takedownPred(col("a")) && !takedownPred(col("b")))
+    val pmin2 = ndLive.select(col("a").as("doc_id"), col("b").as("p"))
+      .unionByName(ndLive.select(col("b").as("doc_id"), col("a").as("p")))
+      .groupBy("doc_id").agg(min(col("p")).as("pm"))
+    val wG = Window.partitionBy("gkey")
+    val refreshed = survivors.join(pmin2, Seq("doc_id"), "left")
+      .withColumn("gkey", least(col("doc_id"), coalesce(col("pm"), col("doc_id"))))
+      .withColumn("w_e6", floor(lit(1000000L) / count(lit(1)).over(wG)).cast("long"))
+    val finA = refreshed.filter(!col("is_bench") && !col("is_contam"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_final_after"),
+           sum(col("doc_id")).as("kept_checksum_after"),
+           sum(col("n_tok") * col("w_e6")).as("eff_tok_e6_after"))
+      .withColumn("wq",
+        floor(sqrt(col("eff_tok_e6_after").cast("double") / 1000000.0) * 1000000.0)
+          .cast("long"))
+    val taken = audited.filter(del && !col("is_bench") && !col("is_contam"))
+      .groupBy("source").agg(count(lit(1)).as("n_taken_down"))
+    val tot = finA.agg(sum(col("wq")).as("wq_tot"))
+    val spine = CoreOps.jsonlDocs(s, d)
+      .select(col("meta.source").as("source")).distinct()
+    val result = spine
+      .join(resubCard, Seq("source"), "left")
+      .join(taken, Seq("source"), "left")
+      .join(finA, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        coalesce(col("n_delta"), lit(0L)).as("n_resub"),
+        coalesce(col("n_quality_dropped"), lit(0L)).as("n_quality_dropped"),
+        coalesce(col("n_lang_dropped"), lit(0L)).as("n_lang_dropped"),
+        coalesce(col("n_pii_quarantined"), lit(0L)).as("n_pii_quarantined"),
+        coalesce(col("n_contam_dropped"), lit(0L)).as("n_contam_dropped"),
+        coalesce(col("n_dup_vs_base"), lit(0L)).as("n_dup_vs_base"),
+        coalesce(col("n_dup_within"), lit(0L)).as("n_dup_within"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_readmitted"),
+        coalesce(col("admitted_checksum"), lit(0L)).as("readmitted_checksum"),
+        coalesce(col("admitted_tok"), lit(0L)).as("readmitted_tok"),
+        coalesce(col("n_taken_down"), lit(0L)).as("n_taken_down"),
+        coalesce(col("n_final_after"), lit(0L)).as("n_final_after"),
+        coalesce(col("kept_checksum_after"), lit(0L)).as("kept_checksum_after"),
+        coalesce(col("eff_tok_e6_after"), lit(0L)).as("eff_tok_e6_after"),
+        round(coalesce(col("wq"), lit(0L)).cast("double") / col("wq_tot"), 6)
+          .as("mix_weight_after"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    result
+  }
+
+  private[graft] val pipelineTakedownSql: String = {
+    val t = "string_split(text, ' ')"
+    val rt = "string_split(rtext, ' ')"
+    val tdWhere = s" WHERE NOT (doc_id % 17 = 5 AND doc_id >= $BenchHoldout)"
+    s"""WITH ${chainPrefixSqlFor("t", tdWhere)},
+       |rdelta AS (SELECT doc_id + $TakedownOffset AS doc_id, source, text
+       |           FROM documents
+       |           WHERE doc_id % 17 = 5 AND doc_id >= $BenchHoldout),
+       |${gateChainSql("rdelta", "r")},
+       |rcontam AS (SELECT DISTINCT doc_id FROM
+       |            (SELECT doc_id,
+       |               unnest(${hashedShinglesSql(shinglesSql("ctoks", DecontamGram))}) AS g
+       |             FROM (SELECT doc_id, $t AS ctoks FROM rg3k)
+       |             WHERE len(ctoks) >= $DecontamGram) gg
+       |           JOIN tbench USING (g)),
+       |rdcln AS MATERIALIZED (SELECT * FROM rg3k
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM rcontam)),
+       |${sigChainSql("r", "rdcln")},
+       |tbsig AS MATERIALIZED (SELECT s.doc_id, s.sig FROM tsigs s
+       |        JOIN tg5k USING (doc_id)),
+       |tbband AS MATERIALIZED (SELECT b.doc_id, b.band, b.key FROM tbanded b
+       |        JOIN tg5k USING (doc_id)),
+       |rcvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM rbanded x JOIN tbband y
+       |          ON x.band = y.band AND x.key = y.key),
+       |rdvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM rcvb
+       |       JOIN rsigs sx ON sx.doc_id = rcvb.a
+       |       JOIN tbsig sy ON sy.doc_id = rcvb.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
+       |rcwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM rbanded x JOIN rbanded y
+       |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
+       |rdwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM rcwd
+       |       JOIN rsigs sx ON sx.doc_id = rcwd.a
+       |       JOIN rsigs sy ON sy.doc_id = rcwd.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5
+       |         AND a NOT IN (SELECT doc_id FROM rdvb)),
+       |radm AS (SELECT * FROM rdcln
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM rdvb)
+       |          AND doc_id NOT IN (SELECT doc_id FROM rdwd)),
+       |ring AS (SELECT source, COUNT(*) AS n_resub FROM rdelta GROUP BY source),
+       |rz1 AS (SELECT source, COUNT(*) AS n1 FROM rg1 WHERE score < $QualityMin
+       |       GROUP BY source),
+       |rz2 AS (SELECT source, COUNT(*) AS n2 FROM rg1k
+       |       WHERE ${TextOps.predSql(t)} = 'und' GROUP BY source),
+       |rz3 AS (SELECT source, COUNT(*) AS n3 FROM rg3
+       |       WHERE n_red >= $PiiQuarantineAt GROUP BY source),
+       |rz4 AS (SELECT source, COUNT(*) AS n4 FROM rg3k
+       |       JOIN rcontam USING (doc_id) GROUP BY source),
+       |rz5 AS (SELECT source, COUNT(*) AS n5 FROM rdcln
+       |       JOIN rdvb USING (doc_id) GROUP BY source),
+       |rz6 AS (SELECT source, COUNT(*) AS n6 FROM rdcln
+       |       JOIN rdwd USING (doc_id) GROUP BY source),
+       |rza AS (SELECT source, COUNT(*) AS n_readmitted,
+       |         CAST(SUM(doc_id) AS BIGINT) AS readmitted_checksum,
+       |         CAST(SUM(len($rt)) AS BIGINT) AS readmitted_tok
+       |       FROM radm GROUP BY source),
+       |ttk AS (SELECT source, COUNT(*) AS n_taken_down FROM rdcln GROUP BY source),
+       |tfin AS (SELECT source, COUNT(*) AS n_final_after,
+       |          CAST(SUM(doc_id) AS BIGINT) AS kept_checksum_after,
+       |          CAST(SUM(CAST(len($rt) AS BIGINT) * w_e6) AS BIGINT)
+       |            AS eff_tok_e6_after
+       |        FROM tg5k GROUP BY source),
+       |tww AS (SELECT *, CAST(floor(sqrt(CAST(eff_tok_e6_after AS DOUBLE)
+       |          / 1000000.0) * 1000000.0) AS BIGINT) AS wq FROM tfin),
+       |ttot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_tot FROM tww),
+       |spine AS (SELECT DISTINCT source FROM documents)
+       |SELECT spine.source,
+       |  COALESCE(ring.n_resub, 0) AS n_resub,
+       |  COALESCE(rz1.n1, 0) AS n_quality_dropped,
+       |  COALESCE(rz2.n2, 0) AS n_lang_dropped,
+       |  COALESCE(rz3.n3, 0) AS n_pii_quarantined,
+       |  COALESCE(rz4.n4, 0) AS n_contam_dropped,
+       |  COALESCE(rz5.n5, 0) AS n_dup_vs_base,
+       |  COALESCE(rz6.n6, 0) AS n_dup_within,
+       |  COALESCE(rza.n_readmitted, 0) AS n_readmitted,
+       |  COALESCE(rza.readmitted_checksum, 0) AS readmitted_checksum,
+       |  COALESCE(rza.readmitted_tok, 0) AS readmitted_tok,
+       |  COALESCE(ttk.n_taken_down, 0) AS n_taken_down,
+       |  COALESCE(tfin.n_final_after, 0) AS n_final_after,
+       |  COALESCE(tfin.kept_checksum_after, 0) AS kept_checksum_after,
+       |  COALESCE(tfin.eff_tok_e6_after, 0) AS eff_tok_e6_after,
+       |  round(CAST(COALESCE(tww.wq, 0) AS DOUBLE) / ttot.wq_tot, 6)
+       |    AS mix_weight_after
+       |FROM spine
+       |LEFT JOIN ring USING (source)
+       |LEFT JOIN rz1 USING (source) LEFT JOIN rz2 USING (source)
+       |LEFT JOIN rz3 USING (source) LEFT JOIN rz4 USING (source)
+       |LEFT JOIN rz5 USING (source) LEFT JOIN rz6 USING (source)
+       |LEFT JOIN rza USING (source) LEFT JOIN ttk USING (source)
+       |LEFT JOIN tfin USING (source) LEFT JOIN tww USING (source)
+       |CROSS JOIN ttot
+       |ORDER BY spine.source""".stripMargin
   }
 
   private[graft] val pipelineIncrementSql: String = {
@@ -793,6 +1053,8 @@ object PipelineOps {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q218_pipeline_takedown", pipelineTakedown, Some(pipelineTakedownSql),
+      "TAKEDOWN through the curation composite: a deterministic delete set leaves the persisted admission index via q187-shaped tombstones (stage-and-swap of only the touched buckets), group weights refold from the cached near-dup pair list (no re-mining), the per-source card re-emits (final count/checksum/weighted mass/mixture), and every deleted doc is RE-SUBMITTED against the post-takedown state — admitted unless it still near-matches a surviving doc (the inverse of q215's always-rejected assertion); oracle = from-scratch re-curation without the deleted docs + the q215 admission chain"),
     Q("q217_pipeline_index_disk", pipelineIncrementDisk, Some(pipelineIncrementSql),
       "q215's incremental admission with the dup-vs-base stage served by the PERSISTED on-disk MinHash index (the q179 discipline for the text side): banded rows written partitionBy(pb = band x bucket(key)) with signatures inline, the delta probe reads ONLY its candidate buckets through a partition-PRUNED FileScan, and compaction folds admitted signatures into exactly the touched buckets via stage-and-swap (AdmissionIndexSpec: fold == rebuild) — card and oracle shared with q215 verbatim"),
     Q("q215_pipeline_increment", pipelineIncrement, Some(pipelineIncrementSql),

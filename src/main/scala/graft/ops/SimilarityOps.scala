@@ -3655,7 +3655,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     s"${System.getProperty("java.io.tmpdir")}/graft_vacidx_" +
       java.lang.Integer.toHexString(d.hashCode)
 
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+  private[graft] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
       val t = dst.resolve(src.relativize(p))

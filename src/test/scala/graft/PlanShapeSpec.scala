@@ -435,7 +435,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // near-dup stage must stay the q34 banded equi-join and the
     // contamination attach must ride the broadcast bench-gram set —
     // a cartesian/nested-loop here means a gate lost its key
-    val (audited, handles) = ops.PipelineOps.pipelineDocs(spark, sf)
+    val (audited, _, handles) = ops.PipelineOps.pipelineDocs(spark, sf)
     val plan = audited.queryExecution.executedPlan.toString
     handles.foreach(_.unpersist(false))
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
