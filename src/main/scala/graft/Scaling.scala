@@ -142,7 +142,10 @@ object Scaling {
     ("q213_audio_clipdup", "audio clip-dup: positional window grains, any offset", "documents"),
     ("q214_pipeline_composite", "end-to-end curation composite: 6 gates + mix + pack + card", "documents"),
     ("q215_pipeline_increment", "incremental composite: delta gates + index admission", "documents"),
-    ("q216_stream_pipeline_ingest", "q215 as a stream: per-batch gates + accumulated-index admission", "documents"))
+    ("q216_stream_pipeline_ingest", "q215 as a stream: per-batch gates + accumulated-index admission", "documents"),
+    // r14 additions: the persisted-index and takedown composites
+    ("q217_pipeline_index_disk", "q215 admission via the persisted on-disk index (pruned probe)", "documents"),
+    ("q218_pipeline_takedown", "takedown: tombstoned index + weight refold + re-submission", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
