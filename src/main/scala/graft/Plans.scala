@@ -575,6 +575,35 @@ object Plans {
         "aggregate — no cartesian anywhere (PlanShapeSpec fences it)\n\n" +
         "```\n" + plan215 + "```\n")
     }
+    locally {
+      // q217: the pruned disk probe is the lane's plan surface — the
+      // rest of the admission chain is q215's verbatim
+      val dir = ops.PipelineOps.persistAdmissionIndex(spark, d)
+      val probeSigs = ops.PipelineOps.sharedBaseIndex(spark, d).limit(5)
+      val plan217 = ops.PipelineOps.probeAdmissionIndex(spark, dir, probeSigs)
+        .queryExecution.executedPlan.toString
+      sb.append("\n## q217_pipeline_index_disk (pruned disk-index probe)\n\n" +
+        "the persisted admission index read back for one delta probe: " +
+        "the FileScan carries PartitionFilters on pb (the band-bucket " +
+        "partition column — only the delta's candidate buckets are " +
+        "opened; PlanShapeSpec fences non-empty pruning), the candidate " +
+        "stage is a (band, key) equi-join, and the inline signatures " +
+        "make est_j verification part of the same fetch — no second " +
+        "index round-trip. The card above this probe is q215's plan " +
+        "verbatim (dvb swapped for this relation)\n\n" +
+        "```\n" + plan217 + "```\n")
+    }
+    sb.append("\n## q218_pipeline_takedown (takedown composite)\n\n" +
+      "three reused surfaces, no new join shapes: the tombstone delete " +
+      "rewrites ONLY the buckets the deleted docs' bands hash into " +
+      "(stage-and-swap, same primitive as q182/q187 — bucket set " +
+      "derived from the cached signatures, no index scan); the weight " +
+      "refold is one window over survivors fed by the session-cached " +
+      "near-dup pair list (filter + groupBy-min — no re-banding or " +
+      "re-pairing); the re-submission admission is q217's pruned probe " +
+      "against the tombstoned clone plus q215's within-batch check. " +
+      "Oracle = from-scratch re-curation; PipelineTakedownSpec pins " +
+      "per-doc semantics from the pair list.\n")
     sb.append("\n## q212_stream_vacuum_serve (streaming lifecycle composite)\n\n" +
       "swap + vacuum under a live query stream: per-batch serving is " +
       "the SAME manifestPinnedRead plan dumped for q193 above (pruned " +
