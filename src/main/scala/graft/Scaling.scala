@@ -93,7 +93,7 @@ object Scaling {
     // pair, and the leakage/streaming twins registered this round
     ("q165_pq_train", "bounded PQ Lloyd loop (3 one-scan rounds)", "embeddings"),
     ("q166_pq_search_trained", "ADC search under trained books", "embeddings"),
-    ("q167_bpe_merges", "full BPE merge loop (8 vocab rounds)", "documents"),
+    ("q167_bpe_merges", "full BPE merge loop (corpus-scaled rounds)", "documents"),
     ("q168_bpe_encode", "trained-tokenizer encoding (broadcast vocab)", "documents"),
     ("q169_pq_search_holdout", "held-out-seed ADC search (leakage control)", "embeddings"),
     ("q170_stream_token_meter", "ingest-time tokenization metering stream", "documents"),
