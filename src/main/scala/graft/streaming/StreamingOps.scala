@@ -1509,9 +1509,14 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       }
       Fixtures.writeMarker(marker, fixSrcs: _*)
     }
-    // static artifacts, materialized BEFORE the stream starts
-    val bSigs = PipelineOps.sharedBaseIndex(s, d)
-    val bBand = PipelineOps.bandedOf(bSigs).localCheckpoint(true)
+    // static artifacts, ready BEFORE the stream starts. The curated-
+    // base index is the PERSISTED q217 artifact — each micro-batch
+    // probes only its candidate buckets through the pruned FileScan
+    // (r14: the lane previously re-materialized the whole banded index
+    // per run, an O(corpus) cost its own 100 TB story disclaims; the
+    // disk probe makes 'the artifact a deployment keeps on disk'
+    // literal, and DevAmpScale's 10x-docs decade dropped accordingly)
+    val idxDir = PipelineOps.persistAdmissionIndex(s, d)
     val bench = d0.filter(col("doc_id") < PipelineOps.BenchHoldout)
       .select(tokens(col("text")).as("btoks"))
       .filter(size(col("btoks")) >= PipelineOps.DecontamGram)
@@ -1547,7 +1552,8 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
                   StructField("doc_id", LongType),
                   StructField("sig", ArrayType(LongType)))))
             val (verdicts, dSigs, dg3k) =
-              spiBatchAdmit(s, audit, bench, bBand, bSigs, prior)
+              spiBatchAdmit(s, audit, bench, prior,
+                ds => PipelineOps.probeAdmissionIndex(s, idxDir, ds))
             verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
             // the stream's state lives in the index: this batch's
             // clean signatures land in their OWN batch=<id> partition
@@ -1586,18 +1592,20 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   /** q216's per-batch admission relation — the whole stateless gate +
     * two-index admission chain for ONE micro-batch, over the already
     * gate-audited batch: contamination via the broadcast bench-gram
-    * set, dup-vs-base via a (band,key) equi-join against the static
-    * curated-base index, dup-within via the same join shape against
-    * the accumulated prior-arrival index unioned with the batch's own
-    * smaller ids. A NAMED surface (r13 verdict #2) so PlanShapeSpec
-    * can fence the shape — banded equi-joins and a broadcast attach,
-    * never a cartesian — without running the stream. Returns
-    * (verdict rows, the batch's clean signatures to fold into the
-    * accumulated index, the dg3k handle for the caller to unpersist).
+    * set, dup-vs-base via `dvbOf` — the lane passes the q217 pruned
+    * disk-index probe (clean sigs in, rejected doc_ids out) so each
+    * micro-batch opens only its candidate buckets — and dup-within
+    * via a (band,key) equi-join against the accumulated prior-arrival
+    * index unioned with the batch's own smaller ids. A NAMED surface
+    * (r13 verdict #2) so PlanShapeSpec can fence the shape — banded
+    * equi-joins and a broadcast attach, never a cartesian — without
+    * running the stream. Returns (verdict rows, the batch's clean
+    * signatures to fold into the accumulated index, the dg3k handle
+    * for the caller to unpersist).
     */
   private[graft] def spiBatchAdmit(s: SparkSession, audit: DataFrame,
-      bench: DataFrame, bBand: DataFrame, bSigs: DataFrame,
-      prior: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      bench: DataFrame, prior: DataFrame,
+      dvbOf: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import graft.ops.PipelineOps
     val estJOk = {
       val m = aggregate(
@@ -1623,14 +1631,7 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .drop("is_contam")
     val dSigs = PipelineOps.sigsOf(dcln).localCheckpoint(true)
     val dBand = PipelineOps.bandedOf(dSigs)
-    val dvb = dBand.as("x").join(bBand.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-      .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-      .filter(estJOk)
-      .select(col("a").as("doc_id")).distinct()
-      .withColumn("f_dvb", lit(true))
+    val dvb = dvbOf(dSigs).withColumn("f_dvb", lit(true))
     val earlier = PipelineOps.bandedOf(prior)
       .unionByName(dBand) // within-batch side handled by a > b
     val dwd = dBand.as("x").join(earlier.as("y"),

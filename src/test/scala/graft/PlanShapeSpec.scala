@@ -466,18 +466,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // would otherwise pass sbt test silently inside foreachBatch
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, size, split}
-    val batch = Seq(
-      (1L, "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (2L, "web", "kappa iota theta eta zeta epsilon delta gamma beta alpha"))
-      .toDF("doc_id", "source", "text")
+    // a real corpus slice: enough docs survive the gates that the
+    // clean-signature side is non-empty (a gate-failing synthetic
+    // fixture lets empty-relation propagation fold the dvb probe away
+    // and the fence would assert against a degenerate plan)
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).limit(30)
     val audit = ops.PipelineOps.gateAudit(batch)
       .withColumn("n_tok", size(split(col("rtext"), " ")).cast("long"))
     val bSigs = ops.PipelineOps.sharedBaseIndex(spark, sf)
-    val bBand = ops.PipelineOps.bandedOf(bSigs)
+    val idxDir = ops.PipelineOps.persistAdmissionIndex(spark, sf)
     val bench = Seq(123456789L).toDF("g")
     val prior = bSigs.limit(2) // stand-in for the accumulated index
     val (verdicts, _, dg3k) = streaming.StreamingOps.spiBatchAdmit(
-      spark, audit, bench, bBand, bSigs, prior)
+      spark, audit, bench, prior,
+      ds => ops.PipelineOps.probeAdmissionIndex(spark, idxDir, ds))
     val plan = verdicts.queryExecution.executedPlan.toString
     dg3k.unpersist(false)
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
@@ -485,6 +488,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"contamination attach lost its broadcast:\n$plan")
     assert(plan.contains("Join"), s"expected the banded admission joins:\n$plan")
+    // the dup-vs-base stage rides the q217 disk index: the store scan
+    // must prune on pb inside THIS per-batch plan too
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_admidx") && l.contains("PartitionFilters: [pb")),
+      s"per-batch admission does not prune the index scan:\n$plan")
   }
 
   test("q217 disk-index probe: store FileScan prunes on pb, admission " +
