@@ -493,10 +493,23 @@ object PipelineOps {
   //      byte-for-byte on row sets and that only touched buckets
   //      change). The lane itself is q215's admission run THROUGH the
   //      disk index — same card, same oracle, verbatim. ----
-  private[graft] val IndexKeyBuckets = 8
+  /** Key buckets per band, CORPUS-SCALED (r14: the fixed 8 was the
+    * last scale constant in the index layout): one bucket per ~2500
+    * indexed docs, floor 8, cap 4096. The divisor is deliberately
+    * COARSE: below ~20k docs more buckets only multiply small-file
+    * opens (measured: a /250 ladder WORSENED the 10x-docs decade,
+    * 1.70x -> 1.79x — every probe at toy scale spans all buckets
+    * anyway), while at deployment scale the cap dominates and a batch
+    * touches the buckets its own keys hash into. The CHOSEN value is
+    * part of the on-disk artifact (persisted in `_META`, read back by
+    * every probe/fold/delete) — pb values are meaningless without it,
+    * exactly like a manifest.
+    */
+  private[graft] def bucketsFor(nDocs: Long): Int =
+    math.min(4096, math.max(8, math.ceil(nDocs / 2500.0).toInt))
 
-  private[graft] def pbCol(band: Column, key: Column): Column =
-    band.cast("long") * IndexKeyBuckets + pmod(xxhash64(key), lit(IndexKeyBuckets.toLong))
+  private[graft] def pbCol(band: Column, key: Column, kb: Int): Column =
+    band.cast("long") * kb + pmod(xxhash64(key), lit(kb.toLong))
 
   /** Banded index rows with the signature INLINE: (doc_id, sig, band,
     * key, pb). Inline sigs trade bands x sig storage for a one-fetch
@@ -504,46 +517,78 @@ object PipelineOps {
     * pruned rows, which is the difference between one and two index
     * round-trips per ingest at scale.
     */
-  private[graft] def indexRowsOf(sigs: DataFrame): DataFrame = {
+  private[graft] def indexRowsOf(sigs: DataFrame, kb: Int): DataFrame = {
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     sigs.select(col("doc_id"), col("sig"),
         posexplode(bandCols).as(Seq("band", "key")))
-      .withColumn("pb", pbCol(col("band"), col("key")))
+      .withColumn("pb", pbCol(col("band"), col("key"), kb))
   }
 
   private[graft] def admissionIndexDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_admidx_" +
       java.lang.Integer.toHexString(d.hashCode)
 
-  /** Build (idempotently, marker-keyed on the corpus) the on-disk
-    * admission index of the q214-curated final set: one writer task
-    * per bucket, rows clustered (band, key, doc_id) so each posting
-    * run is contiguous. Returns the directory.
+  /** Write an admission index of `sigs` to `dir` under bucket count
+    * `kb`, recording kb in the layout's `_META` — shared by the
+    * fixture build, the fold spec's twin dirs, and nothing else (the
+    * maintenance ops go through fold/delete, which preserve kb).
+    */
+  private[graft] def writeAdmissionIndex(
+      sigs: DataFrame, dir: String, kb: Int): Unit = {
+    indexRowsOf(sigs, kb)
+      .repartition(col("pb"))
+      .sortWithinPartitions("pb", "band", "key", "doc_id")
+      .write.partitionBy("pb").mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_META"),
+      s"kb=$kb\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The layout's bucket count, read back from `_META` — the probe
+    * must bucket its keys with the INDEX's kb, not a recomputed one
+    * (an index built at a different corpus size has a different kb).
+    */
+  private[graft] def indexBuckets(dir: String): Int = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_META")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    meta.trim.stripPrefix("kb=").toInt
+  }
+
+  /** Fixture marker version: bump when the layout scheme changes so a
+    * stale tmp index from an older round regenerates.
+    */
+  private val IdxLayoutV = "admidx-v3:coarse-bucket-ladder"
+
+  /** Build (idempotently, marker-keyed on the corpus + layout version)
+    * the on-disk admission index of the q214-curated final set: one
+    * writer task per bucket, rows clustered (band, key, doc_id) so
+    * each posting run is contiguous. Returns the directory.
     */
   private[graft] def persistAdmissionIndex(s: SparkSession, d: String): String = {
     val dir = admissionIndexDir(d)
     val marker = java.nio.file.Paths.get(dir, "_FIXTURE_OK")
-    if (!graft.Fixtures.markerCurrent(marker, s"$d/documents.parquet")) {
-      indexRowsOf(sharedBaseIndex(s, d))
-        .repartition(col("pb"))
-        .sortWithinPartitions("pb", "band", "key", "doc_id")
-        .write.partitionBy("pb").mode("overwrite").parquet(dir)
-      graft.Fixtures.writeMarker(marker, s"$d/documents.parquet")
+    val srcs = Seq(s"$d/documents.parquet", IdxLayoutV)
+    if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
+      val sigs = sharedBaseIndex(s, d)
+      writeAdmissionIndex(sigs, dir, bucketsFor(sigs.count()))
+      graft.Fixtures.writeMarker(marker, srcs: _*)
     }
     dir
   }
 
   /** The pruned probe: dup-vs-base doc_ids of `dSigs` against the
     * on-disk index. The delta's candidate buckets are collected
-    * driver-side (metadata-scale: <= MinhashBands * IndexKeyBuckets
-    * values regardless of batch size) and pushed as a partition
+    * driver-side (metadata-scale: <= MinhashBands * kb values
+    * regardless of batch size) and pushed as a partition
     * filter — PlanShapeSpec fences that the store FileScan actually
     * prunes on pb. Semantics == the in-memory dvb join, which is what
     * lets q217 share q215's oracle verbatim.
     */
   private[graft] def probeAdmissionIndex(
       s: SparkSession, dir: String, dSigs: DataFrame): DataFrame = {
-    val dBand = bandedOf(dSigs).withColumn("pb", pbCol(col("band"), col("key")))
+    val kb = indexBuckets(dir)
+    val dBand = bandedOf(dSigs)
+      .withColumn("pb", pbCol(col("band"), col("key"), kb))
     // partition values discover as int — probe with ints so the
     // pruning predicate needs no cast (a cast kills partition pruning)
     val pbs = dBand.select("pb").distinct()
@@ -570,13 +615,14 @@ object PipelineOps {
     */
   private[graft] def foldIntoAdmissionIndex(
       s: SparkSession, dir: String, newSigs: DataFrame): Seq[Long] = {
-    val add = indexRowsOf(newSigs).localCheckpoint(true)
+    val kb = indexBuckets(dir) // folds PRESERVE the layout's kb
+    val add = indexRowsOf(newSigs, kb).localCheckpoint(true)
     val touched = add.select("pb").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val existing = s.read.parquet(dir)
       .filter(col("pb").isin(touched.map(_.toInt): _*))
       .select("doc_id", "sig", "band", "key")
-      .withColumn("pb", pbCol(col("band"), col("key")))
+      .withColumn("pb", pbCol(col("band"), col("key"), kb))
     val merged = existing.unionByName(
         add.select("doc_id", "sig", "band", "key", "pb"))
       .repartition(col("pb"))
@@ -777,7 +823,8 @@ object PipelineOps {
     */
   private[graft] def deleteFromAdmissionIndex(
       s: SparkSession, dir: String, delSigs: DataFrame): Seq[Long] = {
-    val delRows = indexRowsOf(delSigs).localCheckpoint(true)
+    val kb = indexBuckets(dir) // deletes PRESERVE the layout's kb
+    val delRows = indexRowsOf(delSigs, kb).localCheckpoint(true)
     val touched = delRows.select("pb").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     if (touched.isEmpty) return Nil
@@ -785,7 +832,7 @@ object PipelineOps {
     val remaining = s.read.parquet(dir)
       .filter(col("pb").isin(touched.map(_.toInt): _*))
       .select("doc_id", "sig", "band", "key")
-      .withColumn("pb", pbCol(col("band"), col("key")))
+      .withColumn("pb", pbCol(col("band"), col("key"), kb))
       .join(broadcast(del), Seq("doc_id"), "left_anti")
       .repartition(col("pb"))
       .sortWithinPartitions("pb", "band", "key", "doc_id")

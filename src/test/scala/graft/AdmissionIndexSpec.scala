@@ -39,12 +39,13 @@ class AdmissionIndexSpec extends AnyFunSuite with SparkTestBase {
     val foldDir = s"$root/folded"
     val fullDir = s"$root/rebuilt"
     Fixtures.clearDir(java.nio.file.Paths.get(root))
-    def writeIdx(sigs: org.apache.spark.sql.DataFrame, dir: String): Unit =
-      ops.PipelineOps.indexRowsOf(sigs)
-        .repartition(col("pb")).sortWithinPartitions("pb", "band", "key", "doc_id")
-        .write.partitionBy("pb").mode("overwrite").parquet(dir)
-    writeIdx(seed, foldDir)
-    writeIdx(bSigs, fullDir)
+    // BOTH dirs at the SEED's bucket count: a fold preserves the
+    // layout's kb (read from _META), so the rebuild twin must be laid
+    // out at the same kb for row-set equality to include pb
+    val kb = ops.PipelineOps.bucketsFor(seed.count())
+    ops.PipelineOps.writeAdmissionIndex(seed, foldDir, kb)
+    ops.PipelineOps.writeAdmissionIndex(bSigs, fullDir, kb)
+    assert(ops.PipelineOps.indexBuckets(foldDir) == kb, "META kb roundtrip")
 
     // snapshot per-bucket file listings before the fold
     def bucketFiles(dir: String): Map[String, Seq[(String, Long)]] = {
