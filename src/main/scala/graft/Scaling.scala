@@ -145,7 +145,8 @@ object Scaling {
     ("q216_stream_pipeline_ingest", "q215 as a stream: per-batch gates + accumulated-index admission", "documents"),
     // r14 additions: the persisted-index and takedown composites
     ("q217_pipeline_index_disk", "q215 admission via the persisted on-disk index (pruned probe)", "documents"),
-    ("q218_pipeline_takedown", "takedown: tombstoned index + weight refold + re-submission", "documents"))
+    ("q218_pipeline_takedown", "takedown: tombstoned index + weight refold + re-submission", "documents"),
+    ("q219_pipeline_two_epoch", "two-epoch ingest: fold admitted sigs, admit epoch 2 vs folded index", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")

@@ -664,6 +664,21 @@ object PipelineOps {
       s: SparkSession, d: String,
       dvbVia: Option[DataFrame => DataFrame] = None,
       deltaOf: DataFrame => DataFrame = deltaBatch): (DataFrame, Seq[DataFrame]) = {
+    val (card, _, _, handles) = pipelineIncrementFull(s, d, dvbVia, deltaOf)
+    (card, handles)
+  }
+
+  /** [[pipelineIncrementLazy]] plus the ADMITTED relation (rows and
+    * clean signatures) — q219's epoch-1 state: what an ingest run
+    * hands to the index fold. Both extras are lazy over the persisted
+    * handles; a caller that needs them past release must checkpoint
+    * first.
+    */
+  private[graft] def pipelineIncrementFull(
+      s: SparkSession, d: String,
+      dvbVia: Option[DataFrame => DataFrame] = None,
+      deltaOf: DataFrame => DataFrame = deltaBatch)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val d0 = CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
       .repartition(col("doc_id"))
@@ -767,8 +782,13 @@ object PipelineOps {
         coalesce(col("admitted_checksum"), lit(0L)).as("admitted_checksum"),
         coalesce(col("admitted_tok"), lit(0L)).as("admitted_tok"))
       .orderBy("source")
+    val admittedRows = flagged
+      .filter(!col("is_contam") && !col("is_dvb") && !col("is_dwd"))
+      .select("doc_id", "source", "text", "rtext")
+    val admittedSigs = dSigs.join(
+      admittedRows.select("doc_id"), Seq("doc_id"))
     // audited is the session-shared checkpoint — NOT unpersisted here
-    (result, Seq(dAudit, dg3k, clean, flagged, d0))
+    (result, admittedRows, admittedSigs, Seq(dAudit, dg3k, clean, flagged, d0))
   }
 
   // ---- q218: TAKEDOWN through the CURATION composite (r13 verdict
@@ -1014,11 +1034,12 @@ object PipelineOps {
        |ORDER BY spine.source""".stripMargin
   }
 
-  private[graft] val pipelineIncrementSql: String = {
+  /** The q215 delta chain (delta .. adm) as reusable CTE text — q219
+    * builds its epoch-1 state from it verbatim.
+    */
+  private def incrementChainSql: String = {
     val t = "string_split(text, ' ')"
-    val rt = "string_split(rtext, ' ')"
-    s"""WITH $chainPrefixSql,
-       |delta AS (SELECT doc_id + $DeltaNearOffset AS doc_id, source,
+    s"""delta AS (SELECT doc_id + $DeltaNearOffset AS doc_id, source,
        |            'delta ' || text AS text
        |          FROM documents WHERE doc_id % 5 = 0
        |          UNION ALL
@@ -1061,9 +1082,169 @@ object PipelineOps {
        |       JOIN dsigs sy ON sy.doc_id = cwd.b
        |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5
        |         AND a NOT IN (SELECT doc_id FROM dvb)),
-       |adm AS (SELECT * FROM dcln
+       |adm AS MATERIALIZED (SELECT * FROM dcln
        |        WHERE doc_id NOT IN (SELECT doc_id FROM dvb)
-       |          AND doc_id NOT IN (SELECT doc_id FROM dwd)),
+       |          AND doc_id NOT IN (SELECT doc_id FROM dwd))""".stripMargin
+  }
+
+  // ---- q219: TWO-EPOCH INGEST CONTINUITY — the fold primitive under
+  //      an oracle (r14; AdmissionIndexSpec proves fold == rebuild,
+  //      this lane proves the folded artifact SERVES). Epoch 1 is
+  //      q215's admission verbatim; its ADMITTED signatures then fold
+  //      into a run-local clone of the persisted base index (the
+  //      end-of-ingest checkpoint a deployment runs — exactly what
+  //      q216's accumulated per-batch state becomes at day's end), and
+  //      epoch 2 admits a second closed-form delta against the FOLDED
+  //      index:
+  //        A. an exact re-submission of every epoch-1 ADMITTED doc —
+  //           rejected dup-vs-base via its OWN folded entry (est_j=1),
+  //           the fold-liveness bucket (admission now remembers what
+  //           it admitted);
+  //        B. the q215 copy branch AGAIN (doc_id % 7 == 3) — classified
+  //           exactly as in epoch 1, proving the fold did not corrupt
+  //           the pre-existing entries... except copies whose epoch-1
+  //           twin was ADMITTED, which are now rejected against it —
+  //           both engines derive this closed-form;
+  //        C. reversed-token copies of doc_id % 13 == 7 docs — fresh
+  //           content EXCEPT where the doc also hit the % 11 == 1
+  //           epoch-1 reversed-twin branch, whose admitted reversed
+  //           text now lives in the folded index: a cross-epoch
+  //           near-dup catch that no single-epoch lane can express.
+  //      Cost shape: the fold rewrites only the admitted docs' buckets
+  //      (stage-and-swap); epoch 2 is the q217 pruned probe against
+  //      the folded layout. Oracle = base chain + epoch-1 chain + a
+  //      folded index defined as (base ∪ admitted) + the epoch-2
+  //      admission chain — all closed-form. ----
+  private[graft] val Epoch2AdmOffset = 20000000L
+  private[graft] val Epoch2CopyOffset = 30000000L
+  private[graft] val Epoch2RevOffset = 40000000L
+
+  private[graft] def epoch2Batch(d0: DataFrame, adm1: DataFrame): DataFrame = {
+    val rev = concat_ws(" ", reverse(split(col("text"), " ")))
+    adm1.select((col("doc_id") + Epoch2AdmOffset).as("doc_id"), col("source"),
+        col("text"))
+      .unionByName(d0.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + Epoch2CopyOffset).as("doc_id"), col("source"),
+                col("text")))
+      .unionByName(d0.filter(col("doc_id") % 13 === 7)
+        .select((col("doc_id") + Epoch2RevOffset).as("doc_id"), col("source"),
+                rev.as("text")))
+  }
+
+  def pipelineTwoEpoch(s: SparkSession, d: String): DataFrame = {
+    // epoch 1: q215's admission; keep the admitted relation alive past
+    // the handle release
+    val (_, admRows0, admSigs0, handles1) = pipelineIncrementFull(s, d)
+    val admRows = admRows0.localCheckpoint(true)
+    val admSigs = admSigs0.localCheckpoint(true)
+    handles1.foreach(_.unpersist(false))
+    // the end-of-ingest checkpoint: fold admitted signatures into a
+    // run-local clone of the persisted base (the pristine fixture
+    // stays untouched for q217/q218)
+    val src = persistAdmissionIndex(s, d)
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_e2_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    graft.Fixtures.clearDir(java.nio.file.Paths.get(dst))
+    SimilarityOps.copyTree(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dst))
+    foldIntoAdmissionIndex(s, dst, admSigs)
+    // epoch 2 against the folded artifact
+    val (card2, handles2) = pipelineIncrementLazy(s, d,
+      Some(ds => probeAdmissionIndex(s, dst, ds)),
+      d0 => epoch2Batch(d0, admRows))
+    val result = card2.localCheckpoint(true)
+    handles2.foreach(_.unpersist(false))
+    result
+  }
+
+  private[graft] val pipelineTwoEpochSql: String = {
+    val t = "string_split(text, ' ')"
+    val rt = "string_split(rtext, ' ')"
+    s"""WITH $chainPrefixSql,
+       |$incrementChainSql,
+       |fsig AS MATERIALIZED (SELECT doc_id, sig FROM bsig
+       |       UNION ALL
+       |       SELECT s.doc_id, s.sig FROM dsigs s JOIN adm USING (doc_id)),
+       |fband AS MATERIALIZED (SELECT doc_id, band, key FROM bband
+       |       UNION ALL
+       |       SELECT b.doc_id, b.band, b.key FROM dbanded b JOIN adm USING (doc_id)),
+       |e2delta AS (SELECT doc_id + $Epoch2AdmOffset AS doc_id, source, text
+       |            FROM adm
+       |            UNION ALL
+       |            SELECT doc_id + $Epoch2CopyOffset, source, text
+       |            FROM documents WHERE doc_id % 7 = 3
+       |            UNION ALL
+       |            SELECT doc_id + $Epoch2RevOffset, source,
+       |              array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |            FROM documents WHERE doc_id % 13 = 7),
+       |${gateChainSql("e2delta", "e")},
+       |econtam AS (SELECT DISTINCT doc_id FROM
+       |            (SELECT doc_id,
+       |               unnest(${hashedShinglesSql(shinglesSql("ctoks", DecontamGram))}) AS g
+       |             FROM (SELECT doc_id, $t AS ctoks FROM eg3k)
+       |             WHERE len(ctoks) >= $DecontamGram) gg
+       |           JOIN bench USING (g)),
+       |ecln AS MATERIALIZED (SELECT * FROM eg3k
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM econtam)),
+       |${sigChainSql("e", "ecln")},
+       |ecvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM ebanded x JOIN fband y
+       |          ON x.band = y.band AND x.key = y.key),
+       |edvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ecvb
+       |       JOIN esigs sx ON sx.doc_id = ecvb.a
+       |       JOIN fsig sy ON sy.doc_id = ecvb.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
+       |ecwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM ebanded x JOIN ebanded y
+       |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
+       |edwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ecwd
+       |       JOIN esigs sx ON sx.doc_id = ecwd.a
+       |       JOIN esigs sy ON sy.doc_id = ecwd.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5
+       |         AND a NOT IN (SELECT doc_id FROM edvb)),
+       |eadm AS (SELECT * FROM ecln
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM edvb)
+       |          AND doc_id NOT IN (SELECT doc_id FROM edwd)),
+       |eing AS (SELECT source, COUNT(*) AS n_delta FROM e2delta GROUP BY source),
+       |ez1 AS (SELECT source, COUNT(*) AS n1 FROM eg1 WHERE score < $QualityMin
+       |       GROUP BY source),
+       |ez2 AS (SELECT source, COUNT(*) AS n2 FROM eg1k
+       |       WHERE ${TextOps.predSql(t)} = 'und' GROUP BY source),
+       |ez3 AS (SELECT source, COUNT(*) AS n3 FROM eg3
+       |       WHERE n_red >= $PiiQuarantineAt GROUP BY source),
+       |ez4 AS (SELECT source, COUNT(*) AS n4 FROM eg3k
+       |       JOIN econtam USING (doc_id) GROUP BY source),
+       |ez5 AS (SELECT source, COUNT(*) AS n5 FROM ecln
+       |       JOIN edvb USING (doc_id) GROUP BY source),
+       |ez6 AS (SELECT source, COUNT(*) AS n6 FROM ecln
+       |       JOIN edwd USING (doc_id) GROUP BY source),
+       |eza AS (SELECT source, COUNT(*) AS n_admitted,
+       |         CAST(SUM(doc_id) AS BIGINT) AS admitted_checksum,
+       |         CAST(SUM(len($rt)) AS BIGINT) AS admitted_tok
+       |       FROM eadm GROUP BY source)
+       |SELECT eing.source, eing.n_delta,
+       |  COALESCE(ez1.n1, 0) AS n_quality_dropped,
+       |  COALESCE(ez2.n2, 0) AS n_lang_dropped,
+       |  COALESCE(ez3.n3, 0) AS n_pii_quarantined,
+       |  COALESCE(ez4.n4, 0) AS n_contam_dropped,
+       |  COALESCE(ez5.n5, 0) AS n_dup_vs_base,
+       |  COALESCE(ez6.n6, 0) AS n_dup_within,
+       |  COALESCE(eza.n_admitted, 0) AS n_admitted,
+       |  COALESCE(eza.admitted_checksum, 0) AS admitted_checksum,
+       |  COALESCE(eza.admitted_tok, 0) AS admitted_tok
+       |FROM eing
+       |LEFT JOIN ez1 USING (source) LEFT JOIN ez2 USING (source)
+       |LEFT JOIN ez3 USING (source) LEFT JOIN ez4 USING (source)
+       |LEFT JOIN ez5 USING (source) LEFT JOIN ez6 USING (source)
+       |LEFT JOIN eza USING (source)
+       |ORDER BY eing.source""".stripMargin
+  }
+
+  private[graft] val pipelineIncrementSql: String = {
+    val t = "string_split(text, ' ')"
+    val rt = "string_split(rtext, ' ')"
+    s"""WITH $chainPrefixSql,
+       |$incrementChainSql,
        |ding AS (SELECT source, COUNT(*) AS n_delta FROM delta GROUP BY source),
        |z1 AS (SELECT source, COUNT(*) AS n1 FROM dg1 WHERE score < $QualityMin
        |       GROUP BY source),
@@ -1100,6 +1281,8 @@ object PipelineOps {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q219_pipeline_two_epoch", pipelineTwoEpoch, Some(pipelineTwoEpochSql),
+      "TWO-EPOCH ingest continuity — the fold primitive under an oracle: epoch 1 is q215's admission verbatim, its admitted signatures fold into a clone of the persisted base index (stage-and-swap of only the touched buckets — the end-of-ingest checkpoint q216's accumulated state becomes), and epoch 2 admits a second closed-form delta against the FOLDED artifact: re-submissions of epoch-1 admissions are rejected against their OWN folded entries, the q215 copy branch classifies as before except where its epoch-1 twin was admitted, and reversed copies catch cross-epoch near-dups of the folded reversed twins"),
     Q("q218_pipeline_takedown", pipelineTakedown, Some(pipelineTakedownSql),
       "TAKEDOWN through the curation composite: a deterministic delete set leaves the persisted admission index via q187-shaped tombstones (stage-and-swap of only the touched buckets), group weights refold from the cached near-dup pair list (no re-mining), the per-source card re-emits (final count/checksum/weighted mass/mixture), and every deleted doc is RE-SUBMITTED against the post-takedown state — admitted unless it still near-matches a surviving doc (the inverse of q215's always-rejected assertion); oracle = from-scratch re-curation without the deleted docs + the q215 admission chain"),
     Q("q217_pipeline_index_disk", pipelineIncrementDisk, Some(pipelineIncrementSql),
