@@ -604,6 +604,15 @@ object Plans {
       "against the tombstoned clone plus q215's within-batch check. " +
       "Oracle = from-scratch re-curation; PipelineTakedownSpec pins " +
       "per-doc semantics from the pair list.\n")
+    sb.append("\n## q219_pipeline_two_epoch (two-epoch ingest continuity)\n\n" +
+      "no new join shapes: epoch 1 is q215's admission plan verbatim; " +
+      "the fold is the q182-style stage-and-swap over only the " +
+      "admitted docs' buckets (bucket set derived from their " +
+      "signatures, no index scan); epoch 2 is q217's pruned probe " +
+      "against the folded layout plus q215's within-batch check. " +
+      "Oracle models the folded index closed-form (base ∪ admitted); " +
+      "PipelineTwoEpochSpec re-derives both epochs driver-side and " +
+      "asserts per-doc fold liveness.\n")
     sb.append("\n## q212_stream_vacuum_serve (streaming lifecycle composite)\n\n" +
       "swap + vacuum under a live query stream: per-batch serving is " +
       "the SAME manifestPinnedRead plan dumped for q193 above (pruned " +
