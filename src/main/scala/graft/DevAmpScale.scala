@@ -15,16 +15,13 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.DevAmpScale [amp] [lanes...]
   */
 object DevAmpScale {
-  def main(args: Array[String]): Unit = {
-    val amp = args.headOption.map(_.toInt).getOrElse(10)
-    val lanes =
-      if (args.length > 1) args.drop(1).toSeq
-      else Seq("q196_gzip_ingest", "q200_warc_ingest", "q190_gif_frames",
-               "q197_y4m_video", "q211_video_neardup")
-    val base = "/root/testdata/sf0.1"
+  /** Stage (idempotently, marker-keyed) the documents-x`amp` corpus
+    * dir derived from `base` — shared by DevAmpScale and DevAmpBreak.
+    * Returns the amp dir path.
+    */
+  private[graft] def ensureAmpDir(
+      spark: org.apache.spark.sql.SparkSession, base: String, amp: Int): String = {
     val ampDir = s"${System.getProperty("java.io.tmpdir")}/graft_amp${amp}_sf01"
-    val spark = Sessions.benchSession("graft-ampscale")
-    spark.sparkContext.setLogLevel("WARN")
     val marker = java.nio.file.Paths.get(ampDir, "_AMP_OK")
     // v2 token: the offset scheme changed (derived, not fixed) — a
     // stale v1 amp dir in tmp must regenerate
@@ -43,6 +40,19 @@ object DevAmpScale {
         .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
       Fixtures.writeMarker(marker, ampSrcs: _*)
     }
+    ampDir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val amp = args.headOption.map(_.toInt).getOrElse(10)
+    val lanes =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q196_gzip_ingest", "q200_warc_ingest", "q190_gif_frames",
+               "q197_y4m_video", "q211_video_neardup")
+    val base = "/root/testdata/sf0.1"
+    val spark = Sessions.benchSession("graft-ampscale")
+    spark.sparkContext.setLogLevel("WARN")
+    val ampDir = ensureAmpDir(spark, base, amp)
     val byName = Registry.all.map(q => q.name -> q).toMap
     def bestOf2(d: String, name: String): Double = {
       val q = byName(name)

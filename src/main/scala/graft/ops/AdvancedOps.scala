@@ -104,7 +104,7 @@ object AdvancedOps {
         min(when(col("cum") >= ceil(col("n_rows") * 0.49), col("b"))).as("b_lo"),
         min(when(col("cum") >= ceil(col("n_rows") * 0.51), col("b"))).as("b_hi"))
     val exact = li.agg(countDistinct(col("l_orderkey")).as("orderkeys_exact"))
-    sketched.crossJoin(exact).crossJoin(band)
+    sketched.crossJoin(broadcast(exact)).crossJoin(broadcast(band))
       .select(
         (abs(col("orderkeys_hll") - col("orderkeys_exact")) <=
           col("orderkeys_exact") * lit(HllBand)).as("hll_ok"),
@@ -146,7 +146,7 @@ object AdvancedOps {
     val mm = li.agg(min(price).as("lo"), max(price).as("hi"),
                     count(lit(1)).as("n"))
     val width = (col("hi") - col("lo")) / lit(QhBuckets.toDouble)
-    val counts = li.crossJoin(mm)
+    val counts = li.crossJoin(broadcast(mm))
       .select(least(floor((price - col("lo")) / width).cast("long"),
                     lit((QhBuckets - 1).toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
@@ -155,11 +155,11 @@ object AdvancedOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val qs = cum.sparkSession.range(1)
       .select(explode(array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)).as("q"))
-    cum.crossJoin(qs).crossJoin(mm)
+    cum.crossJoin(broadcast(qs)).crossJoin(broadcast(mm))
       .filter(col("cum").cast("double") >= col("q") * col("n"))
       .groupBy("q")
       .agg(min(col("bucket")).as("qb"), min(col("n")).as("n"))
-      .crossJoin(mm.select(col("lo"), col("hi")))
+      .crossJoin(broadcast(mm.select(col("lo"), col("hi"))))
       .select(col("q"), col("qb"),
               floor((col("lo") + (col("qb") + lit(0.5))
                 * ((col("hi") - col("lo")) / lit(QhBuckets.toDouble))) * 1e6)

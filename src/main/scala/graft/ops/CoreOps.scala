@@ -223,7 +223,7 @@ object CoreOps {
       max(col("id")).as("id_max"))
     val ncat = df.select(col("category")).distinct()
       .agg(count(lit(1)).as("n_cat"))
-    plain.crossJoin(ncat)
+    plain.crossJoin(broadcast(ncat))
       .select("n_rows", "n_cat", "oob", "id_min", "id_max")
   }
 
@@ -236,7 +236,7 @@ object CoreOps {
   //      the distributed analogue of index.repeat) ----
   def amplify(s: SparkSession, d: String): DataFrame =
     Tables.region(s, d)
-      .crossJoin(s.range(1000))
+      .crossJoin(broadcast(s.range(1000)))
       .groupBy("r_name")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("r_name")

@@ -377,7 +377,7 @@ object JoinOps {
     val ev = Tables.events(s, d)
       .withColumn("salt", (col("event_id") % Salt).cast("int"))
     val cust = Tables.customer(s, d)
-      .crossJoin(s.range(Salt).select(col("id").cast("int").as("salt")))
+      .crossJoin(broadcast(s.range(Salt).select(col("id").cast("int").as("salt"))))
     ev.join(broadcast(cust),
         ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
       .groupBy("c_mktsegment")

@@ -441,7 +441,26 @@ object PipelineOps {
     *    variants of FINAL docs classify dup-vs-base first, and copies
     *    of gate-dropped docs fail the same gates their original did.
     */
+  /** Smallest spacing between the synthetic-branch id offsets (the
+    * delta branches sit 1 M apart). Both engine and oracle share the
+    * offset constants, so an id-range overflow would alias branches
+    * SILENTLY with no oracle signal (r14 ADVICE — the same hazard
+    * class the r13 derived-amp-offset fix addressed): assert headroom
+    * loudly at lane entry instead. One metadata-scale agg job.
+    */
+  private[graft] val MinOffsetSpacing = 1000000L
+
+  private def assertIdHeadroom(df: DataFrame, bound: Long, where: String): Unit = {
+    val r = df.agg(max(col("doc_id"))).head()
+    if (!r.isNullAt(0))
+      require(r.getLong(0) < bound,
+        s"$where: max(doc_id)=${r.getLong(0)} >= offset spacing $bound — " +
+          "synthetic id branches would alias silently; regenerate with " +
+          "larger offsets or a smaller corpus")
+  }
+
   private[graft] def deltaBatch(d0: DataFrame): DataFrame = {
+    assertIdHeadroom(d0, MinOffsetSpacing, "deltaBatch")
     val rev = concat_ws(" ", reverse(split(col("text"), " ")))
     d0.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + DeltaNearOffset).as("doc_id"), col("source"),
@@ -1120,6 +1139,9 @@ object PipelineOps {
   private[graft] val Epoch2RevOffset = 40000000L
 
   private[graft] def epoch2Batch(d0: DataFrame, adm1: DataFrame): DataFrame = {
+    // epoch-1 admitted ids (delta ids, <= base + 4 M) + the adm offset
+    // must stay below the next epoch-2 branch
+    assertIdHeadroom(adm1, Epoch2CopyOffset - Epoch2AdmOffset, "epoch2Batch")
     val rev = concat_ws(" ", reverse(split(col("text"), " ")))
     adm1.select((col("doc_id") + Epoch2AdmOffset).as("doc_id"), col("source"),
         col("text"))
@@ -1156,6 +1178,124 @@ object PipelineOps {
     handles2.foreach(_.unpersist(false))
     result
   }
+
+  // ---- q220: N-EPOCH INDEX LIFECYCLE (r14 verdict #2) — the text
+  //      index's full maintenance loop under ONE oracle, closing the
+  //      symmetry with the vector side (compaction q182, tombstones
+  //      q187, vacuum q210, swap q212). THREE epochs drive
+  //      admit -> fold -> takedown on the persisted q217 artifact:
+  //        epoch 1: q215's delta admitted against the pristine clone
+  //                 (disk probe), admitted sigs FOLD in, then a
+  //                 deterministic takedown (admitted ids % 3 == 0)
+  //                 tombstones out of the index;
+  //        epoch 2: the taken-down docs RE-SUBMITTED (new ids) — must
+  //                 be ADMITTED (their entries are gone: delete is
+  //                 live) — alongside re-submissions of the epoch-1
+  //                 survivors — must be REJECTED dup-vs-base against
+  //                 their own folded entries (fold is live). Admitted
+  //                 set folds in; takedown #2 (ids % 2 == 0) leaves.
+  //        epoch 3: the epoch-2 takedowns re-submitted (admitted
+  //                 AGAIN — the delete/fold cycle composes), epoch-2
+  //                 survivors re-submitted (rejected), plus FRESH
+  //                 near-dup variants ('delta ' || text of
+  //                 doc_id % 19 == 4) probing entries that predate
+  //                 both folds — original base entries must still
+  //                 match after two fold+delete cycles.
+  //      Cost shape at 100 TB: each epoch's admission is the q217
+  //      pruned probe (cost ∝ batch buckets), each fold/delete is a
+  //      stage-and-swap of exactly the touched buckets (spec:
+  //      minimality + fold == rebuild at EVERY epoch boundary) — K
+  //      epochs cost K x delta work, never K x corpus. Oracle models
+  //      the index state closed-form per epoch: I1 = (base ∪ adm1) \
+  //      td1, I2 = (I1 ∪ adm2) \ td2. ----
+  private[graft] val LcTd1ResubOffset = 100000000L
+  private[graft] val LcSurv1ResubOffset = 200000000L
+  private[graft] val LcTd2ResubOffset = 1000000000L
+  private[graft] val LcSurv2ResubOffset = 2000000000L
+  private[graft] val LcFreshOffset = 3000000000L
+
+  /** Per-epoch trace for the lifecycle spec: what folded, what left,
+    * and exactly which buckets each mutation touched.
+    */
+  private[graft] final case class LcEpoch(
+      epoch: Int, admSigs: DataFrame, tdSigs: DataFrame,
+      foldTouched: Seq[Long], delTouched: Seq[Long])
+
+  /** The lane body, exposing the mutation trace + index dir (spec
+    * surface); the registered build drops both.
+    */
+  private[graft] def pipelineLifecycleFull(
+      s: SparkSession, d: String): (DataFrame, Seq[LcEpoch], String) = {
+    val src = persistAdmissionIndex(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_lc_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    graft.Fixtures.clearDir(java.nio.file.Paths.get(dir))
+    SimilarityOps.copyTree(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dir))
+    def resub(rows: DataFrame, off: Long): DataFrame =
+      rows.select((col("doc_id") + off).as("doc_id"), col("source"), col("text"))
+    def epochRun(deltaOf: DataFrame => DataFrame)
+        : (DataFrame, DataFrame, DataFrame) = {
+      val (card0, admRows0, admSigs0, handles) = pipelineIncrementFull(
+        s, d, Some(ds => probeAdmissionIndex(s, dir, ds)), deltaOf)
+      // materialize BEFORE the index mutates (the probe reads `dir`
+      // lazily; a fold/delete between build and force would leak the
+      // NEXT epoch's state into this epoch's card)
+      val card = card0.localCheckpoint(true)
+      val admRows = admRows0.localCheckpoint(true)
+      val admSigs = admSigs0.localCheckpoint(true)
+      handles.foreach(_.unpersist(false))
+      (card, admRows, admSigs)
+    }
+    // epoch 1: q215's delta against the pristine clone
+    val (card1, adm1, sig1) = epochRun(deltaBatch)
+    assertIdHeadroom(adm1, LcTd1ResubOffset, "lifecycle epoch1")
+    val ft1 = foldIntoAdmissionIndex(s, dir, sig1)
+    val td1Sigs = sig1.filter(col("doc_id") % 3 === 0).localCheckpoint(true)
+    val dt1 = deleteFromAdmissionIndex(s, dir, td1Sigs)
+    // epoch 2: takedown re-submissions (admit) + survivor re-submissions (reject)
+    val delta2 = resub(adm1.filter(col("doc_id") % 3 === 0), LcTd1ResubOffset)
+      .unionByName(resub(adm1.filter(col("doc_id") % 3 =!= 0), LcSurv1ResubOffset))
+      .localCheckpoint(true)
+    val (card2, adm2, sig2) = epochRun(_ => delta2)
+    assertIdHeadroom(adm2, LcTd2ResubOffset - LcSurv1ResubOffset, "lifecycle epoch2")
+    val ft2 = foldIntoAdmissionIndex(s, dir, sig2)
+    val td2Sigs = sig2.filter(col("doc_id") % 2 === 0).localCheckpoint(true)
+    val dt2 = deleteFromAdmissionIndex(s, dir, td2Sigs)
+    // epoch 3: cycle again + fresh near-dups of pre-fold base entries
+    val d0 = CoreOps.jsonlDocs(s, d)
+      .select(col("doc_id"), col("meta.source").as("source"), col("text"))
+    val fresh = d0.filter(col("doc_id") % 19 === 4)
+      .select((col("doc_id") + LcFreshOffset).as("doc_id"), col("source"),
+              concat(lit("delta "), col("text")).as("text"))
+    val delta3 = resub(adm2.filter(col("doc_id") % 2 === 0), LcTd2ResubOffset)
+      .unionByName(resub(adm2.filter(col("doc_id") % 2 =!= 0), LcSurv2ResubOffset))
+      .unionByName(fresh)
+      .localCheckpoint(true)
+    val (card3, adm3, sig3) = epochRun(_ => delta3)
+    // assemble: one row per (epoch, source), q215's card + n_taken_down
+    def withTd(card: DataFrame, e: Int, tdRows: DataFrame): DataFrame =
+      card.join(tdRows.groupBy("source").agg(count(lit(1)).as("ntd")),
+          Seq("source"), "left")
+        .select(lit(e.toLong).as("epoch"), col("source"), col("n_delta"),
+          col("n_quality_dropped"), col("n_lang_dropped"),
+          col("n_pii_quarantined"), col("n_contam_dropped"),
+          col("n_dup_vs_base"), col("n_dup_within"), col("n_admitted"),
+          col("admitted_checksum"), col("admitted_tok"),
+          coalesce(col("ntd"), lit(0L)).as("n_taken_down"))
+    val out = withTd(card1, 1, adm1.filter(col("doc_id") % 3 === 0))
+      .unionByName(withTd(card2, 2, adm2.filter(col("doc_id") % 2 === 0)))
+      .unionByName(withTd(card3, 3, adm3.limit(0)))
+      .orderBy("epoch", "source")
+      .localCheckpoint(true)
+    (out, Seq(
+      LcEpoch(1, sig1, td1Sigs, ft1, dt1),
+      LcEpoch(2, sig2, td2Sigs, ft2, dt2),
+      LcEpoch(3, sig3, sig3.limit(0), Nil, Nil)), dir)
+  }
+
+  def pipelineLifecycle(s: SparkSession, d: String): DataFrame =
+    pipelineLifecycleFull(s, d)._1
 
   private[graft] val pipelineTwoEpochSql: String = {
     val t = "string_split(text, ' ')"

@@ -2195,10 +2195,16 @@ cb$r AS MATERIALIZED (
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_simtruth_" +
         java.lang.Integer.toHexString(d.hashCode)
       val marker = java.nio.file.Paths.get(dir, "_FIXTURE_OK")
-      if (!graft.Fixtures.markerCurrent(marker, s"$d/embeddings.parquet")) {
+      // derivation-version token alongside the corpus fingerprint
+      // (r14 ADVICE: a marker keyed only on the corpus would silently
+      // reuse a stale truth set after a simTopKOn/EvalQueries change —
+      // same discipline as amp-fixture-v2 / admidx-v3)
+      val srcs = Seq(s"$d/embeddings.parquet",
+        s"simtruth-v1:topk$TopK-q$EvalQueries")
+      if (!graft.Fixtures.markerCurrent(marker, srcs: _*)) {
         simTopKOn(base(s, d), EvalQueries)
           .write.mode("overwrite").parquet(dir)
-        graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
+        graft.Fixtures.writeMarker(marker, srcs: _*)
       }
       s.read.parquet(dir)
     }
@@ -4154,7 +4160,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
            sum(col("gain") * col("disc")).as("dcg0"))
     import s.implicits._
     val grid = Seq("adc", "ivf", "ivfpq", "lsh", "mlsh", "rivfpq", "trivfpq").toDF("sys")
-      .crossJoin(all.filter(col("vec_id") < EvalQueries).select(col("vec_id").as("qid")))
+      .crossJoin(broadcast(
+        all.filter(col("vec_id") < EvalQueries).select(col("vec_id").as("qid"))))
     val result = grid.join(m, Seq("sys", "qid"), "left")
       .select(col("sys"), col("qid"),
               coalesce(col("n_rel0"), lit(0L)).as("n_rel"),

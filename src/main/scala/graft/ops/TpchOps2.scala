@@ -129,7 +129,7 @@ object TpchOps2 {
     val perPart = base.groupBy("l_partkey")
       .agg(floor(dsum(volume) * 1e6).cast("long").as("value_q6"))
     val total = perPart.agg(sum(col("value_q6")).as("total_q6"))
-    perPart.crossJoin(total)
+    perPart.crossJoin(broadcast(total))
       .filter(col("value_q6") * lit(10000L) > col("total_q6") * lit(8L))
       .select(col("l_partkey"), col("value_q6"))
       .orderBy(col("value_q6").desc, col("l_partkey").asc)
@@ -213,7 +213,7 @@ object TpchOps2 {
       .groupBy("l_suppkey")
       .agg(floor(dsum(volume) * 1e6).cast("long").as("revenue_q6"))
     val top = rev.agg(max(col("revenue_q6")).as("max_q6"))
-    rev.crossJoin(top)
+    rev.crossJoin(broadcast(top))
       .filter(col("revenue_q6") === col("max_q6"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_q6"))

@@ -525,4 +525,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("no CartesianProduct in any LAZY pre-checkpoint plan surface (r15)") {
+    // complements the registry-wide sweep in RegistrySmokeSpec (which
+    // sees the post-checkpoint RDD-scan plans of the eager lanes):
+    // the checkpointing lanes' real join shapes live in their lazy
+    // variants, swept here without executing them
+    val surfaces: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "q34_lazy" -> (() => {
+        val (p, sh) = ops.DedupOps.dedupMinhashLazy(spark, sf)
+        sh.unpersist(false); p
+      }),
+      "q152_lazy" -> (() => {
+        val (p, hs) = ops.TextOps.dsirWeightLazy(spark, sf)
+        hs.foreach(_.unpersist(false)); p
+      }),
+      "q156_lazy" -> (() => {
+        val (p, hs) = ops.DedupOps.intraRepeatLazy(spark, sf)
+        hs.foreach(_.unpersist(false)); p
+      }),
+      "q158_lazy" -> (() => {
+        val (p, t) = ops.TextOps.hybridRrfLazy(spark, sf)
+        t.unpersist(false); p
+      }),
+      "q131_lazy" -> (() => {
+        val (p, hs) = ops.SimilarityOps.semDedupLazy(spark, sf)
+        hs.foreach(_.unpersist(false)); p
+      }),
+      "q215_lazy" -> (() => {
+        val (p, hs) = ops.PipelineOps.pipelineIncrementLazy(spark, sf)
+        hs.foreach(_.unpersist(false)); p
+      }))
+    surfaces.foreach { case (name, mk) =>
+      val plan = mk().queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: CartesianProduct in the lazy plan:\n$plan")
+    }
+  }
 }
