@@ -1297,6 +1297,153 @@ object PipelineOps {
   def pipelineLifecycle(s: SparkSession, d: String): DataFrame =
     pipelineLifecycleFull(s, d)._1
 
+  /** `p`-prefixed full admission chain (gates -> contamination ->
+    * sigs -> dup-vs-index -> dup-within -> admitted) of `deltaCte`
+    * against the index state (`idxSig`, `idxBand`) — the q215 chain
+    * parameterized on the index relation, so each lifecycle epoch
+    * probes the closed-form folded/tombstoned state of the previous.
+    */
+  private def lcEpochChainSql(p: String, deltaCte: String,
+      idxSig: String, idxBand: String): String = {
+    val t = "string_split(text, ' ')"
+    s"""${gateChainSql(deltaCte, p)},
+       |${p}contam AS (SELECT DISTINCT doc_id FROM
+       |            (SELECT doc_id,
+       |               unnest(${hashedShinglesSql(shinglesSql("ctoks", DecontamGram))}) AS g
+       |             FROM (SELECT doc_id, $t AS ctoks FROM ${p}g3k)
+       |             WHERE len(ctoks) >= $DecontamGram) gg
+       |           JOIN bench USING (g)),
+       |${p}cln AS MATERIALIZED (SELECT * FROM ${p}g3k
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM ${p}contam)),
+       |${sigChainSql(p, s"${p}cln")},
+       |${p}cvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM ${p}banded x JOIN $idxBand y
+       |          ON x.band = y.band AND x.key = y.key),
+       |${p}dvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ${p}cvb
+       |       JOIN ${p}sigs sx ON sx.doc_id = ${p}cvb.a
+       |       JOIN $idxSig sy ON sy.doc_id = ${p}cvb.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
+       |${p}cwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM ${p}banded x JOIN ${p}banded y
+       |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
+       |${p}dwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ${p}cwd
+       |       JOIN ${p}sigs sx ON sx.doc_id = ${p}cwd.a
+       |       JOIN ${p}sigs sy ON sy.doc_id = ${p}cwd.b
+       |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5
+       |         AND a NOT IN (SELECT doc_id FROM ${p}dvb)),
+       |${p}adm AS MATERIALIZED (SELECT * FROM ${p}cln
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM ${p}dvb)
+       |          AND doc_id NOT IN (SELECT doc_id FROM ${p}dwd))""".stripMargin
+  }
+
+  /** `p`-prefixed per-source epoch card over the [[lcEpochChainSql]]
+    * relations, with the epoch literal and the takedown count.
+    */
+  private def lcCardSql(p: String, epoch: Int, deltaCte: String,
+      tdWhere: String): String = {
+    val t = "string_split(text, ' ')"
+    val rt = "string_split(rtext, ' ')"
+    s"""${p}ing AS (SELECT source, COUNT(*) AS n_delta FROM $deltaCte
+       |       GROUP BY source),
+       |${p}z1 AS (SELECT source, COUNT(*) AS n1 FROM ${p}g1
+       |       WHERE score < $QualityMin GROUP BY source),
+       |${p}z2 AS (SELECT source, COUNT(*) AS n2 FROM ${p}g1k
+       |       WHERE ${TextOps.predSql(t)} = 'und' GROUP BY source),
+       |${p}z3 AS (SELECT source, COUNT(*) AS n3 FROM ${p}g3
+       |       WHERE n_red >= $PiiQuarantineAt GROUP BY source),
+       |${p}z4 AS (SELECT source, COUNT(*) AS n4 FROM ${p}g3k
+       |       JOIN ${p}contam USING (doc_id) GROUP BY source),
+       |${p}z5 AS (SELECT source, COUNT(*) AS n5 FROM ${p}cln
+       |       JOIN ${p}dvb USING (doc_id) GROUP BY source),
+       |${p}z6 AS (SELECT source, COUNT(*) AS n6 FROM ${p}cln
+       |       JOIN ${p}dwd USING (doc_id) GROUP BY source),
+       |${p}za AS (SELECT source, COUNT(*) AS n_admitted,
+       |         CAST(SUM(doc_id) AS BIGINT) AS admitted_checksum,
+       |         CAST(SUM(len($rt)) AS BIGINT) AS admitted_tok
+       |       FROM ${p}adm GROUP BY source),
+       |${p}zt AS (SELECT source, COUNT(*) AS ntd FROM ${p}adm
+       |       WHERE $tdWhere GROUP BY source),
+       |${p}card AS (SELECT CAST($epoch AS BIGINT) AS epoch,
+       |  ${p}ing.source, ${p}ing.n_delta,
+       |  COALESCE(${p}z1.n1, 0) AS n_quality_dropped,
+       |  COALESCE(${p}z2.n2, 0) AS n_lang_dropped,
+       |  COALESCE(${p}z3.n3, 0) AS n_pii_quarantined,
+       |  COALESCE(${p}z4.n4, 0) AS n_contam_dropped,
+       |  COALESCE(${p}z5.n5, 0) AS n_dup_vs_base,
+       |  COALESCE(${p}z6.n6, 0) AS n_dup_within,
+       |  COALESCE(${p}za.n_admitted, 0) AS n_admitted,
+       |  COALESCE(${p}za.admitted_checksum, 0) AS admitted_checksum,
+       |  COALESCE(${p}za.admitted_tok, 0) AS admitted_tok,
+       |  COALESCE(${p}zt.ntd, 0) AS n_taken_down
+       | FROM ${p}ing
+       | LEFT JOIN ${p}z1 USING (source) LEFT JOIN ${p}z2 USING (source)
+       | LEFT JOIN ${p}z3 USING (source) LEFT JOIN ${p}z4 USING (source)
+       | LEFT JOIN ${p}z5 USING (source) LEFT JOIN ${p}z6 USING (source)
+       | LEFT JOIN ${p}za USING (source) LEFT JOIN ${p}zt USING (source))"""
+      .stripMargin
+  }
+
+  private[graft] val pipelineLifecycleSql: String = {
+    s"""WITH $chainPrefixSql,
+       |bsig AS MATERIALIZED (SELECT s.doc_id, s.sig FROM sigs s
+       |        JOIN g5k USING (doc_id)),
+       |bband AS MATERIALIZED (SELECT b.doc_id, b.band, b.key FROM banded b
+       |        JOIN g5k USING (doc_id)),
+       |kdelta AS (SELECT doc_id + $DeltaNearOffset AS doc_id, source,
+       |            'delta ' || text AS text
+       |          FROM documents WHERE doc_id % 5 = 0
+       |          UNION ALL
+       |          SELECT doc_id + $DeltaCopyOffset, source, text
+       |          FROM documents WHERE doc_id % 7 = 3
+       |          UNION ALL
+       |          SELECT doc_id + $DeltaRevAOffset, source,
+       |            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |          FROM documents WHERE doc_id % 11 = 1
+       |          UNION ALL
+       |          SELECT doc_id + $DeltaRevBOffset, source,
+       |            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |          FROM documents WHERE doc_id % 11 = 1),
+       |${lcEpochChainSql("k", "kdelta", "bsig", "bband")},
+       |f1sig AS MATERIALIZED (SELECT doc_id, sig FROM bsig
+       |        UNION ALL
+       |        SELECT s.doc_id, s.sig FROM ksigs s JOIN kadm USING (doc_id)
+       |        WHERE s.doc_id % 3 <> 0),
+       |f1band AS MATERIALIZED (SELECT doc_id, band, key FROM bband
+       |        UNION ALL
+       |        SELECT b.doc_id, b.band, b.key FROM kbanded b JOIN kadm USING (doc_id)
+       |        WHERE b.doc_id % 3 <> 0),
+       |e2delta AS (SELECT doc_id + $LcTd1ResubOffset AS doc_id, source, text
+       |            FROM kadm WHERE doc_id % 3 = 0
+       |            UNION ALL
+       |            SELECT doc_id + $LcSurv1ResubOffset, source, text
+       |            FROM kadm WHERE doc_id % 3 <> 0),
+       |${lcEpochChainSql("e", "e2delta", "f1sig", "f1band")},
+       |f2sig AS MATERIALIZED (SELECT doc_id, sig FROM f1sig
+       |        UNION ALL
+       |        SELECT s.doc_id, s.sig FROM esigs s JOIN eadm USING (doc_id)
+       |        WHERE s.doc_id % 2 <> 0),
+       |f2band AS MATERIALIZED (SELECT doc_id, band, key FROM f1band
+       |        UNION ALL
+       |        SELECT b.doc_id, b.band, b.key FROM ebanded b JOIN eadm USING (doc_id)
+       |        WHERE b.doc_id % 2 <> 0),
+       |e3delta AS (SELECT doc_id + $LcTd2ResubOffset AS doc_id, source, text
+       |            FROM eadm WHERE doc_id % 2 = 0
+       |            UNION ALL
+       |            SELECT doc_id + $LcSurv2ResubOffset, source, text
+       |            FROM eadm WHERE doc_id % 2 <> 0
+       |            UNION ALL
+       |            SELECT doc_id + $LcFreshOffset, source, 'delta ' || text
+       |            FROM documents WHERE doc_id % 19 = 4),
+       |${lcEpochChainSql("h", "e3delta", "f2sig", "f2band")},
+       |${lcCardSql("k", 1, "kdelta", "doc_id % 3 = 0")},
+       |${lcCardSql("e", 2, "e2delta", "doc_id % 2 = 0")},
+       |${lcCardSql("h", 3, "e3delta", "FALSE")}
+       |SELECT * FROM (SELECT * FROM kcard
+       |  UNION ALL SELECT * FROM ecard
+       |  UNION ALL SELECT * FROM hcard)
+       |ORDER BY epoch, source""".stripMargin
+  }
+
   private[graft] val pipelineTwoEpochSql: String = {
     val t = "string_split(text, ' ')"
     val rt = "string_split(rtext, ' ')"
@@ -1421,6 +1568,8 @@ object PipelineOps {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q220_pipeline_lifecycle", pipelineLifecycle, Some(pipelineLifecycleSql),
+      "N-EPOCH INDEX LIFECYCLE — the text admission index's full maintenance loop under one oracle (the vector side's q182/q187/q210/q212 symmetry): THREE epochs of admit -> fold -> takedown on the persisted q217 artifact; epoch 2 re-submits the epoch-1 takedowns (ADMITTED: delete is live) alongside the epoch-1 survivors (REJECTED against their own folded entries: fold is live), epoch 3 cycles both again plus fresh near-dup variants probing base entries that predate both folds — the oracle models each epoch's index state closed-form (I1 = (base ∪ adm1) \\ td1, I2 = (I1 ∪ adm2) \\ td2); spec asserts bucket-set minimality and fold == rebuild at every epoch boundary"),
     Q("q219_pipeline_two_epoch", pipelineTwoEpoch, Some(pipelineTwoEpochSql),
       "TWO-EPOCH ingest continuity — the fold primitive under an oracle: epoch 1 is q215's admission verbatim, its admitted signatures fold into a clone of the persisted base index (stage-and-swap of only the touched buckets — the end-of-ingest checkpoint q216's accumulated state becomes), and epoch 2 admits a second closed-form delta against the FOLDED artifact: re-submissions of epoch-1 admissions are rejected against their OWN folded entries, the q215 copy branch classifies as before except where its epoch-1 twin was admitted, and reversed copies catch cross-epoch near-dups of the folded reversed twins"),
     Q("q218_pipeline_takedown", pipelineTakedown, Some(pipelineTakedownSql),
