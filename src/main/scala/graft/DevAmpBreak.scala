@@ -178,6 +178,10 @@ object DevAmpBreak {
     val ampDir = DevAmpScale.ensureAmpDir(spark, base, amp)
     def run(name: String, f: (SparkSession, String) => Seq[(String, Double)]): Unit = {
       println(s"== $name stage breakdown (base=$base vs amp$amp) ==")
+      // warm pass per arm first: the stage codegen/JIT otherwise lands
+      // entirely in whichever arm runs first and corrupts every ratio
+      f(spark, base); spark.catalog.clearCache()
+      f(spark, ampDir); spark.catalog.clearCache()
       val bSeq = f(spark, base)
       spark.catalog.clearCache()
       val a = f(spark, ampDir).toMap
@@ -185,6 +189,9 @@ object DevAmpBreak {
         val av = a.getOrElse(k, -1.0)
         println(f"[ampbreak] $name $k%-18s base=$bv%7.2f s  amp$amp=$av%7.2f s  time-x=${av / math.max(bv, 1e-9)}%5.2f")
       }
+      val bt = bSeq.map(_._2).sum
+      val at = bSeq.map { case (k, _) => a.getOrElse(k, 0.0) }.sum
+      println(f"[ampbreak] $name TOTAL              base=$bt%7.2f s  amp$amp=$at%7.2f s  time-x=${at / math.max(bt, 1e-9)}%5.2f")
     }
     if (mode == "q216" || mode == "both") run("q216", breakQ216)
     if (mode == "q218" || mode == "both") run("q218", breakQ218)

@@ -1531,7 +1531,26 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
         .parquet(srcDir.toString)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val audit = PipelineOps.gateAudit(batch)
+          // widen the arrival slice to cluster parallelism BEFORE the
+          // per-row chain: a micro-batch arrives as ONE file (one scan
+          // task), so without this the batch's gate/shingle/minhash
+          // CPU runs 1-2 wide while everything downstream is keyed —
+          // measured at 10x data this was q216's whole super-linear
+          // term (gate 4.7x, contam 3.1x, sigs 3.2x per DevAmpBreak;
+          // the disk probe itself was 2.2x with a +1.8 s absolute
+          // share). The shuffle is batch-sized — exactly the rows an
+          // ingest pays to fan out on any cluster. The per-batch JOIN
+          // width scales with the batch too (1 partition per ~1k rows,
+          // floor 2, cap at cluster width): fixed-2 made 10x batches
+          // join on 2 cores (amp-decade 1.66x), fixed-8 taxed the
+          // small-batch steady state with empty-task spam (base
+          // 7.2 -> 8.7 s) — both measured, the ladder keeps both ends.
+          val nrows = batch.count()
+          val width = s.sparkContext.defaultParallelism
+          val np = math.max(2, math.min(width, (nrows / 1000L + 1L).toInt))
+          s.conf.set("spark.sql.shuffle.partitions", np)
+          val wide = batch.repartition(width)
+          val audit = PipelineOps.gateAudit(wide)
             .withColumn("n_tok", size(tokens(col("rtext"))).cast("long"))
             .persist()
           try {

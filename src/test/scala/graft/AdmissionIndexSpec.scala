@@ -87,4 +87,62 @@ class AdmissionIndexSpec extends AnyFunSuite with SparkTestBase {
     }
     Fixtures.clearDir(java.nio.file.Paths.get(root))
   }
+
+  test("q216/q217 probe reads a STRICT SUBSET of index files " +
+       "(files-read metric, not the PartitionFilters string) (r15)") {
+    // r14 verdict #1's 'Done' bar: the pruning claim must be backed by
+    // the scan's own execution metric. Build the index at a bucket
+    // count where a small batch's keys hash into a strict subset
+    // (kb=64 — the ladder reaches this by ~160k docs; at the test sf
+    // the ladder floor of 8 makes every batch span all buckets, which
+    // is a fixture-scale artifact, not a layout property).
+    val bSigs = ops.PipelineOps.sharedBaseIndex(spark, sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_prunespec"
+    Fixtures.clearDir(java.nio.file.Paths.get(dir))
+    val kb = 64
+    ops.PipelineOps.writeAdmissionIndex(bSigs, dir, kb)
+    def parquetFiles(p: java.io.File): Seq[java.io.File] =
+      p.listFiles().toSeq.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Nil
+      }
+    val totalFiles = parquetFiles(new java.io.File(dir)).size
+    // a 3-doc ingest batch: re-submissions of indexed docs (so the
+    // probe also produces real matches, not just empty buckets)
+    val delta = bSigs.orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 999000000L).as("doc_id"), col("sig"))
+      .localCheckpoint(true)
+    val probe = ops.PipelineOps.probeAdmissionIndex(spark, dir, delta)
+    // execute, then read the FileSourceScan's numFiles metric off the
+    // same QueryExecution instance
+    val qe = probe.queryExecution
+    val matches = probe.collect()
+    assert(matches.length == 3, "re-submitted docs must match their entries")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan) // AQE stages hide their subtree
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val idxScans = scans(qe.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft_admidx_prunespec")))
+    assert(idxScans.nonEmpty, s"no index FileScan found in:\n${qe.executedPlan}")
+    val filesRead = idxScans.map(_.metrics("numFiles").value).sum
+    // strict subset: the scan OPENED fewer files than the layout holds
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles index files — not a strict subset")
+    // and exactly the batch's candidate buckets: <= bands * distinct keys
+    val expectedPbs = ops.PipelineOps.indexRowsOf(delta, kb)
+      .select("pb").distinct().collect().map(_.getLong(0)).toSet
+    val expectedFiles = parquetFiles(new java.io.File(dir)).count(f =>
+      expectedPbs.exists(pb => f.getPath.contains(s"pb=$pb/") ||
+        f.getParentFile.getName == s"pb=$pb"))
+    assert(filesRead == expectedFiles,
+      s"probe read $filesRead files != the candidate buckets' $expectedFiles")
+    Fixtures.clearDir(java.nio.file.Paths.get(dir))
+  }
 }
