@@ -3,10 +3,28 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only decomposition of the ScaleSmoke sort stage (r7 #5): time
-  * the pieces — cached scan, sortWithinPartitions (no exchange),
-  * range exchange alone, full orderBy — to see where the 2.4 s goes.
-  * Not part of the driver contract; run by hand.
+/** Sort-stage floor probe (r14 verdict #3: sort 2.34 s vs datatable
+  * 0.69 is the only per-stage loss at published scale and has sat 4
+  * rounds — either close it or prove the floor). Arms, on the exact
+  * ScaleSmoke table (30.3 M x 9, Age desc):
+  *
+  *   A  orderBy(Age desc)            — the committed stage (range
+  *                                     exchange + in-partition sort)
+  *   B  repartitionByRange + sortWP  — A made explicit (sanity)
+  *   C  sortWithinPartitions only    — NO exchange: the single-node
+  *                                     sort floor a distributed engine
+  *                                     could only reach by giving up
+  *                                     global order across partitions
+  *   D  A + shuffle.compress=false   — is lz4 CPU the exchange tax?
+  *                                     (core conf: rerun the probe
+  *                                     with SPARK_GRAFT_EXTRA_CONF)
+  *   E  A + 8 output partitions      — fewer, bigger sorted runs
+  *   F  count-histogram pass alone   — what a counting-sort planner
+  *                                     would pay INSTEAD of the range
+  *                                     sampler (60-key agg)
+  *
+  * Run: sbt 'runMain graft.DevSortProbe' (expects the ScaleSmoke CSV
+  * already staged; SPARK_GRAFT_REUSE=1 ScaleSmoke stages it).
   */
 object DevSortProbe {
   def main(args: Array[String]): Unit = {
@@ -19,31 +37,46 @@ object DevSortProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // core confs (immutable at runtime) for the D-style arms, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.shuffle.compress=false"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_diabetes_csv"
+    require(new java.io.File(tmp, "_SUCCESS").exists(),
+      "stage the CSV first: SPARK_GRAFT_REUSE=1 runMain graft.ScaleSmoke")
+    val table = graft.sources.CsvIngest.readInferFast(spark, tmp).cache()
+    println(s"[sortprobe] rows=${table.count()}")
 
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def med3(name: String)(f: => Unit): Unit = {
-      val ts = (0 to 3).map { _ => System.gc(); time(f) }
-      println(f"[probe] $name%-28s ${ts.drop(1).sorted.apply(1)}%.3f  (all: ${ts.map(t => f"$t%.2f").mkString(" ")})")
+    def arm(name: String, reps: Int = 3)(f: => Unit): Unit = {
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => }
+      val times = (0 to reps).map { _ => System.gc()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val s = times.drop(1).sorted
+      println(f"[sortprobe] $name%-34s median=${s(s.length / 2)}%6.3f s  (${s.map(t => f"$t%.2f").mkString(", ")})")
     }
 
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_diabetes_csv"
-    val table = graft.sources.CsvIngest.readInferFast(spark, tmp).cache()
-    table.count()
-
-    med3("scan only")(force(table))
-    med3("sortWithinPartitions")(force(table.sortWithinPartitions(col("Age").desc)))
-    med3("repartitionByRange")(force(table.repartitionByRange(32, col("Age").desc)))
-    med3("orderBy (full)")(force(table.orderBy(col("Age").desc)))
-    med3("orderBy 64 parts")(force(table.repartitionByRange(64, col("Age").desc)
-      .sortWithinPartitions(col("Age").desc)))
+    arm("A orderBy(Age desc)") {
+      force(table.orderBy(col("Age").desc))
+    }
+    arm("B repartitionByRange+sortWP") {
+      force(table.repartitionByRange(cpus.toInt, col("Age").desc)
+        .sortWithinPartitions(col("Age").desc))
+    }
+    arm("C sortWithinPartitions (no exch)") {
+      force(table.sortWithinPartitions(col("Age").desc))
+    }
+    arm("E A w/ 8 range partitions") {
+      force(table.repartitionByRange(8, col("Age").desc)
+        .sortWithinPartitions(col("Age").desc))
+    }
+    arm("F key histogram (counting pass)") {
+      force(table.groupBy("Age").agg(count(lit(1)).as("n")))
+    }
     spark.stop()
   }
 }
