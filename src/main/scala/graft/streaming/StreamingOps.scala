@@ -1469,17 +1469,17 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   //      dup-within rule EXACTLY — the lane shares q215's oracle
   //      VERBATIM, the strongest stream==batch claim (the q138/q204
   //      discipline, here for the whole curation chain). ----
-  def streamPipelineIngest(s: SparkSession, d: String): DataFrame = {
+  /** Stage (idempotently, marker-keyed) q216's three id-ordered
+    * arrival-slice files. Factored out of the lane so Bench's warm-up
+    * can pre-build it (r14 verdict #4: the cold fixture build landed
+    * inside the driver's timed rep 1). Returns the slice dir.
+    */
+  private[graft] def stageSpiSlices(
+      s: SparkSession, d: String): java.nio.file.Path = {
     import graft.ops.PipelineOps
     val hex = java.lang.Integer.toHexString(d.hashCode)
-    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_spi_$hex"
-    val outDir = s"$laneRoot/out"
-    val storeDir = s"$laneRoot/seen"
-    // fresh run-local state every run: the accumulated index mutates
-    Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
     val d0 = graft.ops.CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
-    // arrival slices: the q215 delta in doc_id order, three files
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_spi_src_$hex")
     val marker = srcDir.resolve("_STAGED")
@@ -1509,6 +1509,21 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       }
       Fixtures.writeMarker(marker, fixSrcs: _*)
     }
+    srcDir
+  }
+
+  def streamPipelineIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.PipelineOps
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_spi_$hex"
+    val outDir = s"$laneRoot/out"
+    val storeDir = s"$laneRoot/seen"
+    // fresh run-local state every run: the accumulated index mutates
+    Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
+    val d0 = graft.ops.CoreOps.jsonlDocs(s, d)
+      .select(col("doc_id"), col("meta.source").as("source"), col("text"))
+    // arrival slices: the q215 delta in doc_id order, three files
+    val srcDir = stageSpiSlices(s, d)
     // static artifacts, ready BEFORE the stream starts. The curated-
     // base index is the PERSISTED q217 artifact — each micro-batch
     // probes only its candidate buckets through the pruned FileScan
