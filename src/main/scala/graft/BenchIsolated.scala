@@ -43,6 +43,8 @@ object BenchIsolated {
       ops.PipelineOps.sharedAudited(spark, sfDir).count()
       ops.PipelineOps.sharedBaseIndex(spark, sfDir).count()
       ops.SimilarityOps.sharedSimTruth(spark, sfDir).count()
+      ops.SimilarityOps.sharedRawTrain(spark, sfDir)
+      ops.SimilarityOps.sharedTrainedKit(spark, sfDir)
       streaming.StreamingOps.stageSpiSlices(spark, sfDir)
       ()
     } catch { case e: Throwable =>

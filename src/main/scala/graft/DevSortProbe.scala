@@ -77,6 +77,15 @@ object DevSortProbe {
     arm("F key histogram (counting pass)") {
       force(table.groupBy("Age").agg(count(lit(1)).as("n")))
     }
+    arm("G hash-cluster(Age)+sortWP") {
+      // the r14-suggested arm: cluster by the low-cardinality key and
+      // skip the range sampler. NOTE: hash-partitioned output is NOT
+      // globally ordered across partitions — this arm only qualifies
+      // if it wins by enough to justify renegotiating the stage's
+      // contract (a sorted TABLE, reference semantics)
+      force(table.repartition(cpus.toInt, col("Age"))
+        .sortWithinPartitions(col("Age").desc))
+    }
     spark.stop()
   }
 }

@@ -613,6 +613,17 @@ object Plans {
       "Oracle models the folded index closed-form (base ∪ admitted); " +
       "PipelineTwoEpochSpec re-derives both epochs driver-side and " +
       "asserts per-doc fold liveness.\n")
+    sb.append("\n## q220_pipeline_lifecycle (N-epoch index lifecycle)\n\n" +
+      "no new join shapes — the lifecycle composes the four primitives " +
+      "already dumped: each epoch's admission is q215's plan with the " +
+      "dvb stage swapped for q217's pruned disk probe, each fold and " +
+      "each takedown is the q182/q187 stage-and-swap over EXACTLY the " +
+      "delta signatures' buckets (bucket sets derived from the " +
+      "signatures, never an index scan; PipelineLifecycleSpec asserts " +
+      "set-equality per epoch and fold == rebuild at all four epoch " +
+      "boundaries). K epochs cost K x delta work; the index artifact " +
+      "is the only cross-epoch state. Oracle models I1 = (base ∪ adm1) " +
+      "\\ td1 and I2 = (I1 ∪ adm2) \\ td2 closed-form.\n")
     sb.append("\n## q212_stream_vacuum_serve (streaming lifecycle composite)\n\n" +
       "swap + vacuum under a live query stream: per-batch serving is " +
       "the SAME manifestPinnedRead plan dumped for q193 above (pruned " +

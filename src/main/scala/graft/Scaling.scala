@@ -146,7 +146,9 @@ object Scaling {
     // r14 additions: the persisted-index and takedown composites
     ("q217_pipeline_index_disk", "q215 admission via the persisted on-disk index (pruned probe)", "documents"),
     ("q218_pipeline_takedown", "takedown: tombstoned index + weight refold + re-submission", "documents"),
-    ("q219_pipeline_two_epoch", "two-epoch ingest: fold admitted sigs, admit epoch 2 vs folded index", "documents"))
+    ("q219_pipeline_two_epoch", "two-epoch ingest: fold admitted sigs, admit epoch 2 vs folded index", "documents"),
+    // r15 addition: the N-epoch lifecycle composite
+    ("q220_pipeline_lifecycle", "3-epoch lifecycle: admit + fold + takedown cycles on the persisted index", "documents"))
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.benchSession("graft-scaling")
