@@ -102,6 +102,24 @@ object DevIdxPrune {
       println(f"[idxprune] n=$n%8d kb=$kb%5d files_read=$files%5d/$totalFiles%-5d " +
         f"(${100.0 * files / math.max(totalFiles, 1)}%5.1f%%)  probe_sec=$best%6.3f  " +
         f"strict_subset=${files > 0 && files < totalFiles}")
+      // WRITE path at the same scale: fold the batch in, tombstone it
+      // back out (net row set unchanged — fold==rebuild and delete
+      // exactness are spec-proven, so the fixture stays pristine).
+      // q218's tombstone stage read 1.70x at the toy kb floor because
+      // a delete there touches ALL buckets; here the touched set must
+      // track the batch and the wall-clock must stay ~flat in n.
+      val totalBuckets = kb * graft.functions.HashFns.MinhashBands
+      val nBefore = spark.read.parquet(dir).count()
+      val t0f = System.nanoTime()
+      val foldTouched = PipelineOps.foldIntoAdmissionIndex(spark, dir, probeBatch)
+      val foldSec = (System.nanoTime() - t0f) / 1e9
+      val t0d = System.nanoTime()
+      val delTouched = PipelineOps.deleteFromAdmissionIndex(spark, dir, probeBatch)
+      val delSec = (System.nanoTime() - t0d) / 1e9
+      val nAfter = spark.read.parquet(dir).count()
+      println(f"[idxprune] n=$n%8d fold: touched=${foldTouched.size}%5d/$totalBuckets%-5d " +
+        f"sec=$foldSec%6.3f   delete: touched=${delTouched.size}%5d/$totalBuckets%-5d " +
+        f"sec=$delSec%6.3f   rows_restored=${nBefore == nAfter}")
     }
     spark.stop()
   }
