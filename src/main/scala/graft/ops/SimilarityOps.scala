@@ -3147,7 +3147,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     // the probe: query 0's IvfProbes cells — metadata-scale collect
     val probeCells = kit.probes.filter(col("qid") === 0)
       .select("cell").collect().map(_.getLong(0)).sorted
-    s.read.parquet(out)
+    openCells(s, out, probeCells.toIndexedSeq)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
               col("s"), col("code"), col("err_e6"))
@@ -3227,7 +3227,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     // hash-indistinguishable from the full rebuild
     val probeCells = kit.probes.filter(col("qid") === 0)
       .select("cell").collect().map(_.getLong(0)).sorted
-    s.read.parquet(out)
+    openCells(s, out, probeCells.toIndexedSeq)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
               col("s"), col("code"), col("err_e6"))
@@ -3257,7 +3257,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       s: SparkSession, out: String, delta: DataFrame): (DataFrame, Seq[Long]) = {
     val touched = delta.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val baseTouched = s.read.parquet(out)
+    val baseTouched = openCells(s, out, touched)
       .filter(col("cell").isin(touched: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
               col("s"), col("code"), col("err_e6"))
@@ -3282,6 +3282,31 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def compactionCodesFor(
       s: SparkSession, d: String, pred: Column): DataFrame =
     compactionCodes(residKit(base(s, d), ivfCellCount(s, d)), pred)
+
+  /** Open ONLY the given partition subdirectories of an on-disk
+    * layout (`basePath` keeps the partition columns). A root open
+    * pays an O(all-partitions) partition-DISCOVERY listing BEFORE any
+    * pruning applies, and every compaction/delete invalidates the
+    * listing cache — measured on the text-side twin at an 8000-dir
+    * layout: 14 s per maintenance op via the root vs ~1.9 s targeted,
+    * flat across a 100x corpus (bench_evidence/r15_idx_prune.md). At
+    * deployment cell counts (50 k) the listing term would dominate
+    * every probe. Missing subdirs (cells that never materialized)
+    * skip — same rows as the root open + isin filter; the degenerate
+    * all-missing selection falls back to the root open filtered to
+    * false (schema-exact empty relation).
+    */
+  private[graft] def openPartDirs(
+      s: SparkSession, dir: String, subdirs: Seq[String]): DataFrame = {
+    val paths = subdirs.map(sd => java.nio.file.Paths.get(dir, sd))
+      .filter(java.nio.file.Files.exists(_)).map(_.toString)
+    if (paths.isEmpty) s.read.parquet(dir).filter(lit(false))
+    else s.read.option("basePath", dir).parquet(paths: _*)
+  }
+
+  private[graft] def openCells(
+      s: SparkSession, dir: String, cells: Seq[Long]): DataFrame =
+    openPartDirs(s, dir, cells.map(c => s"cell=$c"))
 
   /** The stage-and-swap commit shared by q182/q187/q188 (and, via
     * `partCol`, by the q217 text admission index): write the merged
@@ -3313,7 +3338,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     val kit = residKit(base(s, d), ivfCellCount(s, d))
     val probeCells = kit.probes.filter(col("qid") === 0)
       .select("cell").collect().map(_.getLong(0)).sorted
-    s.read.parquet(dir)
+    openCells(s, dir, probeCells.toIndexedSeq)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
               col("s"), col("code"), col("err_e6"))
@@ -3384,7 +3409,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     }
     val probeCells = kit.probes.filter(col("qid") === 0)
       .select("cell").collect().map(_.getLong(0)).sorted
-    s.read.parquet(out)
+    openCells(s, out, probeCells.toIndexedSeq)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
               col("s"), col("code"), col("err_e6"))
@@ -3400,7 +3425,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       s: SparkSession, out: String, tombstones: DataFrame): (DataFrame, Seq[Long]) = {
     val touched = tombstones.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val survivors = s.read.parquet(out)
+    val survivors = openCells(s, out, touched)
       .filter(col("cell").isin(touched: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
               col("s"), col("code"), col("err_e6"))
@@ -3462,7 +3487,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     val probeCells = kit.probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     // the serving read: probed cells' postings only, pruned on disk
-    val postings = s.read.parquet(compactionDir(d))
+    val postings = openCells(s, compactionDir(d), probeCells)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
               col("s"), col("code"))
@@ -3487,7 +3512,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     val kit = residKit(base(s, d), ivfCellCount(s, d))
     val probeCells = kit.probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    s.read.parquet(compactionDir(d))
+    openCells(s, compactionDir(d), probeCells)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
               col("s"), col("code"))
@@ -3536,7 +3561,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
         .localCheckpoint(true)
       val touched = delta.select("cell").distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
-      val merged = s.read.parquet(s"$out/g0")
+      val merged = openCells(s, s"$out/g0", touched)
         .filter(col("cell").isin(touched: _*))
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
                 col("s"), col("code"), col("err_e6"))
@@ -3624,7 +3649,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
             n, org.apache.spark.sql.types.LongType))))
     owners.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, cs) =>
       val cells = cs.map(_._1).sorted
-      s.read.parquet(s"$dataRoot/$dir")
+      openCells(s, s"$dataRoot/$dir", cells.toIndexedSeq)
         .filter(col("cell").isin(cells: _*))
         .select(col("cell").cast("long").as("cell"), col("vec_id"),
                 col("s"), col("code"), col("err_e6"))
@@ -4043,7 +4068,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def labelProbedRead(
       s: SparkSession, dir: String,
       lbls: Seq[Long], cells: Seq[Long]): DataFrame =
-    s.read.parquet(dir)
+    openPartDirs(s, dir,
+        for { l <- lbls; c <- cells } yield s"lbl=$l/cell=$c")
       .filter(col("lbl").isin(lbls: _*) && col("cell").isin(cells: _*))
       .select(col("lbl").cast("long").as("lbl"),
               col("cell").cast("long").as("cell"),
