@@ -61,6 +61,34 @@ object Bench {
     */
   private[graft] val ContendedLoadAvg = 2.0
 
+  /** Short git HEAD rev, read straight from .git (no exec): stamps
+    * BENCH_ISOLATED.json so a stale isolated pass from an older
+    * commit cannot silently ride along inside a newer BENCH_DETAIL
+    * (r15 ADVICE #5). "unknown" outside a git checkout.
+    */
+  private[graft] def gitRev(): String =
+    try {
+      val p = java.nio.file.Paths.get(".git/HEAD")
+      val head = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (!head.startsWith("ref: ")) head.take(12)
+      else {
+        val ref = head.stripPrefix("ref: ")
+        val rp = java.nio.file.Paths.get(".git", ref)
+        if (java.nio.file.Files.exists(rp))
+          new String(java.nio.file.Files.readAllBytes(rp),
+            java.nio.charset.StandardCharsets.UTF_8).trim.take(12)
+        else {
+          val packed = java.nio.file.Paths.get(".git/packed-refs")
+          if (!java.nio.file.Files.exists(packed)) "unknown"
+          else new String(java.nio.file.Files.readAllBytes(packed),
+              java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.find(_.endsWith(" " + ref))
+            .map(_.split("\\s+")(0).take(12)).getOrElse("unknown")
+        }
+      }
+    } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1m()
     val contended = loadStart > ContendedLoadAvg
@@ -312,17 +340,40 @@ object Bench {
     val isolated =
       try {
         val p = java.nio.file.Paths.get("BENCH_ISOLATED.json")
-        if (java.nio.file.Files.exists(p))
-          "," + new String(java.nio.file.Files.readAllBytes(p),
+        if (!java.nio.file.Files.exists(p)) ""
+        else {
+          val raw = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8).trim
-            .stripPrefix("{").stripSuffix("}")
-            .replace("\"queries\"", "\"isolated_sec\"")
-            .replace("\"median_sec\"", "\"isolated_median_sec\"")
-            .replace("\"loadavg_start\"", "\"isolated_loadavg_start\"")
-            .replace("\"loadavg_end\"", "\"isolated_loadavg_end\"")
-            .replace("\"contended\"", "\"isolated_contended\"")
-            .replace("\"sf\"", "\"isolated_sf\"")
-        else ""
+          // BenchIsolated writes FINAL key names + freshness stamps;
+          // verify them instead of blindly embedding (r15 ADVICE #5:
+          // an isolated pass from an older commit or different sf
+          // silently rode along). sf mismatch => hard skip (numbers
+          // not comparable); rev mismatch => embed flagged stale (the
+          // usual verify flow commits between the two runs, so this
+          // warns rather than refuses).
+          def field(k: String): Option[String] =
+            ("\"" + k + "\":\"([^\"]*)\"").r
+              .findFirstMatchIn(raw).map(_.group(1))
+          if (!raw.contains("\"isolated_sec\"")) {
+            System.err.println("[bench] BENCH_ISOLATED.json is in the " +
+              "pre-r16 format — skipping embed; re-run graft.BenchIsolated")
+            ""
+          } else if (!field("isolated_sf").contains(sfDir)) {
+            System.err.println(s"[bench] BENCH_ISOLATED.json sf " +
+              s"${field("isolated_sf").getOrElse("?")} != $sfDir — stale, " +
+              "skipping embed; re-run graft.BenchIsolated")
+            ""
+          } else {
+            val rev = gitRev()
+            val stale = !field("isolated_rev").contains(rev)
+            if (stale)
+              System.err.println(s"[bench] BENCH_ISOLATED.json rev " +
+                s"${field("isolated_rev").getOrElse("?")} != $rev — " +
+                "embedding flagged isolated_stale")
+            "," + raw.stripPrefix("{").stripSuffix("}") +
+              s""","isolated_stale":$stale"""
+          }
+        }
       } catch { case _: Throwable => "" }
     val detail =
       s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","errors":$errors,"queries":$qsFull,"median_sec":$qsMed,"reps":$qsReps,"rep_sec":$qsRaw,"mem_mb":$mems,"rss_mb":$rsses,"peak_rss_mb":${num(peakRss, 1)},"loadavg_start":${num(loadStart, 2)},"loadavg_end":${num(loadEnd, 2)},"contended":$contended,"sf":"$sfDir"$isolated}"""

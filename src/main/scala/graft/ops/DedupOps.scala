@@ -771,8 +771,19 @@ object DedupOps {
   //      count + id checksum, admitted count. ----
   def incrementalContamination(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
+    // `base` feeds FOUR scans below (both sides of the banded
+    // self-join + the two signature attaches). localCheckpoint it so
+    // the tokenize->shingle->MinHash chain runs ONCE: the previous
+    // shape leaned on `sh`'s persist alone, and when suite/driver heap
+    // pressure evicted those blocks every downstream scan re-derived
+    // the full MinHash chain — r15's only unexplained driver-bench
+    // anomaly (q148 at 12.5 s in both driver reps vs 0.89 s idle).
+    // The checkpoint pins the lane's cost to one signature pass
+    // regardless of cache pressure.
     val base = sh.withColumn("sig",
       graft.expressions.MinHashSig.minhashSig(col("sh")))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint(true)
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))

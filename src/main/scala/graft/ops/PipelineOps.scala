@@ -450,13 +450,28 @@ object PipelineOps {
     */
   private[graft] val MinOffsetSpacing = 1000000L
 
+  // memoized by the input plan's SEMANTIC hash + bound (r15 ADVICE:
+  // the eager max(doc_id) agg ran inside plan-construction helpers,
+  // so every lane invocation — and even 'lazy' plan sweeps — paid a
+  // corpus-column scan). Same corpus => same canonicalized plan =>
+  // one job per JVM; a localCheckpointed input (epoch admissions,
+  // whose rows genuinely change run-to-run) hashes fresh each run and
+  // correctly re-asserts.
+  private val headroomChecked =
+    new scala.collection.concurrent.TrieMap[(Int, Long), Boolean]()
+
   private def assertIdHeadroom(df: DataFrame, bound: Long, where: String): Unit = {
-    val r = df.agg(max(col("doc_id"))).head()
-    if (!r.isNullAt(0))
-      require(r.getLong(0) < bound,
-        s"$where: max(doc_id)=${r.getLong(0)} >= offset spacing $bound — " +
-          "synthetic id branches would alias silently; regenerate with " +
-          "larger offsets or a smaller corpus")
+    val key = (df.queryExecution.logical.canonicalized.semanticHash(), bound)
+    headroomChecked.getOrElseUpdate(key, {
+      val r = df.agg(max(col("doc_id"))).head()
+      if (!r.isNullAt(0))
+        require(r.getLong(0) < bound,
+          s"$where: max(doc_id)=${r.getLong(0)} >= offset spacing $bound — " +
+            "synthetic id branches would alias silently; regenerate with " +
+            "larger offsets or a smaller corpus")
+      true
+    })
+    ()
   }
 
   private[graft] def deltaBatch(d0: DataFrame): DataFrame = {
@@ -558,20 +573,17 @@ object PipelineOps {
       .repartition(col("pb"))
       .sortWithinPartitions("pb", "band", "key", "doc_id")
       .write.partitionBy("pb").mode("overwrite").parquet(dir)
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_META"),
-      s"kb=$kb\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.io.LayoutFs.writeSmallFile(s"$dir/_META", s"kb=$kb\n")
   }
 
   /** The layout's bucket count, read back from `_META` — the probe
     * must bucket its keys with the INDEX's kb, not a recomputed one
     * (an index built at a different corpus size has a different kb).
     */
-  private[graft] def indexBuckets(dir: String): Int = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_META")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    meta.trim.stripPrefix("kb=").toInt
-  }
+  private[graft] def indexBuckets(dir: String): Int =
+    graft.io.LayoutFs.readSmallFile(s"$dir/_META")
+      .getOrElse(sys.error(s"admission index at $dir has no _META"))
+      .trim.stripPrefix("kb=").toInt
 
   /** Fixture marker version: bump when the layout scheme changes so a
     * stale tmp index from an older round regenerates.
@@ -608,16 +620,16 @@ object PipelineOps {
     */
   private[graft] def openBuckets(
       s: SparkSession, dir: String, pbs: Seq[Long]): DataFrame = {
-    val paths = pbs.map(pb => java.nio.file.Paths.get(dir, s"pb=$pb"))
-      .filter(java.nio.file.Files.exists(_)).map(_.toString)
-    if (paths.isEmpty) {
-      import org.apache.spark.sql.types._
-      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(
-          StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
-          StructField("band", IntegerType), StructField("key", LongType),
-          StructField("pb", IntegerType))))
-    } else s.read.option("basePath", dir).parquet(paths: _*)
+    // existence resolves through the path's Hadoop FileSystem, and the
+    // degenerate all-missing selection derives its empty relation from
+    // the layout's REAL schema via a root open filtered to false (r15
+    // ADVICE: a hand-built StructType silently diverges if the layout
+    // ever gains a column) — the root-listing cost only ever applies
+    // to this rare empty case
+    val paths = pbs.map(pb => s"$dir/pb=$pb").filter(graft.io.LayoutFs.exists)
+    if (paths.isEmpty)
+      s.read.option("basePath", dir).parquet(dir).filter(lit(false))
+    else s.read.option("basePath", dir).parquet(paths: _*)
   }
 
   /** The pruned probe: dup-vs-base doc_ids of `dSigs` against the
@@ -913,9 +925,8 @@ object PipelineOps {
     val src = persistAdmissionIndex(s, d)
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_td_" +
       java.lang.Integer.toHexString(d.hashCode)
-    graft.Fixtures.clearDir(java.nio.file.Paths.get(dst))
-    SimilarityOps.copyTree(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(dst))
+    graft.io.LayoutFs.deleteTree(dst)
+    graft.io.LayoutFs.cloneTree(src, dst)
     deleteFromAdmissionIndex(s, dst,
       sharedBaseIndex(s, d).filter(takedownPred(col("doc_id"))))
     dst
@@ -1192,9 +1203,8 @@ object PipelineOps {
     val src = persistAdmissionIndex(s, d)
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_e2_" +
       java.lang.Integer.toHexString(d.hashCode)
-    graft.Fixtures.clearDir(java.nio.file.Paths.get(dst))
-    SimilarityOps.copyTree(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(dst))
+    graft.io.LayoutFs.deleteTree(dst)
+    graft.io.LayoutFs.cloneTree(src, dst)
     foldIntoAdmissionIndex(s, dst, admSigs)
     // epoch 2 against the folded artifact
     val (card2, handles2) = pipelineIncrementLazy(s, d,
@@ -1255,9 +1265,8 @@ object PipelineOps {
     val src = persistAdmissionIndex(s, d)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_lc_" +
       java.lang.Integer.toHexString(d.hashCode)
-    graft.Fixtures.clearDir(java.nio.file.Paths.get(dir))
-    SimilarityOps.copyTree(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(dir))
+    graft.io.LayoutFs.deleteTree(dir)
+    graft.io.LayoutFs.cloneTree(src, dir)
     def resub(rows: DataFrame, off: Long): DataFrame =
       rows.select((col("doc_id") + off).as("doc_id"), col("source"), col("text"))
     def epochRun(deltaOf: DataFrame => DataFrame)

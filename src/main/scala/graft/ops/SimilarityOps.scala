@@ -3211,16 +3211,7 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       val delta = compactionCodes(kit, col("vec_id") % 7 === 3)
         .localCheckpoint(true)
       val (merged, touched) = compactionMerge(s, out, delta)
-      val stage = out + "_stage"
-      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
-      merged.write.partitionBy("cell").mode("overwrite").parquet(stage)
-      touched.foreach { c =>
-        val src = java.nio.file.Paths.get(stage, s"cell=$c")
-        val dst = java.nio.file.Paths.get(out, s"cell=$c")
-        graft.Fixtures.clearDir(dst)
-        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
-      }
-      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+      stageAndSwap(out, merged, touched)
       graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
     }
     // q179's probe against the compacted index — must be
@@ -3298,8 +3289,10 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     */
   private[graft] def openPartDirs(
       s: SparkSession, dir: String, subdirs: Seq[String]): DataFrame = {
-    val paths = subdirs.map(sd => java.nio.file.Paths.get(dir, sd))
-      .filter(java.nio.file.Files.exists(_)).map(_.toString)
+    // existence resolves through the path's Hadoop FileSystem (r15
+    // ADVICE: java.nio only ever worked on local disk — this is the
+    // code path a cluster runs against HDFS/S3)
+    val paths = subdirs.map(sd => s"$dir/$sd").filter(graft.io.LayoutFs.exists)
     if (paths.isEmpty) s.read.parquet(dir).filter(lit(false))
     else s.read.option("basePath", dir).parquet(paths: _*)
   }
@@ -3318,16 +3311,17 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def stageAndSwap(
       out: String, merged: DataFrame, touched: Seq[Long],
       partCol: String = "cell"): Unit = {
+    import graft.io.LayoutFs
     val stage = out + "_stage"
-    graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+    LayoutFs.deleteTree(stage)
     merged.write.partitionBy(partCol).mode("overwrite").parquet(stage)
     touched.foreach { c =>
-      val src = java.nio.file.Paths.get(stage, s"$partCol=$c")
-      val dst = java.nio.file.Paths.get(out, s"$partCol=$c")
-      graft.Fixtures.clearDir(dst)
-      if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+      val src = s"$stage/$partCol=$c"
+      val dst = s"$out/$partCol=$c"
+      LayoutFs.deleteTree(dst)
+      if (LayoutFs.exists(src)) LayoutFs.rename(src, dst)
     }
-    graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+    LayoutFs.deleteTree(stage)
   }
 
   /** q179's probe read-back tail, shared by every on-disk index lane:
@@ -3393,18 +3387,10 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       val tombstones = kit.assigned.filter(col("vec_id") % 11 === 4)
         .select("vec_id", "cell").localCheckpoint(true)
       val (survivors, touched) = deleteMerge(s, out, tombstones)
-      val stage = out + "_stage"
-      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
-      survivors.write.partitionBy("cell").mode("overwrite").parquet(stage)
-      touched.foreach { c =>
-        val src = java.nio.file.Paths.get(stage, s"cell=$c")
-        val dst = java.nio.file.Paths.get(out, s"cell=$c")
-        graft.Fixtures.clearDir(dst)
-        // a cell whose every posting was tombstoned writes no stage
-        // dir — the cleared destination IS the correct final state
-        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
-      }
-      graft.Fixtures.clearDir(java.nio.file.Paths.get(stage))
+      // a cell whose every posting was tombstoned writes no stage
+      // dir — stageAndSwap leaves its cleared destination, which IS
+      // the correct final state
+      stageAndSwap(out, survivors, touched)
       graft.Fixtures.writeMarker(marker, s"$d/embeddings.parquet")
     }
     val probeCells = kit.probes.filter(col("qid") === 0)
@@ -3598,14 +3584,10 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   /** The cells a generation directory owns — pure directory-listing
     * metadata (cell=N partition dirs), no data files opened.
     */
-  private def listCells(dir: String): Seq[Long] = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
+  private def listCells(dir: String): Seq[Long] =
+    graft.io.LayoutFs.listSubdirNames(dir)
       .filter(_.startsWith("cell="))
-      .map(_.substring(5).toLong).toSeq.sorted
-  }
+      .map(_.substring(5).toLong).sorted
 
   /** A generation-pinned probe read: resolve each probe cell's owner
     * directory from the manifest (max gen ≤ pin — manifest-scale, the
@@ -3627,10 +3609,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     // a vacuumed store records its pin floor — generations below it
     // were reclaimed, and serving them would silently return partial
     // cells (the g0 scan finds no files); refuse LOUDLY instead
-    val floorPath = java.nio.file.Paths.get(dataRoot, "_VACUUM_FLOOR")
-    if (java.nio.file.Files.exists(floorPath)) {
-      val floor = new String(java.nio.file.Files.readAllBytes(floorPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    graft.io.LayoutFs.readSmallFile(s"$dataRoot/_VACUUM_FLOOR").foreach { raw =>
+      val floor = raw.trim.toInt
       require(pin >= floor,
         s"pin $pin is below the vacuum floor $floor: its generation data was reclaimed")
     }
@@ -3686,15 +3666,15 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     s"${System.getProperty("java.io.tmpdir")}/graft_vacidx_" +
       java.lang.Integer.toHexString(d.hashCode)
 
-  private[graft] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  /** Zero-data-byte clone of a layout tree (hardlinks on the local
+    * scheme — r15 VERDICT #2: the byte-copy this replaces made every
+    * mutation lane pay an O(index) setup term; linked inodes are safe
+    * because mutations only ever REPLACE partition files via
+    * stageAndSwap, never write in place). See
+    * [[graft.io.LayoutFs.cloneTree]].
+    */
+  private[graft] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    graft.io.LayoutFs.cloneTree(src.toString, dst.toString)
 
   /** Clone the q191 generation store into a run-local root the vacuum
     * may mutate (q191/q193 keep reading the pristine original).
@@ -3708,9 +3688,8 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def cloneVersionStoreTo(s: SparkSession, d: String,
                                          root: String): String = {
     indexVersions(s, d) // stages the source store if absent
-    graft.Fixtures.clearDir(java.nio.file.Paths.get(root))
-    copyTree(java.nio.file.Paths.get(versionDir(d)),
-             java.nio.file.Paths.get(root))
+    graft.io.LayoutFs.deleteTree(root)
+    graft.io.LayoutFs.cloneTree(versionDir(d), root)
     root
   }
 
@@ -3725,12 +3704,9 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     // LOWER floor must not lower it — generation data at the old floor
     // was already reclaimed, and a lowered record would let
     // manifestPinnedRead accept pins whose cells silently read partial.
-    val floorPath = java.nio.file.Paths.get(root, "_VACUUM_FLOOR")
-    val recorded =
-      if (java.nio.file.Files.exists(floorPath))
-        new String(java.nio.file.Files.readAllBytes(floorPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      else Int.MinValue
+    val floorPath = s"$root/_VACUUM_FLOOR"
+    val recorded = graft.io.LayoutFs.readSmallFile(floorPath)
+      .map(_.trim.toInt).getOrElse(Int.MinValue)
     val eff = math.max(recorded, floor)
     val rows = s.read.parquet(s"$root/manifest")
       .filter(col("gen") <= eff)
@@ -3739,9 +3715,9 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     val ownerGen = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).max }
     val stale = rows.filter { case (g, c, _) => g < ownerGen(c) }
     stale.foreach { case (_, c, dir) =>
-      graft.Fixtures.clearDir(java.nio.file.Paths.get(root, dir, s"cell=$c"))
+      graft.io.LayoutFs.deleteTree(s"$root/$dir/cell=$c")
     }
-    java.nio.file.Files.writeString(floorPath, eff.toString)
+    graft.io.LayoutFs.writeSmallFile(floorPath, eff.toString)
     stale.map(_._2).distinct.sorted.toSeq
   }
 

@@ -1563,6 +1563,14 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
           val nrows = batch.count()
           val width = s.sparkContext.defaultParallelism
           val np = math.max(2, math.min(width, (nrows / 1000L + 1L).toInt))
+          // the ladder must land on the session that PLANS the batch
+          // chain: structured streaming plans each micro-batch on a
+          // session CLONED at query start (conf snapshotted with the
+          // wrapper's fixed 2), so setting only the outer session's
+          // conf is a no-op for the batch-derived joins (r15 ADVICE,
+          // medium). Set both — the outer session still plans the
+          // static sides built from it.
+          batch.sparkSession.conf.set("spark.sql.shuffle.partitions", np)
           s.conf.set("spark.sql.shuffle.partitions", np)
           val wide = batch.repartition(width)
           val audit = PipelineOps.gateAudit(wide)
@@ -1575,16 +1583,23 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
             // appends would duplicate rows on retry) and the strict
             // filter keeps this batch's own partial output, if any
             // survived a crash, out of its re-run's probe side
+            // opened by TARGETED batch=<id> dirs strictly below this
+            // id, never a root listing: a root open re-lists every
+            // batch dir after each write invalidates the listing
+            // cache, an O(total-batches) term per micro-batch that
+            // grows with stream length (r15 verdict #6 — the same
+            // listing term the layout opens killed). batch 0 has no
+            // store yet: hand-built empty (nothing to derive a schema
+            // from on disk).
             val prior =
-              if (java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir)))
-                s.read.parquet(storeDir)
-                  .filter(col("batch") < batchId)
-                  .select("doc_id", "sig")
-              else s.createDataFrame(
+              if (batchId == 0L) s.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](),
                 org.apache.spark.sql.types.StructType(Seq(
                   StructField("doc_id", LongType),
                   StructField("sig", ArrayType(LongType)))))
+              else graft.ops.SimilarityOps.openPartDirs(s, storeDir,
+                  (0L until batchId).map(i => s"batch=$i"))
+                .select("doc_id", "sig")
             val (verdicts, dSigs, dg3k) =
               spiBatchAdmit(s, audit, bench, prior,
                 ds => PipelineOps.probeAdmissionIndex(s, idxDir, ds))
