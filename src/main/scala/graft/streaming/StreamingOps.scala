@@ -1555,23 +1555,28 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
           // the disk probe itself was 2.2x with a +1.8 s absolute
           // share). The shuffle is batch-sized — exactly the rows an
           // ingest pays to fan out on any cluster. The per-batch JOIN
-          // width scales with the batch too (1 partition per ~1k rows,
-          // floor 2, cap at cluster width): fixed-2 made 10x batches
-          // join on 2 cores (amp-decade 1.66x), fixed-8 taxed the
-          // small-batch steady state with empty-task spam (base
-          // 7.2 -> 8.7 s) — both measured, the ladder keeps both ends.
+          // width also scales with the batch (1 partition per ~1k
+          // rows, floor 2, cap at cluster width), set on
+          // batch.sparkSession — the session CLONED at query start
+          // that actually plans the batch chain; r15 set only the
+          // outer session's conf, which the clone had snapshotted, so
+          // the ladder was a no-op (r15 ADVICE). The honest r16 A/B
+          // (GRAFT_Q216_NO_LADDER arm, bench_evidence/
+          // r16_composites.md): at sandbox batch sizes (3-30k rows)
+          // the now-real ladder moves NOTHING — decade 1.30-1.34
+          // without it vs 1.34-1.52 with — the r15 decade win was the
+          // repartition above, not the join width. The ladder stays
+          // because its cost is nil and the width it guards against
+          // (a deployment-size batch joining on 2 partitions) only
+          // exists beyond what this sandbox can stage; the env knob
+          // keeps the A/B re-runnable.
           val nrows = batch.count()
           val width = s.sparkContext.defaultParallelism
           val np = math.max(2, math.min(width, (nrows / 1000L + 1L).toInt))
-          // the ladder must land on the session that PLANS the batch
-          // chain: structured streaming plans each micro-batch on a
-          // session CLONED at query start (conf snapshotted with the
-          // wrapper's fixed 2), so setting only the outer session's
-          // conf is a no-op for the batch-derived joins (r15 ADVICE,
-          // medium). Set both — the outer session still plans the
-          // static sides built from it.
-          batch.sparkSession.conf.set("spark.sql.shuffle.partitions", np)
-          s.conf.set("spark.sql.shuffle.partitions", np)
+          if (!sys.env.contains("GRAFT_Q216_NO_LADDER")) {
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", np)
+            s.conf.set("spark.sql.shuffle.partitions", np)
+          }
           val wide = batch.repartition(width)
           val audit = PipelineOps.gateAudit(wide)
             .withColumn("n_tok", size(tokens(col("rtext"))).cast("long"))
