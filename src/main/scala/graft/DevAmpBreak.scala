@@ -169,6 +169,45 @@ object DevAmpBreak {
     acc.toSeq
   }
 
+  /** q219's dataflow with a timer per stage (r15 verdict #4's
+    * conditional ask: if q219's multi-capture decade median lands
+    * above its q215 control, name the stage carrying the residual).
+    */
+  private def breakQ219(s: SparkSession, d: String): Seq[(String, Double)] = {
+    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ((admRows, admSigs), t1) = t {
+      val (_, admRows0, admSigs0, handles1) = PipelineOps.pipelineIncrementFull(s, d)
+      val r = admRows0.localCheckpoint(true)
+      val g = admSigs0.localCheckpoint(true)
+      handles1.foreach(_.unpersist(false))
+      (r, g)
+    }
+    acc("epoch1_admission") = t1
+    val (src, t0) = t { PipelineOps.persistAdmissionIndex(s, d) }
+    acc("static_index") = t0
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_e2brk_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val (_, t2) = t {
+      graft.io.LayoutFs.deleteTree(dst)
+      graft.io.LayoutFs.cloneTree(src, dst)
+    }
+    acc("index_clone") = t2
+    val (_, t3) = t { PipelineOps.foldIntoAdmissionIndex(s, dst, admSigs) }
+    acc("fold") = t3
+    val (_, t4) = t {
+      val (card2, handles2) = PipelineOps.pipelineIncrementLazy(s, d,
+        Some(ds => PipelineOps.probeAdmissionIndex(s, dst, ds)),
+        d0 => PipelineOps.epoch2Batch(d0, admRows))
+      force(card2)
+      handles2.foreach(_.unpersist(false))
+    }
+    acc("epoch2_admission") = t4
+    val (_, t5) = t { force(Registry.all.find(_.name == "q219_pipeline_two_epoch")
+      .get.build(s, d)) }
+    acc("full_lane_total") = t5
+    acc.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val amp = args.headOption.map(_.toInt).getOrElse(10)
     val mode = if (args.length > 1) args(1) else "both"
@@ -195,6 +234,7 @@ object DevAmpBreak {
     }
     if (mode == "q216" || mode == "both") run("q216", breakQ216)
     if (mode == "q218" || mode == "both") run("q218", breakQ218)
+    if (mode == "q219") run("q219", breakQ219)
     spark.stop()
   }
 }
