@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-engine deterministic hashing / text primitives.
@@ -114,6 +115,51 @@ object HashFns {
   def bandKeySql(sigE: String, band: Int): String =
     (0 until MinhashRows).map(r => s"$sigE[${band * MinhashRows + r + 1}]")
       .foldLeft("CAST(7 AS BIGINT)")((acc, x) => s"($acc * 31 + $x)")
+
+  // ---- hot-bucket bound for (band, key) pair joins -----------------
+  /** Per-(band, key) membership cap on the SMALLER-ID / INDEX side of
+    * every banded pair join — the guard against the one quadratic
+    * shape LSH banding admits at web scale: a near-identical template
+    * cluster (exact dedup removes only byte-identical copies) lands
+    * its m members in ONE bucket, and an uncapped self-join emits
+    * O(m²) candidate pairs from it. The rule: the side of the join
+    * that contributes the smaller doc_id (or the corpus/index side of
+    * a delta-probes-index join) is truncated to its bucket's
+    * BandBucketCap lowest doc_ids — a deterministic spill rule, so
+    * both engines and any re-run agree exactly. Pairs per bucket are
+    * then <= cap * m (linear in m), while every member still pairs
+    * with the bucket's minimum id, so connected-components consumers
+    * (q58, q146) see the same clusters for genuinely-near-identical
+    * groups: member→rep edges survive rescore precisely when the
+    * cluster is real. Natural corpora never hit the cap (measured
+    * fixture max bucket size is 4 at sf0.001/0.01/0.1, so all
+    * fixture-scale outputs are bit-identical to the uncapped rule);
+    * only adversarial/template skew does, and there it bounds, not
+    * loses, the work. Mirrored exactly by [[capBandedSql]].
+    */
+  val BandBucketCap: Int = 16
+
+  /** Truncate a banded relation (any relation with `band`, `key`,
+    * `doc_id` columns; extra columns ride along) to the BandBucketCap
+    * lowest doc_ids per (band, key) bucket. One window over the same
+    * (band, key) hash partitioning the downstream pair join shuffles
+    * on anyway — the window's exchange+sort is reused by the
+    * sort-merge join, so the cap adds no extra shuffle.
+    */
+  def capBanded(banded: DataFrame): DataFrame = {
+    val w = Window.partitionBy("band", "key").orderBy("doc_id")
+    banded.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= BandBucketCap)
+      .drop("__rk")
+  }
+
+  /** DuckDB twin of [[capBanded]]: same rank, same cap, all columns
+    * preserved (QUALIFY keeps the projection untouched).
+    */
+  def capBandedSql(src: String): String =
+    s"""SELECT * FROM $src
+       | QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+       |   <= $BandBucketCap""".stripMargin
 
   // ---- SimHash ----------------------------------------------------
   /** 32-bit SimHash over token hashes (term-frequency weighted).

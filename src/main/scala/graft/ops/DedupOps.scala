@@ -101,7 +101,10 @@ object DedupOps {
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
-    val pairs = banded.as("x").join(banded.as("y"),
+    // hot-bucket bound: the smaller-id side is capped to its bucket's
+    // BandBucketCap lowest doc_ids (see HashFns.capBanded) — pairs per
+    // bucket stay linear in membership even under template skew
+    val pairs = capBanded(banded).as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -134,8 +137,9 @@ object DedupOps {
     s"""$shingledCte,
        |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
+       |bandedc AS (${capBandedSql("banded")}),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |          FROM banded x JOIN banded y
+       |          FROM bandedc x JOIN banded y
        |            ON x.band = y.band AND x.key = y.key
        |           AND x.doc_id < y.doc_id),
        |joined AS (SELECT pairs.a, pairs.b, x.sig AS sig_a, y.sig AS sig_b,
@@ -191,9 +195,14 @@ object DedupOps {
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
     val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 4
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          isDelta(col("x.doc_id")) && !isDelta(col("y.doc_id")))
+    // hot-bucket bound on the CORPUS (index) side: a delta doc probing
+    // a template cluster's bucket meets its BandBucketCap lowest-id
+    // representatives, not all m members — probe cost per bucket is
+    // |delta| * cap, linear, and any real near-dup still matches a rep
+    val corpusBand = capBanded(banded.filter(!isDelta(col("doc_id"))))
+    val cands = banded.filter(isDelta(col("doc_id"))).as("x")
+      .join(corpusBand.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val joined = cands
@@ -232,10 +241,11 @@ object DedupOps {
     s"""WITH $shingledCte,
        |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
+       |corpusb AS (${capBandedSql("(SELECT * FROM banded WHERE doc_id % 5 <> 4)")}),
        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |          FROM banded x JOIN banded y
+       |          FROM banded x JOIN corpusb y
        |            ON x.band = y.band AND x.key = y.key
-       |          WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4),
+       |          WHERE x.doc_id % 5 = 4),
        |joined AS (SELECT cands.a, cands.b, x.sig AS sig_a, y.sig AS sig_b,
        |                  x.sh AS sh_a, y.sh AS sh_b
        |           FROM cands JOIN sigs x ON x.doc_id = cands.a
@@ -788,9 +798,12 @@ object DedupOps {
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
     val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 4
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          isDelta(col("x.doc_id")) && !isDelta(col("y.doc_id")))
+    // same corpus-side hot-bucket bound as q137 (the gate probes the
+    // corpus index; a capped bucket still rejects on any rep match)
+    val corpusBand = capBanded(banded.filter(!isDelta(col("doc_id"))))
+    val cands = banded.filter(isDelta(col("doc_id"))).as("x")
+      .join(corpusBand.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val matches = aggregate(
@@ -838,10 +851,11 @@ object DedupOps {
     s"""$shingledCte,
        |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
+       |corpusb AS (${capBandedSql("(SELECT * FROM banded WHERE doc_id % 5 <> 4)")}),
        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |          FROM banded x JOIN banded y
+       |          FROM banded x JOIN corpusb y
        |            ON x.band = y.band AND x.key = y.key
-       |          WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4),
+       |          WHERE x.doc_id % 5 = 4),
        |conf AS (SELECT cands.a, cands.b
        |         FROM cands JOIN sigs x ON x.doc_id = cands.a
        |                    JOIN sigs y ON y.doc_id = cands.b
@@ -1093,7 +1107,9 @@ object DedupOps {
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
-    val cand = banded.as("x").join(banded.as("y"),
+    // the candidate rule under eval IS q34's capped band join — the
+    // eval must measure what production generates, cap included
+    val cand = capBanded(banded).as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -1134,8 +1150,9 @@ object DedupOps {
        |            / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
        |sigs AS (SELECT doc_id, sh, ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
        |banded AS ($bands),
+       |bandedc AS (${capBandedSql("banded")}),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, 1 AS cd
-       |         FROM banded x JOIN banded y
+       |         FROM bandedc x JOIN banded y
        |           ON x.band = y.band AND x.key = y.key
        |          AND x.doc_id < y.doc_id),
        |u AS (SELECT COALESCE(t, 0) AS t, COALESCE(cd, 0) AS cd
@@ -1148,6 +1165,124 @@ object DedupOps {
        |       (CAST(SUM(t * cd) AS BIGINT) * 1000000) // CAST(SUM(cd) AS BIGINT)
        |         AS precision_millionths
        |FROM u""".stripMargin
+  }
+
+  // ---- q221: HOT-BUCKET SKEW STRESS — the adversarial shape the
+  //      BandBucketCap exists for. Web corpora carry near-identical
+  //      TEMPLATE clusters (boilerplate pages, mirrored docs with a
+  //      one-token delta) that exact dedup cannot remove: every member
+  //      lands in the SAME (band, key) bucket, and an uncapped band
+  //      self-join emits O(m²) candidate pairs from it — the one
+  //      quadratic LSH banding admits at 100 TB. This lane INJECTS
+  //      that cluster (SkewK copies of the lowest-id doc's text, each
+  //      with a distinct trailing token — deterministic, so both
+  //      engines build the identical corpus), runs the production
+  //      capped candidate generation, and reports the counts that
+  //      prove the bound: max bucket membership ~ SkewK, the uncapped
+  //      counterfactual Σ C(m,2) in the millions, the ACTUAL candidate
+  //      count linear (≤ cap·Σm), and every injected doc still flagged
+  //      as a duplicate (the cap bounds work, it does not lose the
+  //      cluster — each member meets the bucket's lowest-id reps, and
+  //      for a genuinely near-identical cluster those rescore green).
+  //      BandBucketCapSpec fences linearity across two SkewK values.
+  private[graft] val SkewK = 2000L
+  private[graft] val SkewBase = 9000000L
+
+  /** The skew lane's capped candidate machinery over an amplified
+    * corpus with a k-member injected cluster — shared by q221 and the
+    * BandBucketCapSpec linearity fence.
+    * Returns (n_skew, max_bucket, uncapped_pairs, n_cand,
+    * n_dup_flagged) as a single-row DataFrame.
+    */
+  private[graft] def dedupSkewAt(s: SparkSession, d: String,
+      k: Long): DataFrame = {
+    val seed = docs(s, d).orderBy("doc_id").limit(1)
+      .select(col("text").as("seed_text"))
+    val skewDocs = s.range(k).crossJoin(broadcast(seed))
+      .select((lit(SkewBase) + col("id")).as("doc_id"),
+        concat(col("seed_text"), lit(" v"),
+          col("id").cast("string")).as("text"))
+    val corpus = docs(s, d).select("doc_id", "text").unionByName(skewDocs)
+    val sh = corpus
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), hashedShingles(shingles(col("toks"), 3)).as("sh"))
+    val base = sh.withColumn("sig",
+        graft.expressions.MinHashSig.minhashSig(col("sh")))
+      .select("doc_id", "sig")
+      .localCheckpoint(true)
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    val banded = base.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band", "key"))).persist()
+    val cand = capBanded(banded).as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .persist()
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    val dupFlagged = cand
+      .join(base.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .filter(matches.cast("double") / lit(MinhashK.toDouble) >= 0.5)
+      .select(col("b")).distinct()
+    val sSkew = skewDocs.agg(count(lit(1)).as("n_skew"))
+    val sBuckets = banded.groupBy("band", "key").agg(count(lit(1)).as("m"))
+      .agg(max(col("m")).as("max_bucket"),
+        sum(expr("(m * (m - 1)) div 2")).cast("long").as("uncapped_pairs"))
+    val sCand = cand.agg(count(lit(1)).as("n_cand"))
+    val sDup = dupFlagged.agg(count(lit(1)).as("n_dup_flagged"))
+    val result = sSkew.crossJoin(broadcast(sBuckets))
+      .crossJoin(broadcast(sCand)).crossJoin(broadcast(sDup))
+      .select("n_skew", "max_bucket", "uncapped_pairs", "n_cand",
+        "n_dup_flagged")
+      .localCheckpoint(true)
+    cand.unpersist(false)
+    banded.unpersist(false)
+    result
+  }
+
+  def dedupSkew(s: SparkSession, d: String): DataFrame =
+    dedupSkewAt(s, d, SkewK)
+
+  private val dedupSkewSql = {
+    val bands = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b)} AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH seed AS (SELECT text FROM documents ORDER BY doc_id LIMIT 1),
+       |sk AS (SELECT $SkewBase + i AS doc_id,
+       |         (SELECT text FROM seed) || ' v' || CAST(i AS VARCHAR) AS text
+       |       FROM range($SkewK) t(i)),
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT doc_id, text FROM sk),
+       |t0 AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM corpus),
+       |t1 AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 3),
+       |s2 AS (SELECT doc_id,
+       |  ${hashedShinglesSql(shinglesSql("toks", 3))} AS sh FROM t1),
+       |sigs AS MATERIALIZED (SELECT doc_id,
+       |  ${minhashSigFromHashesSql("sh")} AS sig FROM s2),
+       |banded AS MATERIALIZED ($bands),
+       |bandedc AS (${capBandedSql("banded")}),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |        FROM bandedc x JOIN banded y
+       |          ON x.band = y.band AND x.key = y.key
+       |         AND x.doc_id < y.doc_id),
+       |conf AS (SELECT DISTINCT cand.b FROM cand
+       |         JOIN sigs sx ON sx.doc_id = cand.a
+       |         JOIN sigs sy ON sy.doc_id = cand.b
+       |         WHERE CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+       |           i -> CASE WHEN sx.sig[i] = sy.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |           / ${MinhashK.toDouble} >= 0.5),
+       |bstats AS (SELECT band, key, COUNT(*) AS m FROM banded GROUP BY 1, 2)
+       |SELECT (SELECT COUNT(*) FROM sk) AS n_skew,
+       |       (SELECT MAX(m) FROM bstats) AS max_bucket,
+       |       (SELECT CAST(SUM((m * (m - 1)) // 2) AS BIGINT) FROM bstats)
+       |         AS uncapped_pairs,
+       |       (SELECT COUNT(*) FROM cand) AS n_cand,
+       |       (SELECT COUNT(*) FROM conf) AS n_dup_flagged""".stripMargin
   }
 
   // ---- q206: UNICODE-EQUIVALENCE DEDUP (NFC) — web text arrives in
@@ -1234,5 +1369,7 @@ object DedupOps {
     Q("q153_lsh_eval", lshEval, Some(lshEvalSql),
       "LSH candidate-generation eval: recall/precision of the q34 band join vs exact-Jaccard truth, integer millionths"),
     Q("q156_intra_repeat", intraRepeat, Some(intraRepeatSql),
-      "intra-doc repeated spans: positional self-pairs per doc, occurrence-capped, longest repeat run via diagonals"))
+      "intra-doc repeated spans: positional self-pairs per doc, occurrence-capped, longest repeat run via diagonals"),
+    Q("q221_dedup_skew", dedupSkew, Some(dedupSkewSql),
+      "hot-bucket skew stress: a 2000-member injected template cluster; candidate count stays linear (BandBucketCap) vs the quadratic uncapped counterfactual, and every injected doc is still flagged as a duplicate"))
 }

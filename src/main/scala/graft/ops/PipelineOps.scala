@@ -94,7 +94,9 @@ object PipelineOps {
     // g4: q34's banded MinHash pairs over the REDACTED survivors
     val sh = sigsOf(g3k).persist()
     val banded = bandedOf(sh)
-    val pairs = banded.as("x").join(banded.as("y"),
+    // hot-bucket bound (HashFns.capBanded): smaller-id side capped to
+    // its bucket's BandBucketCap lowest doc_ids — no O(m²) bucket
+    val pairs = capBanded(banded).as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -299,7 +301,8 @@ object PipelineOps {
        |       FROM (SELECT doc_id, $rt AS rtoks FROM $in)
        |       WHERE len(rtoks) >= 3),
        |${p}sigs AS MATERIALIZED (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM ${p}sh),
-       |${p}banded AS MATERIALIZED ($bands)""".stripMargin
+       |${p}banded AS MATERIALIZED ($bands),
+       |${p}bandedc AS (${capBandedSql(s"${p}banded")})""".stripMargin
   }
 
   private def estJSql(sx: String, sy: String): String =
@@ -318,7 +321,7 @@ object PipelineOps {
        |${gateChainSql(s"${p}d0", p)},
        |${sigChainSql(p)},
        |${p}pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |          FROM ${p}banded x JOIN ${p}banded y
+       |          FROM ${p}bandedc x JOIN ${p}banded y
        |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |${p}nd AS (SELECT a, b FROM ${p}pairs
        |       JOIN ${p}sigs sx ON sx.doc_id = ${p}pairs.a
@@ -651,8 +654,15 @@ object PipelineOps {
     // pruning predicate needs no cast (a cast kills partition pruning)
     val pbs = dBand.select("pb").distinct()
       .collect().map(_.getLong(0).toInt).sorted
-    val idx = openBuckets(s, dir, pbs.map(_.toLong).toIndexedSeq)
-      .filter(col("pb").isin(pbs.toIndexedSeq: _*))
+    // the hot-bucket cap ranks over the OPENED rows, which is the
+    // bucket's full (band, key) membership — pb is a function of
+    // (band, key), so every member of a touched bucket lands in an
+    // opened pb dir; the rank therefore equals the in-memory bBand
+    // rank in pipelineIncrementFull's dvb arm (q217 shares q215's
+    // oracle, so the two rules must coincide exactly)
+    val idx = capBanded(
+      openBuckets(s, dir, pbs.map(_.toLong).toIndexedSeq)
+        .filter(col("pb").isin(pbs.toIndexedSeq: _*)))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), _ + _)
@@ -778,10 +788,13 @@ object PipelineOps {
     def estOk = matches.cast("double") / lit(MinhashK.toDouble) >= 0.5
     // delta x base-index candidates (the q137 asymmetry: the base side
     // contributes only its banded index rows, never re-pairing itself)
+    // hot-bucket bound on both dup checks (HashFns.capBanded): the
+    // base-index side and the within-delta smaller-id side are capped
+    // per (band, key) — probe cost linear in bucket membership
     val dvb = dvbVia match {
       case Some(f) => f(dSigs)
       case None =>
-        dBand.as("x").join(bBand.as("y"),
+        dBand.as("x").join(capBanded(bBand).as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
           .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
@@ -789,7 +802,7 @@ object PipelineOps {
           .filter(estOk)
           .select(col("a").as("doc_id")).distinct()
     }
-    val dwd = dBand.as("x").join(dBand.as("y"),
+    val dwd = dBand.as("x").join(capBanded(dBand).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
@@ -1018,14 +1031,14 @@ object PipelineOps {
        |tbband AS MATERIALIZED (SELECT b.doc_id, b.band, b.key FROM tbanded b
        |        JOIN tg5k USING (doc_id)),
        |rcvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM rbanded x JOIN tbband y
+       |        FROM rbanded x JOIN (${capBandedSql("tbband")}) y
        |          ON x.band = y.band AND x.key = y.key),
        |rdvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM rcvb
        |       JOIN rsigs sx ON sx.doc_id = rcvb.a
        |       JOIN tbsig sy ON sy.doc_id = rcvb.b
        |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
        |rcwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM rbanded x JOIN rbanded y
+       |        FROM rbanded x JOIN rbandedc y
        |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
        |rdwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM rcwd
        |       JOIN rsigs sx ON sx.doc_id = rcwd.a
@@ -1124,14 +1137,14 @@ object PipelineOps {
        |bband AS MATERIALIZED (SELECT b.doc_id, b.band, b.key FROM banded b
        |        JOIN g5k USING (doc_id)),
        |cvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM dbanded x JOIN bband y
+       |        FROM dbanded x JOIN (${capBandedSql("bband")}) y
        |          ON x.band = y.band AND x.key = y.key),
        |dvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM cvb
        |       JOIN dsigs sx ON sx.doc_id = cvb.a
        |       JOIN bsig sy ON sy.doc_id = cvb.b
        |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
        |cwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM dbanded x JOIN dbanded y
+       |        FROM dbanded x JOIN dbandedc y
        |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
        |dwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM cwd
        |       JOIN dsigs sx ON sx.doc_id = cwd.a
@@ -1352,14 +1365,14 @@ object PipelineOps {
        |        WHERE doc_id NOT IN (SELECT doc_id FROM ${p}contam)),
        |${sigChainSql(p, s"${p}cln")},
        |${p}cvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM ${p}banded x JOIN $idxBand y
+       |        FROM ${p}banded x JOIN (${capBandedSql(idxBand)}) y
        |          ON x.band = y.band AND x.key = y.key),
        |${p}dvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ${p}cvb
        |       JOIN ${p}sigs sx ON sx.doc_id = ${p}cvb.a
        |       JOIN $idxSig sy ON sy.doc_id = ${p}cvb.b
        |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
        |${p}cwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM ${p}banded x JOIN ${p}banded y
+       |        FROM ${p}banded x JOIN ${p}bandedc y
        |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
        |${p}dwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ${p}cwd
        |       JOIN ${p}sigs sx ON sx.doc_id = ${p}cwd.a
@@ -1510,14 +1523,14 @@ object PipelineOps {
        |        WHERE doc_id NOT IN (SELECT doc_id FROM econtam)),
        |${sigChainSql("e", "ecln")},
        |ecvb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM ebanded x JOIN fband y
+       |        FROM ebanded x JOIN (${capBandedSql("fband")}) y
        |          ON x.band = y.band AND x.key = y.key),
        |edvb AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ecvb
        |       JOIN esigs sx ON sx.doc_id = ecvb.a
        |       JOIN fsig sy ON sy.doc_id = ecvb.b
        |       WHERE ${estJSql("sx.sig", "sy.sig")} >= 0.5),
        |ecwd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |        FROM ebanded x JOIN ebanded y
+       |        FROM ebanded x JOIN ebandedc y
        |          ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id),
        |edwd AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ecwd
        |       JOIN esigs sx ON sx.doc_id = ecwd.a

@@ -1688,7 +1688,12 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     val dvb = dvbOf(dSigs).withColumn("f_dvb", lit(true))
     val earlier = PipelineOps.bandedOf(prior)
       .unionByName(dBand) // within-batch side handled by a > b
-    val dwd = dBand.as("x").join(earlier.as("y"),
+    // hot-bucket bound (HashFns.capBanded) on the smaller-id side —
+    // rank over prior∪current membership; batches arrive id-ordered
+    // here, so this matches the batch twin's full-delta rank at any
+    // bucket size the fixture can stage (and bounds, not loses, work
+    // beyond it)
+    val dwd = dBand.as("x").join(capBanded(earlier).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
