@@ -64,27 +64,44 @@ object Bench {
   /** Short git HEAD rev, read straight from .git (no exec): stamps
     * BENCH_ISOLATED.json so a stale isolated pass from an older
     * commit cannot silently ride along inside a newer BENCH_DETAIL
-    * (r15 ADVICE #5). "unknown" outside a git checkout.
+    * (r15 ADVICE #5). Follows a `gitdir: <path>` pointer file (git
+    * worktrees / submodules keep the real gitdir elsewhere, and a
+    * worktree's HEAD ref may resolve against its `commondir`) —
+    * without the indirection both stamps read "unknown" and the
+    * freshness check vacuously passed exactly where rev tracking was
+    * unavailable (r16 ADVICE). "unknown" outside a git checkout.
     */
   private[graft] def gitRev(): String =
     try {
-      val p = java.nio.file.Paths.get(".git/HEAD")
-      val head = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+      import java.nio.file.{Files, Path, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      def read(p: Path) = new String(Files.readAllBytes(p), UTF_8).trim
+      val dotGit = Paths.get(".git")
+      val gitDir =
+        if (Files.isRegularFile(dotGit)) {
+          val s = read(dotGit)
+          if (s.startsWith("gitdir: ")) Paths.get(s.stripPrefix("gitdir: "))
+          else return "unknown"
+        } else dotGit
+      // refs of a worktree gitdir live in its commondir (the main
+      // repo's .git); HEAD itself stays per-worktree
+      val common = {
+        val c = gitDir.resolve("commondir")
+        if (Files.exists(c)) gitDir.resolve(read(c)).normalize() else gitDir
+      }
+      val head = read(gitDir.resolve("HEAD"))
       if (!head.startsWith("ref: ")) head.take(12)
       else {
         val ref = head.stripPrefix("ref: ")
-        val rp = java.nio.file.Paths.get(".git", ref)
-        if (java.nio.file.Files.exists(rp))
-          new String(java.nio.file.Files.readAllBytes(rp),
-            java.nio.charset.StandardCharsets.UTF_8).trim.take(12)
-        else {
-          val packed = java.nio.file.Paths.get(".git/packed-refs")
-          if (!java.nio.file.Files.exists(packed)) "unknown"
-          else new String(java.nio.file.Files.readAllBytes(packed),
-              java.nio.charset.StandardCharsets.UTF_8)
-            .linesIterator.find(_.endsWith(" " + ref))
-            .map(_.split("\\s+")(0).take(12)).getOrElse("unknown")
+        val candidates = Seq(gitDir.resolve(ref), common.resolve(ref))
+        candidates.find(Files.exists(_)) match {
+          case Some(rp) => read(rp).take(12)
+          case None =>
+            val packed = common.resolve("packed-refs")
+            if (!Files.exists(packed)) "unknown"
+            else read(packed)
+              .linesIterator.find(_.endsWith(" " + ref))
+              .map(_.split("\\s+")(0).take(12)).getOrElse("unknown")
         }
       }
     } catch { case _: Throwable => "unknown" }
@@ -365,7 +382,12 @@ object Bench {
             ""
           } else {
             val rev = gitRev()
-            val stale = !field("isolated_rev").contains(rev)
+            // unknown == unknown is NOT freshness — it means rev
+            // tracking was unavailable for one or both runs, which is
+            // exactly when the check must not vacuously pass (r16
+            // ADVICE)
+            val stale = rev == "unknown" ||
+              !field("isolated_rev").contains(rev)
             if (stale)
               System.err.println(s"[bench] BENCH_ISOLATED.json rev " +
                 s"${field("isolated_rev").getOrElse("?")} != $rev — " +

@@ -86,11 +86,22 @@ object LayoutFs {
     }
   }
 
+  /** Write via temp-name + rename, never through the target's inode:
+    * fs.create(hp, true) truncates IN PLACE, and a metadata file
+    * inside a hardlink clone (_META/_VACUUM_FLOOR are cloned) shares
+    * its inode with the pristine source — an in-place rewrite would
+    * corrupt the source through the link. Replacing the NAME keeps
+    * cloneTree's never-write-in-place invariant enforced here rather
+    * than relied on at every call site (r16 ADVICE).
+    */
   def writeSmallFile(p: String, content: String): Unit = {
     val (fs, hp) = fsFor(p)
-    val out = fs.create(hp, true)
+    val tmp = new HPath(p + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(hp, false)
+    require(fs.rename(tmp, hp), s"writeSmallFile rename $tmp -> $p failed")
     ()
   }
 
@@ -118,7 +129,11 @@ object LayoutFs {
       val srcRoot = java.nio.file.Paths.get(fs.makeQualified(sp).toUri.getPath)
       val dstRoot = java.nio.file.Paths.get(fs.makeQualified(dp).toUri.getPath)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(srcRoot).iterator().asScala.foreach { p =>
+      // Files.walk holds a directory handle until closed — clones run
+      // once per mutation lane plus per test, so an unclosed stream
+      // leaks a descriptor each time (r16 ADVICE)
+      val walk = java.nio.file.Files.walk(srcRoot)
+      try walk.iterator().asScala.foreach { p =>
         val t = dstRoot.resolve(srcRoot.relativize(p))
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.createDirectories(t)
@@ -126,7 +141,7 @@ object LayoutFs {
           java.nio.file.Files.deleteIfExists(t)
           java.nio.file.Files.createLink(t, p)
         }
-      }
+      } finally walk.close()
     } else {
       require(FileUtil.copy(fs, sp, fs, dp, false, hconf),
         s"cloneTree copy $src -> $dst failed")

@@ -453,18 +453,22 @@ object PipelineOps {
     */
   private[graft] val MinOffsetSpacing = 1000000L
 
-  // memoized by the input plan's SEMANTIC hash + bound (r15 ADVICE:
-  // the eager max(doc_id) agg ran inside plan-construction helpers,
-  // so every lane invocation — and even 'lazy' plan sweeps — paid a
-  // corpus-column scan). Same corpus => same canonicalized plan =>
+  // memoized by the input's FULL canonicalized plan + bound + site
+  // label (r15 ADVICE introduced the memo so 'lazy' plan sweeps stop
+  // paying a corpus-column scan per lane invocation; r16 ADVICE
+  // tightened the key: the previous 32-bit semanticHash could collide
+  // and silently skip the guard — structural plan equality cannot,
+  // and the handful of distinct corpus plans per JVM makes holding
+  // them as keys free). Same corpus => same canonicalized plan =>
   // one job per JVM; a localCheckpointed input (epoch admissions,
-  // whose rows genuinely change run-to-run) hashes fresh each run and
-  // correctly re-asserts.
-  private val headroomChecked =
-    new scala.collection.concurrent.TrieMap[(Int, Long), Boolean]()
+  // whose rows genuinely change run-to-run) is a fresh plan each run
+  // and correctly re-asserts.
+  private val headroomChecked = new scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, String),
+    Boolean]()
 
   private def assertIdHeadroom(df: DataFrame, bound: Long, where: String): Unit = {
-    val key = (df.queryExecution.logical.canonicalized.semanticHash(), bound)
+    val key = (df.queryExecution.logical.canonicalized, bound, where)
     headroomChecked.getOrElseUpdate(key, {
       val r = df.agg(max(col("doc_id"))).head()
       if (!r.isNullAt(0))

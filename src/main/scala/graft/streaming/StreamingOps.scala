@@ -1524,6 +1524,15 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
     // arrival slices: the q215 delta in doc_id order, three files
     val srcDir = stageSpiSlices(s, d)
+    // driver-side ledger of the batch ids this run has actually
+    // written to the store — the foreachBatch closure below owns
+    // every write, so probing LayoutFs.exists for batch=0..id-1 per
+    // micro-batch (O(n²) existence checks over the stream's life,
+    // each a remote metadata call on an object store) is redundant
+    // (r16 ADVICE). The lane clears laneRoot at entry, so the ledger
+    // starts correctly empty; a one-time disk seed covers the
+    // restart-from-checkpoint shape this lane never stages.
+    val writtenBatches = scala.collection.mutable.TreeSet.empty[Long]
     // static artifacts, ready BEFORE the stream starts. The curated-
     // base index is the PERSISTED q217 artifact — each micro-batch
     // probes only its candidate buckets through the pruned FileScan
@@ -1596,14 +1605,20 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
             // listing term the layout opens killed). batch 0 has no
             // store yet: hand-built empty (nothing to derive a schema
             // from on disk).
+            val priorIds = writtenBatches.synchronized {
+              if (writtenBatches.isEmpty && batchId > 0L)
+                writtenBatches ++= (0L until batchId).filter(i =>
+                  graft.io.LayoutFs.exists(s"$storeDir/batch=$i"))
+              writtenBatches.iterator.filter(_ < batchId).toSeq
+            }
             val prior =
-              if (batchId == 0L) s.createDataFrame(
+              if (priorIds.isEmpty) s.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](),
                 org.apache.spark.sql.types.StructType(Seq(
                   StructField("doc_id", LongType),
                   StructField("sig", ArrayType(LongType)))))
-              else graft.ops.SimilarityOps.openPartDirs(s, storeDir,
-                  (0L until batchId).map(i => s"batch=$i"))
+              else s.read.option("basePath", storeDir)
+                .parquet(priorIds.map(i => s"$storeDir/batch=$i"): _*)
                 .select("doc_id", "sig")
             val (verdicts, dSigs, dg3k) =
               spiBatchAdmit(s, audit, bench, prior,
@@ -1615,6 +1630,7 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
             // a re-executed micro-batch replaces rather than
             // duplicates its contribution (restart/retry-safe)
             dSigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+            writtenBatches.synchronized { writtenBatches += batchId }
             dg3k.unpersist(false)
             ()
           } finally { audit.unpersist(false); () }
