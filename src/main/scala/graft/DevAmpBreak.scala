@@ -183,20 +183,17 @@ object DevAmpBreak {
       (r, g)
     }
     acc("epoch1_admission") = t1
-    val (src, t0) = t { PipelineOps.persistAdmissionIndex(s, d) }
+    val (_, t0) = t { PipelineOps.persistAdmissionIndex(s, d) }
     acc("static_index") = t0
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_e2brk_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    val (_, t2) = t {
-      graft.io.LayoutFs.deleteTree(dst)
-      graft.io.LayoutFs.cloneTree(src, dst)
-    }
+    // overlay entry, matching the r17 lane (clone-free; stage name
+    // kept so decade comparisons line up across rounds)
+    val (idx, t2) = t { PipelineOps.overlayEntry(s, d, "e2brk") }
     acc("index_clone") = t2
-    val (_, t3) = t { PipelineOps.foldIntoAdmissionIndex(s, dst, admSigs) }
+    val (_, t3) = t { PipelineOps.foldIntoAdmissionIndex(s, idx, admSigs) }
     acc("fold") = t3
     val (_, t4) = t {
       val (card2, handles2) = PipelineOps.pipelineIncrementLazy(s, d,
-        Some(ds => PipelineOps.probeAdmissionIndex(s, dst, ds)),
+        Some(ds => PipelineOps.probeAdmissionIndex(s, idx, ds)),
         d0 => PipelineOps.epoch2Batch(d0, admRows))
       force(card2)
       handles2.foreach(_.unpersist(false))

@@ -504,20 +504,31 @@ object Plans {
         "batch's pin\n\n```\n" + plan193 + "```\n")
     }
     // q210 post-vacuum pinned read: same pruned union-of-generations
-    // shape as q191 (the vacuum only removes directories a pin >= floor
-    // never resolves to), dumped against the vacuumed clone
+    // shape as q191 (the vacuum only removes manifest rows a pin >=
+    // floor never resolves to), dumped against the lane's clone-free
+    // run-local manifest over the pristine store (r17)
     locally {
-      val root = ops.SimilarityOps.cloneVersionStore(spark, d)
-      ops.SimilarityOps.vacuumTo(spark, root, floor = 1)
-      val cells = spark.read.parquet(s"$root/manifest")
+      ops.SimilarityOps.indexVersions(spark, d)
+      val pristine = ops.SimilarityOps.versionDir(d)
+      val laneRoot =
+        s"${System.getProperty("java.io.tmpdir")}/graft_vacplan"
+      graft.io.LayoutFs.deleteTree(laneRoot)
+      val laneManifest = s"$laneRoot/manifest"
+      ops.SimilarityOps.seedManifest(
+        spark, s"$pristine/manifest", laneManifest, Seq(0, 1))
+      ops.SimilarityOps.vacuumManifest(spark, laneManifest, floor = 1)
+      val cells = spark.read.parquet(laneManifest)
         .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
-      val plan210 = ops.SimilarityOps.genPinnedRead(spark, root, 1, cells)
+      val plan210 = ops.SimilarityOps
+        .manifestPinnedRead(spark, laneManifest, pristine, 1, cells)
         .queryExecution.explainString(SimpleMode)
       sb.append("\n## q210_index_vacuum (post-vacuum pinned read)\n\n" +
-        "generation vacuum: reclamation is manifest-driven directory " +
-        "deletion (metadata-scale, no data job at all), and the " +
-        "post-vacuum pin-1 read keeps q191's exact shape — each " +
-        "surviving generation scanned with its own pruned " +
+        "generation vacuum, metadata half (clone-free overlay entry): " +
+        "reclamation drops superseded rows from the run-local manifest " +
+        "and records the floor (metadata-scale, no data job at all); " +
+        "the physical GC (vacuumTo) runs only on stores the caller " +
+        "owns. The post-vacuum pin-1 read keeps q191's exact shape — " +
+        "each surviving generation scanned with its own pruned " +
         "PartitionFilters; pins below the recorded floor refuse before " +
         "any scan is planned\n\n```\n" + plan210 + "```\n")
     }

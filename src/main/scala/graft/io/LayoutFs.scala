@@ -57,6 +57,12 @@ object LayoutFs {
     require(fs.rename(sp, new HPath(dst)), s"rename $src -> $dst failed")
   }
 
+  def mkdirs(p: String): Unit = {
+    val (fs, hp) = fsFor(p)
+    require(fs.mkdirs(hp), s"mkdirs $p failed")
+    ()
+  }
+
   /** Names of the immediate subdirectories of `p` (partition-dir
     * discovery for a SPECIFIC layout root the caller already owns —
     * one listStatus call, never a recursive walk).

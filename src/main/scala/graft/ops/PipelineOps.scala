@@ -639,6 +639,106 @@ object PipelineOps {
     else s.read.option("basePath", dir).parquet(paths: _*)
   }
 
+  // ---- generation-pinned index entry (r16 verdict #3) ----
+  // The mutation lanes (q218/q219/q220) used to CLONE the pristine
+  // persisted index into a run-local tree and mutate the clone —
+  // zero-copy locally (hardlinks) but a byte-copy on any non-`file`
+  // scheme, so on HDFS/S3 entry cost would have been O(index). The
+  // deployment-true shape is the q191/q212 generation-manifest idea
+  // applied at pb-bucket granularity: PIN the pristine layout as the
+  // base generation and write only MUTATED buckets to a run-local
+  // OVERLAY; a bucket is served from the overlay iff a mutation has
+  // committed it there (ownership ledger `_OWNED`, metadata-scale),
+  // else from the base. No clone, no fallback copy, entry cost O(1)
+  // on every scheme — and the pristine base is structurally
+  // unwritable from the lane (no code path targets it).
+
+  /** Handle to an admission-index state: a plain directory, or a
+    * base+overlay pair resolved per bucket. All maintenance ops
+    * (probe/fold/delete) run against this interface, so a lane picks
+    * clone-free overlay entry without touching the op logic.
+    */
+  private[graft] sealed trait AdmIndex {
+    def kb: Int
+    /** Pruned open of exactly `pbs`, ownership-resolved. */
+    def open(s: SparkSession, pbs: Seq[Long]): DataFrame
+    /** Commit the merged contents of the `touched` buckets. */
+    def commit(merged: DataFrame, touched: Seq[Long]): Unit
+    /** The full logical index state (spec/debug surface). */
+    def readAll(s: SparkSession): DataFrame
+  }
+
+  private[graft] final case class DirIndex(dir: String) extends AdmIndex {
+    lazy val kb: Int = indexBuckets(dir)
+    def open(s: SparkSession, pbs: Seq[Long]): DataFrame =
+      openBuckets(s, dir, pbs)
+    def commit(merged: DataFrame, touched: Seq[Long]): Unit =
+      SimilarityOps.stageAndSwap(dir, merged, touched, partCol = "pb")
+    def readAll(s: SparkSession): DataFrame = s.read.parquet(dir)
+  }
+
+  /** Run-local overlay over a pristine base index. `commit` stages
+    * and swaps into the OVERLAY only and appends the touched ids to
+    * the `_OWNED` ledger; an owned bucket whose overlay dir does not
+    * exist is owned-but-EMPTY (every row deleted) and correctly
+    * yields no rows — it must not fall back to the base. The ledger
+    * is re-read at construction, so a handle can be re-opened on an
+    * existing overlay (the lifecycle spec replays against one).
+    */
+  private[graft] final class OverlayIndex(
+      val base: String, val overlayDir: String) extends AdmIndex {
+    val kb: Int = indexBuckets(base)
+    private val owned = scala.collection.mutable.SortedSet.empty[Long]
+    graft.io.LayoutFs.readSmallFile(s"$overlayDir/_OWNED").foreach { txt =>
+      owned ++= txt.split("\\s+").iterator.filter(_.nonEmpty).map(_.toLong)
+    }
+    def ownedBuckets: Set[Long] = owned.toSet
+
+    private def openOverlay(s: SparkSession, pbs: Seq[Long]): DataFrame = {
+      val paths = pbs.map(pb => s"$overlayDir/pb=$pb")
+        .filter(graft.io.LayoutFs.exists)
+      if (paths.isEmpty)
+        // schema from the base layout (the overlay may hold nothing)
+        s.read.option("basePath", base).parquet(base).filter(lit(false))
+      else s.read.option("basePath", overlayDir).parquet(paths: _*)
+    }
+
+    def open(s: SparkSession, pbs: Seq[Long]): DataFrame = {
+      val (ov, bs) = pbs.partition(owned.contains)
+      if (ov.isEmpty) openBuckets(s, base, bs)
+      else if (bs.isEmpty) openOverlay(s, ov)
+      else openOverlay(s, ov).unionByName(openBuckets(s, base, bs))
+    }
+
+    def commit(merged: DataFrame, touched: Seq[Long]): Unit = {
+      graft.io.LayoutFs.mkdirs(overlayDir)
+      SimilarityOps.stageAndSwap(overlayDir, merged, touched, partCol = "pb")
+      owned ++= touched
+      graft.io.LayoutFs.writeSmallFile(s"$overlayDir/_OWNED",
+        owned.mkString("", "\n", "\n"))
+    }
+
+    def readAll(s: SparkSession): DataFrame = {
+      val ownedSeq = owned.toSeq
+      if (ownedSeq.isEmpty) s.read.parquet(base)
+      else s.read.parquet(base)
+        .filter(!col("pb").isin(ownedSeq: _*))
+        .unionByName(openOverlay(s, ownedSeq))
+    }
+  }
+
+  /** Fresh clone-free entry into mutations over the pristine
+    * persisted index: an empty overlay pinned on it.
+    */
+  private[graft] def overlayEntry(
+      s: SparkSession, d: String, tag: String): OverlayIndex = {
+    val base = persistAdmissionIndex(s, d)
+    val ov = s"${System.getProperty("java.io.tmpdir")}/graft_admov_${tag}_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    graft.io.LayoutFs.deleteTree(ov)
+    new OverlayIndex(base, ov)
+  }
+
   /** The pruned probe: dup-vs-base doc_ids of `dSigs` against the
     * on-disk index. The delta's candidate buckets are collected
     * driver-side (metadata-scale: <= MinhashBands * kb values
@@ -650,8 +750,12 @@ object PipelineOps {
     * oracle verbatim.
     */
   private[graft] def probeAdmissionIndex(
-      s: SparkSession, dir: String, dSigs: DataFrame): DataFrame = {
-    val kb = indexBuckets(dir)
+      s: SparkSession, dir: String, dSigs: DataFrame): DataFrame =
+    probeAdmissionIndex(s, DirIndex(dir), dSigs)
+
+  private[graft] def probeAdmissionIndex(
+      s: SparkSession, store: AdmIndex, dSigs: DataFrame): DataFrame = {
+    val kb = store.kb
     val dBand = bandedOf(dSigs)
       .withColumn("pb", pbCol(col("band"), col("key"), kb))
     // partition values discover as int — probe with ints so the
@@ -665,7 +769,7 @@ object PipelineOps {
     // rank in pipelineIncrementFull's dvb arm (q217 shares q215's
     // oracle, so the two rules must coincide exactly)
     val idx = capBanded(
-      openBuckets(s, dir, pbs.map(_.toLong).toIndexedSeq)
+      store.open(s, pbs.map(_.toLong).toIndexedSeq)
         .filter(col("pb").isin(pbs.toIndexedSeq: _*)))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -687,19 +791,23 @@ object PipelineOps {
     * touched bucket ids (spec surface).
     */
   private[graft] def foldIntoAdmissionIndex(
-      s: SparkSession, dir: String, newSigs: DataFrame): Seq[Long] = {
-    val kb = indexBuckets(dir) // folds PRESERVE the layout's kb
+      s: SparkSession, dir: String, newSigs: DataFrame): Seq[Long] =
+    foldIntoAdmissionIndex(s, DirIndex(dir), newSigs)
+
+  private[graft] def foldIntoAdmissionIndex(
+      s: SparkSession, store: AdmIndex, newSigs: DataFrame): Seq[Long] = {
+    val kb = store.kb // folds PRESERVE the layout's kb
     val add = indexRowsOf(newSigs, kb).localCheckpoint(true)
     val touched = add.select("pb").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val existing = openBuckets(s, dir, touched)
+    val existing = store.open(s, touched)
       .select("doc_id", "sig", "band", "key")
       .withColumn("pb", pbCol(col("band"), col("key"), kb))
     val merged = existing.unionByName(
         add.select("doc_id", "sig", "band", "key", "pb"))
       .repartition(col("pb"))
       .sortWithinPartitions("pb", "band", "key", "doc_id")
-    SimilarityOps.stageAndSwap(dir, merged, touched, partCol = "pb")
+    store.commit(merged, touched)
     touched
   }
 
@@ -917,44 +1025,47 @@ object PipelineOps {
     * bucket ids.
     */
   private[graft] def deleteFromAdmissionIndex(
-      s: SparkSession, dir: String, delSigs: DataFrame): Seq[Long] = {
-    val kb = indexBuckets(dir) // deletes PRESERVE the layout's kb
+      s: SparkSession, dir: String, delSigs: DataFrame): Seq[Long] =
+    deleteFromAdmissionIndex(s, DirIndex(dir), delSigs)
+
+  private[graft] def deleteFromAdmissionIndex(
+      s: SparkSession, store: AdmIndex, delSigs: DataFrame): Seq[Long] = {
+    val kb = store.kb // deletes PRESERVE the layout's kb
     val delRows = indexRowsOf(delSigs, kb).localCheckpoint(true)
     val touched = delRows.select("pb").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     if (touched.isEmpty) return Nil
     val del = delRows.select("doc_id").distinct()
-    val remaining = openBuckets(s, dir, touched)
+    val remaining = store.open(s, touched)
       .select("doc_id", "sig", "band", "key")
       .withColumn("pb", pbCol(col("band"), col("key"), kb))
       .join(broadcast(del), Seq("doc_id"), "left_anti")
       .repartition(col("pb"))
       .sortWithinPartitions("pb", "band", "key", "doc_id")
-    SimilarityOps.stageAndSwap(dir, remaining, touched, partCol = "pb")
+    store.commit(remaining, touched)
     touched
   }
 
-  /** Run-local tombstoned clone of the persisted admission index with
-    * the takedown set deleted — the post-takedown serving artifact
-    * (the pristine fixture index stays untouched for other lanes).
+  /** Post-takedown serving state: the takedown set tombstoned out of
+    * the persisted index via a GENERATION-PINNED overlay entry — the
+    * pristine base is never opened for write and nothing is cloned
+    * (r16 verdict #3: the old clone entry was zero-copy only on the
+    * local scheme; the overlay is O(1) entry on every scheme). Only
+    * the takedown's touched buckets materialize in the overlay.
     */
-  private[graft] def takedownIndexDir(s: SparkSession, d: String): String = {
-    val src = persistAdmissionIndex(s, d)
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_td_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    graft.io.LayoutFs.deleteTree(dst)
-    graft.io.LayoutFs.cloneTree(src, dst)
-    deleteFromAdmissionIndex(s, dst,
+  private[graft] def takedownIndex(s: SparkSession, d: String): AdmIndex = {
+    val idx = overlayEntry(s, d, "td")
+    deleteFromAdmissionIndex(s, idx,
       sharedBaseIndex(s, d).filter(takedownPred(col("doc_id"))))
-    dst
+    idx
   }
 
   def pipelineTakedown(s: SparkSession, d: String): DataFrame = {
     // 1-2. tombstone the on-disk index; re-submit every deleted doc
     //      through the full gate chain + admission against it
-    val tdDir = takedownIndexDir(s, d)
+    val tdIdx = takedownIndex(s, d)
     val (resubCard0, handles) = pipelineIncrementLazy(s, d,
-      Some(dSigs => probeAdmissionIndex(s, tdDir, dSigs)), takedownResubs)
+      Some(dSigs => probeAdmissionIndex(s, tdIdx, dSigs)), takedownResubs)
     val resubCard = resubCard0.localCheckpoint(true)
     handles.foreach(_.unpersist(false))
     // 3. the post-takedown card: weights refold from the cached pair
@@ -1214,18 +1325,15 @@ object PipelineOps {
     val admRows = admRows0.localCheckpoint(true)
     val admSigs = admSigs0.localCheckpoint(true)
     handles1.foreach(_.unpersist(false))
-    // the end-of-ingest checkpoint: fold admitted signatures into a
-    // run-local clone of the persisted base (the pristine fixture
-    // stays untouched for q217/q218)
-    val src = persistAdmissionIndex(s, d)
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_e2_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    graft.io.LayoutFs.deleteTree(dst)
-    graft.io.LayoutFs.cloneTree(src, dst)
-    foldIntoAdmissionIndex(s, dst, admSigs)
+    // the end-of-ingest checkpoint: fold admitted signatures through a
+    // generation-pinned overlay on the persisted base (clone-free —
+    // the pristine fixture stays untouched for q217/q218 because no
+    // write path targets it, not because a copy shields it)
+    val idx = overlayEntry(s, d, "e2")
+    foldIntoAdmissionIndex(s, idx, admSigs)
     // epoch 2 against the folded artifact
     val (card2, handles2) = pipelineIncrementLazy(s, d,
-      Some(ds => probeAdmissionIndex(s, dst, ds)),
+      Some(ds => probeAdmissionIndex(s, idx, ds)),
       d0 => epoch2Batch(d0, admRows))
     val result = card2.localCheckpoint(true)
     handles2.foreach(_.unpersist(false))
@@ -1278,21 +1386,19 @@ object PipelineOps {
     * surface); the registered build drops both.
     */
   private[graft] def pipelineLifecycleFull(
-      s: SparkSession, d: String): (DataFrame, Seq[LcEpoch], String) = {
-    val src = persistAdmissionIndex(s, d)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_lc_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    graft.io.LayoutFs.deleteTree(dir)
-    graft.io.LayoutFs.cloneTree(src, dir)
+      s: SparkSession, d: String): (DataFrame, Seq[LcEpoch], AdmIndex) = {
+    // generation-pinned overlay entry (clone-free; the pristine base
+    // serves every epoch's untouched buckets directly)
+    val idx = overlayEntry(s, d, "lc")
     def resub(rows: DataFrame, off: Long): DataFrame =
       rows.select((col("doc_id") + off).as("doc_id"), col("source"), col("text"))
     def epochRun(deltaOf: DataFrame => DataFrame)
         : (DataFrame, DataFrame, DataFrame) = {
       val (card0, admRows0, admSigs0, handles) = pipelineIncrementFull(
-        s, d, Some(ds => probeAdmissionIndex(s, dir, ds)), deltaOf)
-      // materialize BEFORE the index mutates (the probe reads `dir`
-      // lazily; a fold/delete between build and force would leak the
-      // NEXT epoch's state into this epoch's card)
+        s, d, Some(ds => probeAdmissionIndex(s, idx, ds)), deltaOf)
+      // materialize BEFORE the index mutates (the probe reads the
+      // store lazily; a fold/delete between build and force would
+      // leak the NEXT epoch's state into this epoch's card)
       val card = card0.localCheckpoint(true)
       val admRows = admRows0.localCheckpoint(true)
       val admSigs = admSigs0.localCheckpoint(true)
@@ -1302,18 +1408,18 @@ object PipelineOps {
     // epoch 1: q215's delta against the pristine clone
     val (card1, adm1, sig1) = epochRun(deltaBatch)
     assertIdHeadroom(adm1, LcTd1ResubOffset, "lifecycle epoch1")
-    val ft1 = foldIntoAdmissionIndex(s, dir, sig1)
+    val ft1 = foldIntoAdmissionIndex(s, idx, sig1)
     val td1Sigs = sig1.filter(col("doc_id") % 3 === 0).localCheckpoint(true)
-    val dt1 = deleteFromAdmissionIndex(s, dir, td1Sigs)
+    val dt1 = deleteFromAdmissionIndex(s, idx, td1Sigs)
     // epoch 2: takedown re-submissions (admit) + survivor re-submissions (reject)
     val delta2 = resub(adm1.filter(col("doc_id") % 3 === 0), LcTd1ResubOffset)
       .unionByName(resub(adm1.filter(col("doc_id") % 3 =!= 0), LcSurv1ResubOffset))
       .localCheckpoint(true)
     val (card2, adm2, sig2) = epochRun(_ => delta2)
     assertIdHeadroom(adm2, LcTd2ResubOffset - LcSurv1ResubOffset, "lifecycle epoch2")
-    val ft2 = foldIntoAdmissionIndex(s, dir, sig2)
+    val ft2 = foldIntoAdmissionIndex(s, idx, sig2)
     val td2Sigs = sig2.filter(col("doc_id") % 2 === 0).localCheckpoint(true)
-    val dt2 = deleteFromAdmissionIndex(s, dir, td2Sigs)
+    val dt2 = deleteFromAdmissionIndex(s, idx, td2Sigs)
     // epoch 3: cycle again + fresh near-dups of pre-fold base entries
     val d0 = CoreOps.jsonlDocs(s, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
@@ -1343,7 +1449,7 @@ object PipelineOps {
     (out, Seq(
       LcEpoch(1, sig1, td1Sigs, ft1, dt1),
       LcEpoch(2, sig2, td2Sigs, ft2, dt2),
-      LcEpoch(3, sig3, sig3.limit(0), Nil, Nil)), dir)
+      LcEpoch(3, sig3, sig3.limit(0), Nil, Nil)), idx)
   }
 
   def pipelineLifecycle(s: SparkSession, d: String): DataFrame =

@@ -3608,12 +3608,18 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
       probeCells: Seq[Long]): DataFrame = {
     // a vacuumed store records its pin floor — generations below it
     // were reclaimed, and serving them would silently return partial
-    // cells (the g0 scan finds no files); refuse LOUDLY instead
-    graft.io.LayoutFs.readSmallFile(s"$dataRoot/_VACUUM_FLOOR").foreach { raw =>
-      val floor = raw.trim.toInt
-      require(pin >= floor,
-        s"pin $pin is below the vacuum floor $floor: its generation data was reclaimed")
-    }
+    // cells (the g0 scan finds no files); refuse LOUDLY instead. The
+    // floor lives beside whichever layer the vacuum ran against: the
+    // data root (physical vacuumTo) or the manifest's own root (the
+    // logical vacuumManifest a run-local overlay uses) — check both.
+    (Seq(s"$dataRoot/_VACUUM_FLOOR") ++ floorPathFor(manifestDir))
+      .distinct
+      .flatMap(graft.io.LayoutFs.readSmallFile)
+      .foreach { raw =>
+        val floor = raw.trim.toInt
+        require(pin >= floor,
+          s"pin $pin is below the vacuum floor $floor: its generation data was reclaimed")
+      }
     val owners = s.read.parquet(manifestDir)
       .filter(col("gen") <= pin && col("cell").isin(probeCells: _*))
       .groupBy("cell").agg(max(struct(col("gen"), col("dir"))).as("o"))
@@ -3636,6 +3642,15 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     }.foldLeft(empty)(_ unionByName _)
   }
 
+  /** The `_VACUUM_FLOOR` path beside a manifest directory (its parent
+    * root) — None for a degenerate path with no parent.
+    */
+  private def floorPathFor(manifestDir: String): Option[String] = {
+    val trimmed = manifestDir.stripSuffix("/")
+    val cut = trimmed.lastIndexOf('/')
+    if (cut <= 0) None else Some(trimmed.substring(0, cut) + "/_VACUUM_FLOOR")
+  }
+
   /** q191's fixture directory — for specs needing the on-disk state. */
   private[graft] def versionDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_genidx_" +
@@ -3652,10 +3667,16 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   //      deletes are per-cell partition directories (never whole
   //      generations: g0 keeps serving every cell g1 did not touch —
   //      reads SPAN generations, so the vacuum must too). The floor is
-  //      then recorded in the store and pinned reads BELOW it refuse
-  //      loudly (a pin-0 read against a vacuumed store would otherwise
-  //      silently return partial cells). The lane clones the q191
-  //      store fresh each run, reads pin 1 BEFORE, vacuums to floor 1,
+  //      then recorded beside the vacuumed layer and pinned reads
+  //      BELOW it refuse loudly (a pin-0 read against a vacuumed store
+  //      would otherwise silently return partial cells). The vacuum
+  //      SPLITS Iceberg/Delta-style: the lane commits the METADATA
+  //      half (vacuumManifest — floor + superseded manifest rows
+  //      dropped) against a run-local manifest over the pristine
+  //      store, clone-free; the PHYSICAL half (vacuumTo — delete the
+  //      unreferenced per-cell dirs) is the GC a deployment schedules
+  //      on a store it owns, proven by VersionSpec on spec-local
+  //      copies. The lane reads pin 1 BEFORE, vacuums to floor 1,
   //      reads pin 1 AFTER: oracle = the q191 pin-1 relation TWICE
   //      (vacuum must be invisible at or above the floor), plus the
   //      reclaimed-cell count in closed form (cells with both a
@@ -3676,14 +3697,17 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
   private[graft] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
     graft.io.LayoutFs.cloneTree(src.toString, dst.toString)
 
-  /** Clone the q191 generation store into a run-local root the vacuum
-    * may mutate (q191/q193 keep reading the pristine original).
+  /** SPEC-ONLY since r17: clone the q191 generation store into a
+    * throwaway root for proving the PHYSICAL vacuum half ([[vacuumTo]])
+    * — the registered lanes (q210/q212) enter via a run-local manifest
+    * over the pristine store instead ([[vacuumManifest]]) and never
+    * clone.
     */
   private[graft] def cloneVersionStore(s: SparkSession, d: String): String =
-    cloneVersionStoreTo(s, d, vacuumDir(d))
+    cloneVersionStoreTo(s, d, s"${vacuumDir(d)}_phys")
 
-  /** Clone into an explicit root (q212's streaming-vacuum lane keeps
-    * its own mutable copy so q210's and q191's stay untouched).
+  /** Clone into an explicit root (spec scaffolding for physical-vacuum
+    * proofs; see [[cloneVersionStore]]).
     */
   private[graft] def cloneVersionStoreTo(s: SparkSession, d: String,
                                          root: String): String = {
@@ -3721,18 +3745,83 @@ tvadc AS (SELECT tvcnd.qid, tvcnd.vec_id,
     stale.map(_._2).distinct.sorted.toSeq
   }
 
+  /** The METADATA half of the vacuum — the Iceberg/Delta split: record
+    * the floor and drop superseded (gen, cell) rows from the MANIFEST,
+    * leaving generation data untouched. Pinned reads at/above the
+    * floor are unchanged (owner resolution never picks a superseded
+    * row); reads below refuse on the recorded floor. Physical
+    * reclamation ([[vacuumTo]] — delete the now-unreferenced dirs) is
+    * the separate GC step a deployment schedules against a store it
+    * OWNS; the registered lanes run over the shared pristine fixture
+    * through a run-local manifest, so they commit exactly this
+    * metadata half and never need a cloned store (r16 verdict #3 —
+    * the clone's non-`file`-scheme byte-copy fallback leaves the
+    * timed path entirely). Returns the reclaimed cells — identical to
+    * what vacuumTo would return for the same manifest state
+    * (VersionSpec proves the physical half on spec-local copies).
+    */
+  private[graft] def vacuumManifest(
+      s: SparkSession, manifestDir: String, floor: Int): Seq[Long] = {
+    val floorPath = floorPathFor(manifestDir).getOrElse(
+      sys.error(s"manifest dir $manifestDir has no parent for a floor"))
+    val recorded = graft.io.LayoutFs.readSmallFile(floorPath)
+      .map(_.trim.toInt).getOrElse(Int.MinValue)
+    val eff = math.max(recorded, floor)
+    val rows = s.read.parquet(manifestDir)
+      .filter(col("gen") <= eff)
+      .select(col("gen").cast("int"), col("cell"), col("dir"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val ownerGen = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).max }
+    val stale = rows.filter { case (g, c, _) => g < ownerGen(c) }
+    // rewrite only the generations that lost rows (manifest-scale)
+    stale.groupBy(_._1).foreach { case (g, gone) =>
+      val goneCells = gone.map(_._2).toSet
+      val keep = rows.filter { case (rg, c, _) => rg == g && !goneCells.contains(c) }
+      val genDir = s"$manifestDir/gen=$g"
+      if (keep.isEmpty) graft.io.LayoutFs.deleteTree(genDir)
+      else {
+        import s.implicits._
+        keep.map { case (_, c, dir) => (c, dir) }.toSeq.toDF("cell", "dir")
+          .coalesce(1).write.mode("overwrite").parquet(genDir)
+      }
+    }
+    graft.io.LayoutFs.writeSmallFile(floorPath, eff.toString)
+    stale.map(_._2).distinct.sorted.toSeq
+  }
+
+  /** Seed a run-local manifest from a store's committed one (tiny —
+    * cell-granularity metadata rows, never postings).
+    */
+  private[graft] def seedManifest(
+      s: SparkSession, srcManifest: String, dstManifest: String,
+      gens: Seq[Int]): Unit =
+    gens.foreach { g =>
+      s.read.parquet(srcManifest).filter(col("gen") === g)
+        .select("cell", "dir").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstManifest/gen=$g")
+    }
+
   def indexVacuum(s: SparkSession, d: String): DataFrame = {
-    val root = cloneVersionStore(s, d)
+    // generation-pinned overlay entry (r16 verdict #3): the pristine
+    // store stays the data root; the lane owns only a run-local
+    // manifest + floor and vacuums THAT (the metadata half — see
+    // vacuumManifest). No clone, O(manifest) entry on every scheme.
+    indexVersions(s, d) // stages the pristine store if absent
+    val pristine = versionDir(d)
+    val laneRoot = vacuumDir(d)
+    graft.io.LayoutFs.deleteTree(laneRoot)
+    val laneManifest = s"$laneRoot/manifest"
+    seedManifest(s, s"$pristine/manifest", laneManifest, Seq(0, 1))
     val kit = residKit(base(s, d), ivfCellCount(s, d))
     val probeCells = kit.probes.filter(col("qid") === 0)
       .select("cell").collect().map(_.getLong(0)).sorted.toSeq
     def read(phase: String) =
-      genPinnedRead(s, root, 1, probeCells)
+      manifestPinnedRead(s, laneManifest, pristine, 1, probeCells)
         .select(lit(phase).as("phase"), col("cell"), col("vec_id"),
                 col("s"), col("code"), col("err_e6"))
-    // BEFORE must materialize before any file disappears
+    // BEFORE must materialize before the manifest mutates
     val before = read("before").localCheckpoint(true)
-    val reclaimed = vacuumTo(s, root, floor = 1)
+    val reclaimed = vacuumManifest(s, laneManifest, floor = 1)
     val after = read("after")
     before.unionByName(after)
       .withColumn("n_reclaimed", lit(reclaimed.size.toLong))

@@ -1343,16 +1343,20 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     import graft.expressions.VecDot.vecDot
     val hex = java.lang.Integer.toHexString(d.hashCode)
     val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_svvac_$hex"
-    val storeRoot = s"$laneRoot/store"
     val laneManifest = s"$laneRoot/manifest"
     val outDir = s"$laneRoot/out"
-    // fresh clone + run-local manifest EVERY run: the vacuum mutates
-    // the store, and the mid-stream commit mutates the manifest
+    // generation-pinned overlay entry (r16 verdict #3): the pristine
+    // q191 store stays the immutable data root; the lane owns ONLY a
+    // run-local manifest + floor (fresh every run — the mid-stream
+    // commit and the online vacuum both mutate the manifest, never
+    // the data). No clone: the online vacuum is the metadata half
+    // (SimilarityOps.vacuumManifest — the Iceberg/Delta split), and
+    // the physical GC half is vacuumTo, spec-proven on its own copy.
     Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
-    graft.ops.SimilarityOps.cloneVersionStoreTo(s, d, storeRoot)
-    s.read.parquet(s"$storeRoot/manifest").filter(col("gen") === 0)
-      .select("cell", "dir").coalesce(1)
-      .write.mode("overwrite").parquet(s"$laneManifest/gen=0")
+    graft.ops.SimilarityOps.indexVersions(s, d) // stages the store if absent
+    val storeRoot = graft.ops.SimilarityOps.versionDir(d)
+    graft.ops.SimilarityOps.seedManifest(
+      s, s"$storeRoot/manifest", laneManifest, Seq(0))
     // the arrival stream: three files with ordered mtimes -> three
     // deterministic micro-batches (qid % 3 slices)
     val srcDir = java.nio.file.Paths.get(
@@ -1415,15 +1419,15 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
             }
             // after batch 0: the zero-downtime swap (the q193 moment)
             if (batchId == 0) {
-              s.read.parquet(s"$storeRoot/manifest")
-                .filter(col("gen") === 1).select("cell", "dir").coalesce(1)
-                .write.mode("overwrite").parquet(s"$laneManifest/gen=1")
+              graft.ops.SimilarityOps.seedManifest(
+                s, s"$storeRoot/manifest", laneManifest, Seq(1))
             }
-            // after batch 1: the ONLINE vacuum (the q210 primitive) —
-            // gen 0's superseded cells reclaimed while the stream is
-            // live; batch 2 must serve gen 1 unchanged
+            // after batch 1: the ONLINE vacuum (the q210 primitive,
+            // metadata half) — gen 0's superseded rows leave the
+            // run-local manifest and the floor is recorded while the
+            // stream is live; batch 2 must serve gen 1 unchanged
             if (batchId == 1) {
-              graft.ops.SimilarityOps.vacuumTo(s, storeRoot, floor = 1)
+              graft.ops.SimilarityOps.vacuumManifest(s, laneManifest, floor = 1)
               ()
             }
           } finally { b.unpersist(); () }

@@ -89,6 +89,54 @@ class LayoutCloneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("overlay entry mutates clone-free: base byte-identical, resolution exact, ledger re-openable") {
+    import ops.PipelineOps
+    val base = PipelineOps.persistAdmissionIndex(spark, sf)
+    val beforeSrc = dataFiles(base).map(f => f.getPath -> sha(f))
+    // enter via the generation-pinned overlay (no clone at all) and
+    // run a real fold THEN a real delete through it
+    val ov = s"${System.getProperty("java.io.tmpdir")}/graft_ovspec"
+    io.LayoutFs.deleteTree(ov)
+    val idx = new PipelineOps.OverlayIndex(base, ov)
+    val extra = PipelineOps.sharedBaseIndex(spark, sf)
+      .filter(col("doc_id") % 23 === 1)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("sig"))
+      .localCheckpoint(true)
+    val ft = PipelineOps.foldIntoAdmissionIndex(spark, idx, extra)
+    val del = PipelineOps.sharedBaseIndex(spark, sf)
+      .filter(PipelineOps.takedownPred(col("doc_id")))
+    val dt = PipelineOps.deleteFromAdmissionIndex(spark, idx, del)
+    assert(ft.nonEmpty && dt.nonEmpty, "degenerate: no buckets touched")
+    // 1. the pristine base is byte-identical — there is no write path
+    //    into it (the clone entry only ever protected it by copy)
+    val afterSrc = dataFiles(base).map(f => f.getPath -> sha(f))
+    assert(afterSrc == beforeSrc,
+      "overlay mutation altered the pristine base layout")
+    // 2. only the touched buckets materialized in the overlay
+    val ovDirs = io.LayoutFs.listSubdirNames(ov)
+      .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toLong).toSet
+    assert(ovDirs.subsetOf((ft ++ dt).toSet),
+      s"overlay holds un-touched buckets: ${ovDirs -- (ft ++ dt).toSet}")
+    // 3. the resolved view equals the closed-form expected state
+    def rowsFrom(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("doc_id"), col("band").cast("long"), col("key"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val delIds = del.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = rowsFrom(
+      PipelineOps.indexRowsOf(
+        PipelineOps.sharedBaseIndex(spark, sf).unionByName(extra), idx.kb))
+      .filterNot { case (id, _, _) => delIds.contains(id) }
+    assert(rowsFrom(idx.readAll(spark)) == expected,
+      "overlay-resolved state != closed-form fold+delete result")
+    // 4. the ownership ledger persists: a re-opened handle resolves
+    //    identically (restart story)
+    val reopened = new PipelineOps.OverlayIndex(base, ov)
+    assert(reopened.ownedBuckets == idx.ownedBuckets, "ledger did not round-trip")
+    assert(rowsFrom(reopened.readAll(spark)) == expected,
+      "re-opened overlay resolves differently")
+    io.LayoutFs.deleteTree(ov)
+  }
+
   test("LayoutFs resolves explicit file:// URIs through the Hadoop FileSystem") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_clonespec_uri"
     io.LayoutFs.deleteTree(dir)

@@ -22,9 +22,9 @@ class PipelineLifecycleSpec extends AnyFunSuite with SparkTestBase {
   import ops.PipelineOps
 
   test("q220: bucket minimality, per-boundary fold==rebuild, liveness") {
-    val (card, trace, dir) = PipelineOps.pipelineLifecycleFull(spark, sf)
+    val (card, trace, idx) = PipelineOps.pipelineLifecycleFull(spark, sf)
     val rows = card.collect()
-    val kb = PipelineOps.indexBuckets(dir)
+    val kb = idx.kb
 
     // ---- 1. bucket-set minimality per epoch ----
     def pbsOf(sigs: org.apache.spark.sql.DataFrame): Set[Long] =
@@ -46,13 +46,15 @@ class PipelineLifecycleSpec extends AnyFunSuite with SparkTestBase {
     ops.SimilarityOps.copyTree(
       java.nio.file.Paths.get(PipelineOps.persistAdmissionIndex(spark, sf)),
       java.nio.file.Paths.get(replay))
-    def rowsOf(p: String): Set[(Long, Long, Long, Long, String)] =
-      spark.read.parquet(p)
-        .select(col("doc_id"), col("band").cast("long"), col("key"),
+    def rowsFrom(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long, Long, String)] =
+      df.select(col("doc_id"), col("band").cast("long"), col("key"),
                 col("pb").cast("long"), concat_ws(",", col("sig")))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
                    r.getString(4))).toSet
+    def rowsOf(p: String): Set[(Long, Long, Long, Long, String)] =
+      rowsFrom(spark.read.parquet(p))
     var expected = PipelineOps.sharedBaseIndex(spark, sf)
     var boundary = 0
     def checkBoundary(what: String): Unit = {
@@ -72,7 +74,9 @@ class PipelineLifecycleSpec extends AnyFunSuite with SparkTestBase {
       checkBoundary(s"epoch ${ep.epoch} takedown")
     }
     // the replayed final state equals the lane's own final artifact
-    assert(rowsOf(replay) == rowsOf(dir),
+    // (read through the overlay resolution: base buckets not owned by
+    // the overlay + the overlay's mutated buckets)
+    assert(rowsOf(replay) == rowsFrom(idx.readAll(spark)),
       "replayed mutation trace diverged from the lane's final index")
 
     // ---- 3. liveness through the card + trace ----

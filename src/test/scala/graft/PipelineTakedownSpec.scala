@@ -82,15 +82,17 @@ class PipelineTakedownSpec extends AnyFunSuite with SparkTestBase {
         s"$src: n_readmitted ${t(7)} != taken ${t(10)} - covered $expectDvb")
     }
 
-    // ---- 6. tombstoned index == pristine minus deleted ----
+    // ---- 6. tombstoned index == pristine minus deleted (read through
+    //         the clone-free overlay resolution) ----
     val pristine = ops.PipelineOps.persistAdmissionIndex(spark, sf)
-    val tombstoned = ops.PipelineOps.takedownIndexDir(spark, sf)
-    def rowsOf(dir: String): Set[(Long, Long, Long)] =
-      spark.read.parquet(dir)
-        .select(col("doc_id"), col("band").cast("long"), col("key"))
+    val tombstoned = ops.PipelineOps.takedownIndex(spark, sf)
+    def rowsFrom(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("doc_id"), col("band").cast("long"), col("key"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rowsOf(dir: String): Set[(Long, Long, Long)] =
+      rowsFrom(spark.read.parquet(dir))
     val want = rowsOf(pristine).filterNot { case (id, _, _) => isDel(id) }
-    val gotRows = rowsOf(tombstoned)
+    val gotRows = rowsFrom(tombstoned.readAll(spark))
     assert(gotRows == want,
       s"tombstoned index != pristine minus deletes: extra=" +
         s"${(gotRows -- want).take(3)}, missing=${(want -- gotRows).take(3)}")

@@ -345,10 +345,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // over a vacuumed store still resolves owners from the manifest and
     // scans each generation dir partition-PRUNED — an empty
     // PartitionFilters would mean the whole (partially reclaimed) store
-    // is scanned, silently including cells the vacuum half-emptied
-    val root = ops.SimilarityOps.cloneVersionStore(spark, sf)
-    ops.SimilarityOps.vacuumTo(spark, root, floor = 1)
-    val plan = ops.SimilarityOps.genPinnedRead(spark, root, 1, Seq(0L, 1L))
+    // is scanned, silently including cells the vacuum half-emptied.
+    // r17: the registered lane vacuums a RUN-LOCAL manifest over the
+    // pristine store (clone-free) — fence that exact read shape.
+    ops.SimilarityOps.indexVersions(spark, sf)
+    val pristine = ops.SimilarityOps.versionDir(sf)
+    val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_vacfence"
+    io.LayoutFs.deleteTree(laneRoot)
+    val laneManifest = s"$laneRoot/manifest"
+    ops.SimilarityOps.seedManifest(
+      spark, s"$pristine/manifest", laneManifest, Seq(0, 1))
+    ops.SimilarityOps.vacuumManifest(spark, laneManifest, floor = 1)
+    val plan = ops.SimilarityOps.manifestPinnedRead(
+        spark, laneManifest, pristine, 1, Seq(0L, 1L))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
     assert(!plan.contains("PartitionFilters: []"),
@@ -382,26 +391,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("q212 serving fetch reuses q193's pruned shape: pruned store " +
        "FileScans + broadcast probe join (r12 plan-fence ask)") {
-    // replicate the lane's batch-0 moment outside the stream: a cloned
-    // store, the run-local gen-0 manifest, and the exact per-batch
-    // serving relation the foreachBatch issues
-    import org.apache.spark.sql.functions.{col => c}
+    // replicate the lane's batch-0 moment outside the stream: the
+    // run-local gen-0 manifest over the PRISTINE store (r17 clone-free
+    // entry) and the exact per-batch serving relation the foreachBatch
+    // issues
     val hex = java.lang.Integer.toHexString(sf.hashCode)
     val laneRoot = s"${System.getProperty("java.io.tmpdir")}/graft_svvac_fence_$hex"
-    val storeRoot = s"$laneRoot/store"
     val laneManifest = s"$laneRoot/manifest"
     Fixtures.clearDir(java.nio.file.Paths.get(laneRoot))
-    ops.SimilarityOps.cloneVersionStoreTo(spark, sf, storeRoot)
-    spark.read.parquet(s"$storeRoot/manifest").filter(c("gen") === 0)
-      .select("cell", "dir").coalesce(1)
-      .write.mode("overwrite").parquet(s"$laneManifest/gen=0")
+    ops.SimilarityOps.indexVersions(spark, sf)
+    val storeRoot = ops.SimilarityOps.versionDir(sf)
+    ops.SimilarityOps.seedManifest(
+      spark, s"$storeRoot/manifest", laneManifest, Seq(0))
     import spark.implicits._
     val probes = Seq((100L, 0L), (101L, 1L)).toDF("qid", "cell")
     val plan = streaming.StreamingOps.svServeRelation(
         spark, laneManifest, storeRoot, 0, Seq(0L, 1L), probes)
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l =>
-        l.contains("graft_svvac_fence") && l.contains("PartitionFilters: [cell")),
+        l.contains("graft_genidx") && l.contains("PartitionFilters: [cell")),
       s"serving fetch does not prune the store scan on cell:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"),

@@ -139,32 +139,49 @@ class VersionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q212: the mid-stream vacuum genuinely fired — floor recorded, " +
-       "gen-0 cells reclaimed, batch 2 still served from gen 1") {
+       "gen-0 rows reclaimed from the lane manifest, batch 2 still served from gen 1") {
     val out = streaming.StreamingOps.streamVacuumServe(spark, sf).collect()
     val batches = out.map(_.getInt(0)).distinct.sorted.toSeq
     assert(batches == Seq(0, 1, 2), s"expected three batches: $batches")
     // batch 2 was served AFTER the vacuum (foreachBatch is sequential)
     assert(out.filter(_.getInt(0) == 2).forall(_.getInt(1) == 1),
       "batch 2 must serve pin 1")
+    // clone-free entry (r17): the lane owns only a manifest + floor;
+    // the pristine store is the data root and must stay intact
     val hex = java.lang.Integer.toHexString(sf.hashCode)
-    val store = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_svvac_$hex", "store")
-    assert(java.nio.file.Files.exists(store.resolve("_VACUUM_FLOOR")),
+    val laneRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_svvac_$hex")
+    val pristine = SimilarityOps.versionDir(sf)
+    assert(!java.nio.file.Files.exists(laneRoot.resolve("store")),
+      "lane still materializes a store copy — entry is not clone-free")
+    assert(java.nio.file.Files.exists(laneRoot.resolve("_VACUUM_FLOOR")),
       "vacuum floor was never recorded — the online vacuum did not run")
-    // superseded gen-0 cells are really gone: every cell gen 1 owns
-    // must have lost its g0 partition directory
-    val g1Cells = spark.read.parquet(s"$store/manifest")
+    // superseded gen-0 rows are really gone FROM THE LANE MANIFEST:
+    // every cell gen 1 owns must have lost its gen-0 manifest row
+    // (the metadata half of the vacuum; the physical half is proven
+    // on spec-local copies by the q210 tests above)
+    val laneManifest = s"$laneRoot/manifest"
+    val g1Cells = spark.read.parquet(laneManifest)
       .filter(org.apache.spark.sql.functions.col("gen") === 1)
       .select("cell").collect().map(_.getLong(0))
     assert(g1Cells.nonEmpty)
+    val g0Cells = spark.read.parquet(laneManifest)
+      .filter(org.apache.spark.sql.functions.col("gen") === 0)
+      .select("cell").collect().map(_.getLong(0)).toSet
     g1Cells.foreach { c =>
-      assert(!java.nio.file.Files.exists(store.resolve("g0").resolve(s"cell=$c")),
-        s"superseded g0/cell=$c survived the online vacuum")
+      assert(!g0Cells.contains(c),
+        s"superseded gen-0 manifest row for cell=$c survived the online vacuum")
     }
-    // and sub-floor pins refuse on the live store
+    // the pristine store's own gen-0 data is untouched (shared fixture)
+    g1Cells.foreach { c =>
+      assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pristine, "g0", s"cell=$c")),
+        s"the clone-free vacuum deleted pristine data: g0/cell=$c")
+    }
+    // and sub-floor pins refuse on the live lane manifest
     val e = intercept[IllegalArgumentException] {
       SimilarityOps.manifestPinnedRead(spark,
-        s"${store.getParent}/manifest", store.toString, 0, Seq(g1Cells.head))
+        laneManifest, pristine, 0, Seq(g1Cells.head))
     }
     assert(e.getMessage.contains("vacuum floor"))
   }
