@@ -139,25 +139,21 @@ object DevAmpBreak {
   /** q218's chain with a timer per stage. */
   private def breakQ218(s: SparkSession, d: String): Seq[(String, Double)] = {
     val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val (src, t0) = t { PipelineOps.persistAdmissionIndex(s, d) }
+    val (_, t0) = t { PipelineOps.persistAdmissionIndex(s, d) }
     acc("static_index") = t0
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_admidx_tdbrk_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    val (_, t1) = t {
-      Fixtures.clearDir(java.nio.file.Paths.get(dst))
-      graft.ops.SimilarityOps.copyTree(
-        java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
-    }
+    // overlay entry, matching the r17 lane (clone-free; stage name
+    // kept so decade comparisons line up across rounds)
+    val (idx, t1) = t { PipelineOps.overlayEntry(s, d, "tdbrk") }
     acc("index_clone") = t1
     val (_, t2) = t {
-      PipelineOps.deleteFromAdmissionIndex(s, dst,
+      PipelineOps.deleteFromAdmissionIndex(s, idx,
         PipelineOps.sharedBaseIndex(s, d)
           .filter(PipelineOps.takedownPred(col("doc_id"))))
     }
     acc("tombstone_delete") = t2
     val (_, t3) = t {
       val (card, handles) = PipelineOps.pipelineIncrementLazy(s, d,
-        Some(ds => PipelineOps.probeAdmissionIndex(s, dst, ds)),
+        Some(ds => PipelineOps.probeAdmissionIndex(s, idx, ds)),
         PipelineOps.takedownResubs)
       force(card)
       handles.foreach(_.unpersist(false))
