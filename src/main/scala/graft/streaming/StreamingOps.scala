@@ -1564,25 +1564,19 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
           // task), so without this the batch's gate/shingle/minhash
           // CPU runs 1-2 wide while everything downstream is keyed —
           // measured at 10x data this was q216's whole super-linear
-          // term (gate 4.7x, contam 3.1x, sigs 3.2x per DevAmpBreak;
-          // the disk probe itself was 2.2x with a +1.8 s absolute
-          // share). The shuffle is batch-sized — exactly the rows an
-          // ingest pays to fan out on any cluster. The per-batch JOIN
-          // width also scales with the batch (1 partition per ~1k
-          // rows, floor 2, cap at cluster width), set on
-          // batch.sparkSession — the session CLONED at query start
-          // that actually plans the batch chain; r15 set only the
-          // outer session's conf, which the clone had snapshotted, so
-          // the ladder was a no-op (r15 ADVICE). The honest r16 A/B
-          // (GRAFT_Q216_NO_LADDER arm, bench_evidence/
-          // r16_composites.md): at sandbox batch sizes (3-30k rows)
-          // the now-real ladder moves NOTHING — decade 1.30-1.34
-          // without it vs 1.34-1.52 with — the r15 decade win was the
-          // repartition above, not the join width. The ladder stays
-          // because its cost is nil and the width it guards against
-          // (a deployment-size batch joining on 2 partitions) only
-          // exists beyond what this sandbox can stage; the env knob
-          // keeps the A/B re-runnable.
+          // term (gate 4.7x, contam 3.1x, sigs 3.2x per DevAmpBreak).
+          // The per-batch JOIN width then scales with the batch (1
+          // partition per ~1k rows, floor 2, cap at cluster width),
+          // set on batch.sparkSession — the session CLONED at query
+          // start that actually plans the batch chain (r15 set only
+          // the outer session's conf, which the clone had
+          // snapshotted). Measured both ways: at this lane's 3-30k-row
+          // micro-batches the ladder moves nothing (r16 A/B via
+          // GRAFT_Q216_NO_LADDER, kept re-runnable), and at the
+          // deployment-size trigger it exists for — a 131k-row batch
+          // against 92k prior signatures (DevLadderProbe, bench_
+          // evidence/r17_ladder.md) — the same chain runs 1.4x faster
+          // at the ladder's width than at the wrapper's fixed 2.
           val nrows = batch.count()
           val width = s.sparkContext.defaultParallelism
           val np = math.max(2, math.min(width, (nrows / 1000L + 1L).toInt))
