@@ -161,6 +161,26 @@ object HashFns {
        | QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
        |   <= $BandBucketCap""".stripMargin
 
+  /** [[capBanded]] restricted to the buckets a probe relation can
+    * actually touch: a broadcast LEFT SEMI prefilter on (band, key)
+    * runs BEFORE the rank window, so the cap's exchange+sort carries
+    * only the probed buckets instead of the whole index (r17: the
+    * first cut capped the FULL corpus/base side of every
+    * delta-probes-index join, turning a batch-proportional probe into
+    * a corpus-proportional shuffle — guide §3.2's pre-filter shape
+    * restores the asymmetry). Results are IDENTICAL to
+    * capBanded(banded) followed by the (band, key) equi-join with
+    * `probe`: the semi-join keeps every member of a surviving bucket,
+    * so per-bucket ranks are unchanged, and dropped buckets match no
+    * probe row anyway. The probe side's distinct key set is
+    * batch-metadata-scale (<= |delta| * bands keys) — the standard
+    * broadcast-dictionary size, at any corpus size.
+    */
+  def capBandedFor(banded: DataFrame, probe: DataFrame): DataFrame =
+    capBanded(banded.join(
+      broadcast(probe.select("band", "key").distinct()),
+      Seq("band", "key"), "left_semi"))
+
   // ---- SimHash ----------------------------------------------------
   /** 32-bit SimHash over token hashes (term-frequency weighted).
     * `hashes` is array<long> of per-token hash64 values.

@@ -56,13 +56,15 @@ object DedupOps {
   // on size(sh) after the projection looks natural but Catalyst pushes
   // the predicate below the project, duplicating the whole
   // shingle+hash pipeline into the filter — 2× the md5 work.
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingledRaw(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), hashedShingles(shingles(col("toks"), 3)).as("sh"))
-      .persist()
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledRaw(s, d).persist()
 
   private val shingledCte =
     s"""t0 AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
@@ -92,12 +94,17 @@ object DedupOps {
     */
   private[graft] def dedupMinhashLazy(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sh = shingled(s, d)
     // native fused kernel (one pass over the gram set for all 16
     // permutations) — bit-identical to minhashSigFromHashes, proven by
-    // MinHashSigSpec, so the SQL twin below is unchanged
-    val base = sh.withColumn("sig",
+    // MinHashSigSpec, so the SQL twin below is unchanged.
+    // The persist sits ABOVE the sig column (r17): base feeds FOUR
+    // consumers (both banded join sides + both rescore attaches), and
+    // persisting only the shingle set made each of them re-run the
+    // MinHash kernel — the lane's single most expensive expression —
+    // from cache. One relation, one kernel pass.
+    val base = shingledRaw(s, d).withColumn("sig",
       graft.expressions.MinHashSig.minhashSig(col("sh")))
+      .persist()
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
@@ -123,7 +130,7 @@ object DedupOps {
               jac.as("jaccard"))
       .filter(col("est_j") >= 0.5)
       .orderBy("a", "b")
-    (result, sh)
+    (result, base)
   }
 
   /** SQL CTE chain producing `scored (a, b, est_j, jaccard)` — the
@@ -188,9 +195,12 @@ object DedupOps {
 
   private[graft] def dedupIncrementalLazy(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sh = shingled(s, d)
-    val base = sh.withColumn("sig",
+    // persist ABOVE the sig column (r17, the q34 discipline): base
+    // feeds the banded explode and both rescore attaches — one MinHash
+    // kernel pass instead of three
+    val base = shingledRaw(s, d).withColumn("sig",
       graft.expressions.MinHashSig.minhashSig(col("sh")))
+      .persist()
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
@@ -198,9 +208,14 @@ object DedupOps {
     // hot-bucket bound on the CORPUS (index) side: a delta doc probing
     // a template cluster's bucket meets its BandBucketCap lowest-id
     // representatives, not all m members — probe cost per bucket is
-    // |delta| * cap, linear, and any real near-dup still matches a rep
-    val corpusBand = capBanded(banded.filter(!isDelta(col("doc_id"))))
-    val cands = banded.filter(isDelta(col("doc_id"))).as("x")
+    // |delta| * cap, linear, and any real near-dup still matches a rep.
+    // capBandedFor: the rank window runs only over the buckets the
+    // delta actually probes (broadcast semi-prefilter — identical
+    // output, the corpus index never pays a full exchange per ingest)
+    val deltaBand = banded.filter(isDelta(col("doc_id")))
+    val corpusBand =
+      capBandedFor(banded.filter(!isDelta(col("doc_id"))), deltaBand)
+    val cands = deltaBand.as("x")
       .join(corpusBand.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -229,7 +244,7 @@ object DedupOps {
       .select(col("doc_id"), col("dup_of").isNull.as("kept"),
               col("dup_of"), col("jac_r"))
       .orderBy("doc_id")
-    (result, sh)
+    (result, base)
   }
 
   // shared with q138's streaming twin (same output contract, so the
@@ -780,17 +795,18 @@ object DedupOps {
   //      Output per source: arriving docs, rejected (would-contaminate)
   //      count + id checksum, admitted count. ----
   def incrementalContamination(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
     // `base` feeds FOUR scans below (both sides of the banded
     // self-join + the two signature attaches). localCheckpoint it so
     // the tokenize->shingle->MinHash chain runs ONCE: the previous
-    // shape leaned on `sh`'s persist alone, and when suite/driver heap
-    // pressure evicted those blocks every downstream scan re-derived
-    // the full MinHash chain — r15's only unexplained driver-bench
-    // anomaly (q148 at 12.5 s in both driver reps vs 0.89 s idle).
-    // The checkpoint pins the lane's cost to one signature pass
-    // regardless of cache pressure.
-    val base = sh.withColumn("sig",
+    // shape leaned on a shingle persist alone, and when suite/driver
+    // heap pressure evicted those blocks every downstream scan
+    // re-derived the full MinHash chain — r15's only unexplained
+    // driver-bench anomaly (q148 at 12.5 s in both driver reps vs
+    // 0.89 s idle). The checkpoint pins the lane's cost to one
+    // signature pass regardless of cache pressure. (r17: the shingle
+    // relation feeds ONLY this checkpoint, so it is no longer
+    // persisted at all — the cache materialization was pure overhead.)
+    val base = shingledRaw(s, d).withColumn("sig",
       graft.expressions.MinHashSig.minhashSig(col("sh")))
       .select(col("doc_id"), col("sig"))
       .localCheckpoint(true)
@@ -799,9 +815,13 @@ object DedupOps {
       posexplode(bandCols).as(Seq("band", "key")))
     val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 4
     // same corpus-side hot-bucket bound as q137 (the gate probes the
-    // corpus index; a capped bucket still rejects on any rep match)
-    val corpusBand = capBanded(banded.filter(!isDelta(col("doc_id"))))
-    val cands = banded.filter(isDelta(col("doc_id"))).as("x")
+    // corpus index; a capped bucket still rejects on any rep match).
+    // capBandedFor: rank only the delta-probed buckets (broadcast
+    // semi-prefilter, identical output, no full corpus-side exchange)
+    val deltaBand = banded.filter(isDelta(col("doc_id")))
+    val corpusBand =
+      capBandedFor(banded.filter(!isDelta(col("doc_id"))), deltaBand)
+    val cands = deltaBand.as("x")
       .join(corpusBand.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -836,7 +856,6 @@ object DedupOps {
              .as("n_admitted"))
       .orderBy("source")
       .localCheckpoint(true)
-    sh.unpersist(false)
     result
   }
 
@@ -1101,12 +1120,17 @@ object DedupOps {
       .filter(col("c").cast("double")
         / (col("sza") + col("szb") - col("c")).cast("double") >= 0.5)
       .select(col("a"), col("b"), lit(1L).as("t"))
-    // candidate lane (q34 band join, pre-rescore)
+    // candidate lane (q34 band join, pre-rescore). banded is persisted
+    // (r17): it feeds both sides of the capped join, and uncached each
+    // side re-ran the MinHash kernel + band explode from the shingle
+    // cache — the banded relation is 3 longs/row, the cheapest thing
+    // in the lane to hold
     val base = sh.withColumn("sig",
       graft.expressions.MinHashSig.minhashSig(col("sh")))
     val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
     val banded = base.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "key")))
+      .persist()
     // the candidate rule under eval IS q34's capped band join — the
     // eval must measure what production generates, cap included
     val cand = capBanded(banded).as("x").join(banded.as("y"),
@@ -1126,6 +1150,7 @@ object DedupOps {
       expr("(sum(t * cd) * 1000000) div sum(cd)").as("precision_millionths"))
     val out = result.localCheckpoint(true)
     posts.unpersist(false)
+    banded.unpersist(false)
     sh.unpersist(false)
     out
   }

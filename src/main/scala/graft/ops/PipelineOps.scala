@@ -762,15 +762,18 @@ object PipelineOps {
     // pruning predicate needs no cast (a cast kills partition pruning)
     val pbs = dBand.select("pb").distinct()
       .collect().map(_.getLong(0).toInt).sorted
-    // the hot-bucket cap ranks over the OPENED rows, which is the
-    // bucket's full (band, key) membership — pb is a function of
-    // (band, key), so every member of a touched bucket lands in an
-    // opened pb dir; the rank therefore equals the in-memory bBand
-    // rank in pipelineIncrementFull's dvb arm (q217 shares q215's
-    // oracle, so the two rules must coincide exactly)
-    val idx = capBanded(
+    // the hot-bucket cap ranks over the bucket's full (band, key)
+    // membership — pb is a function of (band, key), so every member of
+    // a touched bucket lands in an opened pb dir AND survives the
+    // capBandedFor semi-join on the delta's exact keys (a pb dir holds
+    // MANY (band, key) groups; only the probed ones need the rank
+    // window, and their membership arrives complete, so the rank
+    // equals the in-memory bBand rank in pipelineIncrementFull's dvb
+    // arm — q217 shares q215's oracle, so the two rules must coincide
+    // exactly)
+    val idx = capBandedFor(
       store.open(s, pbs.map(_.toLong).toIndexedSeq)
-        .filter(col("pb").isin(pbs.toIndexedSeq: _*)))
+        .filter(col("pb").isin(pbs.toIndexedSeq: _*)), dBand)
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), _ + _)
@@ -902,11 +905,16 @@ object PipelineOps {
     // contributes only its banded index rows, never re-pairing itself)
     // hot-bucket bound on both dup checks (HashFns.capBanded): the
     // base-index side and the within-delta smaller-id side are capped
-    // per (band, key) — probe cost linear in bucket membership
+    // per (band, key) — probe cost linear in bucket membership.
+    // capBandedFor: the cap's rank window runs AFTER a broadcast
+    // semi-join on the delta's (band, key) keys, so the base index is
+    // filtered map-side and only the probed buckets pay the
+    // exchange+sort — identical output (complete buckets survive the
+    // prefilter), batch-proportional cost (r17, guide §3.2)
     val dvb = dvbVia match {
       case Some(f) => f(dSigs)
       case None =>
-        dBand.as("x").join(capBanded(bBand).as("y"),
+        dBand.as("x").join(capBandedFor(bBand, dBand).as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
           .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")

@@ -1706,8 +1706,10 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     // rank over prior∪current membership; batches arrive id-ordered
     // here, so this matches the batch twin's full-delta rank at any
     // bucket size the fixture can stage (and bounds, not loses, work
-    // beyond it)
-    val dwd = dBand.as("x").join(capBanded(earlier).as("y"),
+    // beyond it). capBandedFor: only the buckets THIS batch's bands
+    // probe pay the rank window — the accumulated prior state filters
+    // map-side through the broadcast semi-join, identical output
+    val dwd = dBand.as("x").join(capBandedFor(earlier, dBand).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
