@@ -1997,15 +1997,29 @@ object MultimodalOps {
   private[graft] def audioClipDupFrom(
       grains: DataFrame,
       cp: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
-    val kept = grains.groupBy("grain").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= AudioDfCap).select("grain")
-    val a = grains.join(kept, Seq("grain"))
-      .select(col("grain"), col("vid").as("vid_a"), col("pos").as("pa"))
-    val b = grains.join(kept, Seq("grain"))
-      .select(col("grain"), col("vid").as("vid_b"), col("pos").as("pb"))
-    val pr = cp(a.join(b, Seq("grain")).filter(col("vid_a") < col("vid_b"))
-      .select(col("vid_a"), col("vid_b"), col("pa"),
-              (col("pa") - col("pb")).as("diag")))
+    // df-capped positional postings with pairs emitted IN PLACE per
+    // grain (the q151/q36 combinations idiom — r17): ONE exchange of
+    // the grain relation replaces the old shape's THREE passes over it
+    // (df-count aggregate + both join sides) and the join itself. The
+    // cap bounds every surviving posting list at AudioDfCap entries,
+    // so the in-place flatten emits <= C(cap, 2) structs per grain;
+    // df=1 grains produce no pairs, so between(2, cap) is the same
+    // keep rule the old `df <= cap` join expressed. sort_array makes
+    // the element order deterministic; a pair emits with x before y
+    // in (vid, pos) struct order, so vid_a < vid_b + pa/diag match
+    // the old join's columns exactly.
+    val posts = grains.groupBy("grain")
+      .agg(sort_array(collect_list(struct(col("vid"), col("pos")))).as("es"))
+      .filter(size(col("es")).between(2, AudioDfCap))
+    val pairCol = flatten(transform(col("es"), (x, i) =>
+      transform(slice(col("es"), i + lit(2), size(col("es"))), y =>
+        struct(x.getField("vid").as("vid_a"), y.getField("vid").as("vid_b"),
+               x.getField("pos").as("pa"),
+               (x.getField("pos") - y.getField("pos")).as("diag")))))
+    val pr = cp(posts.select(explode(pairCol).as("c"))
+      .filter(col("c.vid_a") < col("c.vid_b"))
+      .select(col("c.vid_a").as("vid_a"), col("c.vid_b").as("vid_b"),
+              col("c.pa").as("pa"), col("c.diag").as("diag")))
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy("vid_a", "vid_b", "diag").orderBy("pa")
     val runs = pr
@@ -2063,8 +2077,14 @@ object MultimodalOps {
         }
       })
       .toDF("vid", "pos", "win_csv")
+      // 60-bit md5-prefix grain (HashFns.hash64 — r17): the checkpoint
+      // and the postings exchange carry an 8-byte long instead of a
+      // 32-char hex string; both engines hash the identical CSV with
+      // the identical truncation rule, so any collision is shared and
+      // the outputs still agree by construction (the repo-wide hash64
+      // discipline)
       .select(col("vid"), col("pos"),
-              md5(col("win_csv").cast("binary")).as("grain"))
+              graft.functions.HashFns.hash64(col("win_csv")).as("grain"))
       .localCheckpoint(true)
   }
 
@@ -2099,8 +2119,9 @@ object MultimodalOps {
        |         ROWS BETWEEN CURRENT ROW AND ${AudioGrain - 1} FOLLOWING)
        |         AS win FROM dec),
        |gr AS (SELECT vid, pos,
-       |    md5(list_aggregate(list_transform(win,
-       |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS grain
+       |    ${graft.functions.HashFns.hash64Sql(
+                s"list_aggregate(list_transform(win, " +
+                s"x -> CAST(x AS VARCHAR)), 'string_agg', ',')")} AS grain
        |  FROM w8 WHERE len(win) = $AudioGrain),
        |kept AS (SELECT grain FROM gr GROUP BY grain
        |         HAVING COUNT(*) <= $AudioDfCap),

@@ -378,15 +378,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Join"), s"expected the postings self-join:\n$plan")
   }
 
-  test("q213 audio clip-dup pair stage: df-capped grain equi-join, " +
-       "never a nested loop or cartesian (r12 plan-fence ask)") {
+  test("q213 audio clip-dup pair stage: df-capped positional postings " +
+       "with in-place pair emission — one grain exchange, no join of " +
+       "the grain relation (r12 plan-fence ask; r17 postings shape)") {
     val grains = ops.MultimodalOps.audioGrainsFor(spark, sf)
     val plan = ops.MultimodalOps.audioClipDupFrom(grains, identity)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"pair stage degenerated to a nested loop:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
-    assert(plan.contains("Join"), s"expected the grain self-join:\n$plan")
+    // the pair stage is the q151 combinations idiom: candidate pairs
+    // come off the df-capped posting lists in place — a Join of the
+    // corpus-scale grain relation would mean the postings rewrite
+    // regressed to the three-pass join shape
+    assert(plan.contains("collect_list"),
+      s"expected the postings aggregate:\n$plan")
   }
 
   test("q212 serving fetch reuses q193's pruned shape: pruned store " +
