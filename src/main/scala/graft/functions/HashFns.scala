@@ -38,6 +38,27 @@ object HashFns {
   def tokens(c: Column): Column = split(c, " ")
   def tokensSql(e: String): String = s"string_split($e, ' ')"
 
+  /** Adjacent token pairs ("w1 w2" bigrams, with multiplicity) built
+    * from slices + arrays_zip instead of an element_at lambda (r17):
+    * the lambda form indexes the token array per position, and when
+    * `toks` is an UNBOUND split(text) expression (no projection
+    * barrier below the consumer) each element_at re-tokenizes the
+    * document — O(tokens²) per doc. The zip form references `toks`
+    * only OUTSIDE the lambda (slice/size arguments), so it costs a
+    * constant number of array evaluations per row with no barrier,
+    * which also lets callers drop repartition-as-barrier corpus
+    * shuffles and works inside streaming plans. Output is identical:
+    * pairs in position order, size(toks)-1 entries, empty for 0/1
+    * token docs.
+    */
+  def adjacentPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(
+        arrays_zip(slice(toks, lit(1), size(toks) - 1),
+                   slice(toks, lit(2), size(toks) - 1)),
+        p => concat_ws(" ", p.getField("0"), p.getField("1"))))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-grams (shingles) of a token array, distinct.
     * Spark note: sequence(1, n) generates a DESCENDING range when n<1,
     * so short docs are guarded to an empty array explicitly.

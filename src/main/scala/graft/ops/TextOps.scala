@@ -515,16 +515,14 @@ object TextOps {
     // guard: sequence(1, n) DESCENDS for n < 1 (the HashFns.shingles
     // trap), so a 0/1-token doc would evaluate element_at(tk, 0) and
     // throw — gate the whole transform on size >= 2 instead
-    val tk = col("toks")
-    val pairs = when(size(tk) >= 2,
-      transform(
-        sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array())
+    // zip-form bigrams (HashFns.adjacentPairs — r17): the lambda form
+    // needed the repartition as a binding barrier (see the original
+    // comment above — an unbound split re-tokenized per element); the
+    // zip form references the token array only outside its lambda, so
+    // the corpus-text shuffle is gone and the pair count partial-
+    // aggregates map-side straight off the scan
     docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .select(explode(pairs).as("pair"))
+      .select(explode(adjacentPairs(tokens(col("text")))).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
@@ -586,8 +584,26 @@ object TextOps {
     * ws — ws holds the post-merge wrapped symbols), and the persisted
     * base handle the vocab chains from; callers own its release.
     */
+  /** Vocab-row ceiling for the driver-side merge loop (r17): a BPE
+    * trainer's per-round work is over the WORD-FREQUENCY TABLE, not
+    * the corpus — and below this many distinct words that table is
+    * metadata-scale (<= ~10 MB collected), so the K sequential
+    * argmax rounds run as one driver loop instead of K Spark jobs
+    * (each round was a full plan+codegen+schedule cycle over a
+    * 31-row relation at fixture scale: ~170 ms of pure overhead per
+    * round, zero data work). Above the ceiling — the web-scale
+    * regime, vocab ~10M words — the distributed loop below runs
+    * unchanged. Both paths compute the identical merge sequence
+    * (same pair fold, same Long sums, same (n DESC, pair ASC)
+    * tie-break over ASCII-only symbols, same non-overlapping
+    * leftmost replace — Java String.replace == the engines'
+    * replace()); BpeDriverLoopSpec holds them equal on the fixture.
+    */
+  private[graft] val BpeDriverVocabCap = 100000L
+
   private[graft] def bpeTrainCore(
-      s: SparkSession, d: String, docFilter: Column = lit(true))
+      s: SparkSession, d: String, docFilter: Column = lit(true),
+      driverVocabCap: Long = BpeDriverVocabCap)
       : (Seq[(Long, String, String, String, Long)], DataFrame, DataFrame) = {
     // word-frequency table: the one corpus-scale aggregation. The
     // [a-z]+ gate pins the symbol alphabet away from the '|' sentinel
@@ -601,45 +617,90 @@ object TextOps {
       .select(col("w"), col("cnt"),
               regexp_replace(col("w"), "(.)", "|$1|").as("ws"))
       .persist()
-    var cur = base
     // the corpus-scaled budget: driven by total word OCCURRENCES
     // (training mass), not distinct words — the fixture vocabulary is
-    // scale-invariant, so a distinct-word ladder would never move
-    val totWords = base.agg(coalesce(sum(col("cnt")), lit(0L)))
-      .head.getLong(0)
+    // scale-invariant, so a distinct-word ladder would never move.
+    // One aggregate carries both the budget input and the vocab row
+    // count that picks the loop's execution site.
+    val statsRow = base.agg(coalesce(sum(col("cnt")), lit(0L)),
+      count(lit(1))).head
+    val totWords = statsRow.getLong(0)
+    val nVocab = statsRow.getLong(1)
     val rounds = bpeRoundsFor(totWords)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    var k = 1
-    var exhausted = false
-    while (k <= rounds && !exhausted) {
-      val syms = split(expr("substring(ws, 2, length(ws) - 2)"), "\\|\\|")
-      val pairs = when(size(syms) >= 2,
-        transform(sequence(lit(1), size(syms) - 1),
-          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val best = cur.select(col("cnt"), explode(pairs).as("pair"))
-        .groupBy("pair").agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).collect()
-      if (best.isEmpty) {
-        // pair supply exhausted (every surviving word is a single
-        // symbol — a degenerate corpus): emit the merges that exist,
-        // matching the SQL twin, whose b/m CTEs for the remaining
-        // rounds are empty and whose v CTEs pass the vocab through
-        // unchanged (r9 ADVICE: the engines previously diverged here —
-        // hard require() vs silently-short twin output)
-        exhausted = true
-      } else {
-        val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
-        merges += ((k.toLong, lhs, rhs, lhs + rhs, best.head.getLong(1)))
-        // one native replace applies the merge everywhere; symbols are
-        // [a-z]+ so the inlined literals need no quoting
-        cur = cur.withColumn("ws",
-          expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
-        k += 1
+    if (nVocab <= driverVocabCap) {
+      // ---- driver loop over the collected word table ----
+      val rows = base.select("w", "cnt", "ws").collect()
+      val ws = rows.map(_.getString(2))
+      val cnt = rows.map(_.getLong(1))
+      var k = 1
+      var exhausted = false
+      while (k <= rounds && !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < ws.length) {
+          val syms = ws(i).substring(1, ws(i).length - 1).split("\\|\\|")
+          var j = 0
+          while (j < syms.length - 1) {
+            val pair = syms(j) + " " + syms(j + 1)
+            counts.update(pair, counts.getOrElse(pair, 0L) + cnt(i))
+            j += 1
+          }
+          i += 1
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          // argmax by (n DESC, pair ASC): symbols are [a-z ]-only, so
+          // JVM string order == UTF-8 binary order == both engines'
+          val (bestPair, bestN) = counts.minBy { case (p, n) => (-n, p) }
+          val Array(lhs, rhs) = bestPair.split(" ", 2)
+          merges += ((k.toLong, lhs, rhs, lhs + rhs, bestN))
+          val from = s"|$lhs||$rhs|"; val to = s"|$lhs$rhs|"
+          i = 0
+          while (i < ws.length) { ws(i) = ws(i).replace(from, to); i += 1 }
+          k += 1
+        }
       }
+      import s.implicits._
+      val cur = rows.indices
+        .map(i => (rows(i).getString(0), cnt(i), ws(i)))
+        .toDF("w", "cnt", "ws")
+      (merges.result(), cur, base)
+    } else {
+      // ---- distributed loop (vocab beyond driver scale) ----
+      var cur = base
+      var k = 1
+      var exhausted = false
+      while (k <= rounds && !exhausted) {
+        val syms = split(expr("substring(ws, 2, length(ws) - 2)"), "\\|\\|")
+        val pairs = when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val best = cur.select(col("cnt"), explode(pairs).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) {
+          // pair supply exhausted (every surviving word is a single
+          // symbol — a degenerate corpus): emit the merges that exist,
+          // matching the SQL twin, whose b/m CTEs for the remaining
+          // rounds are empty and whose v CTEs pass the vocab through
+          // unchanged (r9 ADVICE: the engines previously diverged here —
+          // hard require() vs silently-short twin output)
+          exhausted = true
+        } else {
+          val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
+          merges += ((k.toLong, lhs, rhs, lhs + rhs, best.head.getLong(1)))
+          // one native replace applies the merge everywhere; symbols are
+          // [a-z]+ so the inlined literals need no quoting
+          cur = cur.withColumn("ws",
+            expr(s"replace(ws, '|$lhs||$rhs|', '|$lhs$rhs|')"))
+          k += 1
+        }
+      }
+      (merges.result(), cur, base)
     }
-    (merges.result(), cur, base)
   }
 
   /** Trained per-word token counts (w, n_sym) for a corpus slice —
@@ -772,16 +833,13 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
   //      a written artifact shared by every scoring job; the mean's
   //      long arithmetic would move to DECIMAL at that scale). ----
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    val tk = col("toks")
-    val pairsExpr = when(size(tk) >= 2,
-      transform(
-        sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array())
+    // zip-form bigrams (HashFns.adjacentPairs — r17): no element_at
+    // lambda, so no binding barrier is needed and the corpus-text
+    // repartition shuffle is gone; the persist below still pins
+    // tokenization to one pass for both consumers
     val docPairs = docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(pairsExpr).as("pair"))
+      .select(col("doc_id"),
+        explode(adjacentPairs(tokens(col("text")))).as("pair"))
       .persist()
     val counts = docPairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
     val result = docPairs.join(counts, "pair")
@@ -1890,15 +1948,18 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     * already a bucket id in [0, DsirB) on both engines.
     */
   private[graft] def dsirGrams(s: SparkSession, d: String): DataFrame = {
+    // zip-form bigrams (HashFns.adjacentPairs — r17): the old
+    // element_at lambda indexed an UNBOUND split(text) per position,
+    // and the repartition existed as its binding barrier — a full
+    // corpus shuffle of the text column. The zip form needs no
+    // barrier, and the downstream per-doc aggregate (q152) partial-
+    // aggregates map-side, so its post-explode exchange carries
+    // per-partition partials, strictly fewer bytes than the text
+    // shuffle this drops (guide §2.3/§2.4).
     val toks = tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
     docs(s, d)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
-        explode(concat(toks, bigrams)).as("gram"))
+        explode(concat(toks, adjacentPairs(toks))).as("gram"))
       .select(col("doc_id"), col("lang"),
         (hash64(col("gram")) % DsirB).as("bkt"))
   }

@@ -811,12 +811,11 @@ object StreamingOps {
     }
     val ratioArr = array(ratios.toIndexedSeq.map(lit): _*)
     withStreamShufflePartitions(s, 2) {
+      // zip-form bigrams (HashFns.adjacentPairs — r17): the lambda
+      // form re-tokenized the doc per position (unbound toks inside a
+      // streaming projection, where no repartition barrier exists)
       val toks = tokens(col("text"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val grams = concat(toks, bigrams)
+      val grams = concat(toks, graft.functions.HashFns.adjacentPairs(toks))
       val rsum = aggregate(grams, lit(0L),
         (acc, g) => acc + element_at(ratioArr, (hash64(g) % B).cast("int") + 1))
       val q = s.readStream.schema(StructType(Seq(
