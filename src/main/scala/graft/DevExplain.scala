@@ -62,6 +62,18 @@ object DevExplain {
           (ops.PipelineOps.probeAdmissionIndex(spark, dir, probeSigs),
             () => ())
         })
+      case n @ "q213_pairs" =>
+        // the pair stage over the staged grain relation (the registered
+        // lane checkpoints; cp = identity keeps the plan inspectable)
+        dump(n, {
+          val grains = ops.MultimodalOps.audioGrainsFor(spark, sfDir)
+          (ops.MultimodalOps.audioClipDupFrom(grains, identity), () => ())
+        })
+      case n @ "q152_dsir_weight" =>
+        dump(n, {
+          val (df, hs) = ops.TextOps.dsirWeightLazy(spark, sfDir)
+          (df, () => hs.foreach(_.unpersist(false)))
+        })
       case n =>
         byName.get(n) match {
           case Some(q) => dump(n, (q.build(spark, sfDir), () => ()))

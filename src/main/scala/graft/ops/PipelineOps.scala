@@ -155,6 +155,18 @@ object PipelineOps {
     sigs.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "key")))
   }
 
+  /** [[bandedOf]] with the signature carried through the explode
+    * (r17): the dup checks rescore candidate pairs by signature
+    * agreement, and re-attaching sigs through per-side joins cost two
+    * extra join stages per check — carrying the (delta-scale) sig
+    * array through the banded rows is strictly cheaper.
+    */
+  private[graft] def bandedWithSig(sigs: DataFrame): DataFrame = {
+    val bandCols = array((0 until MinhashBands).map(b => bandKey(col("sig"), b)): _*)
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandCols).as(Seq("band", "key")))
+  }
+
   /** All four gate signals on a (doc_id, source, text) relation —
     * q215's delta chain (the base chain keeps its staged form in
     * [[pipelineDocs]]).
@@ -756,7 +768,10 @@ object PipelineOps {
   private[graft] def probeAdmissionIndex(
       s: SparkSession, store: AdmIndex, dSigs: DataFrame): DataFrame = {
     val kb = store.kb
-    val dBand = bandedOf(dSigs)
+    // delta sigs ride the banded probe rows (r17): the store side
+    // already carries its signature inline, so est_j verification
+    // reads both sigs off the candidate row — no re-attach join
+    val dBand = bandedWithSig(dSigs)
       .withColumn("pb", pbCol(col("band"), col("key"), kb))
     // partition values discover as int — probe with ints so the
     // pruning predicate needs no cast (a cast kills partition pruning)
@@ -779,10 +794,9 @@ object PipelineOps {
       lit(0L), _ + _)
     dBand.as("x").join(idx.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-              col("y.sig").as("sig_b"))
+      .select(col("x.doc_id").as("a"), col("x.sig").as("sig_a"),
+              col("y.doc_id").as("b"), col("y.sig").as("sig_b"))
       .dropDuplicates("a", "b")
-      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
       .filter(matches.cast("double") / lit(MinhashK.toDouble) >= 0.5)
       .select(col("a").as("doc_id")).distinct()
   }
@@ -911,23 +925,28 @@ object PipelineOps {
     // filtered map-side and only the probed buckets pay the
     // exchange+sort — identical output (complete buckets survive the
     // prefilter), batch-proportional cost (r17, guide §3.2)
+    // sigs ride the banded rows (bandedWithSig — r17), so the est_j
+    // rescore reads them off the candidate row instead of re-attaching
+    // each side with its own join; dropDuplicates on (a, b) is sound
+    // because sig is functionally determined by the doc id
+    val dBandS = bandedWithSig(dSigs)
     val dvb = dvbVia match {
       case Some(f) => f(dSigs)
       case None =>
-        dBand.as("x").join(capBandedFor(bBand, dBand).as("y"),
+        dBandS.as("x").join(capBandedFor(bandedWithSig(bSigs), dBandS).as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-          .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-          .join(bSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+          .select(col("x.doc_id").as("a"), col("x.sig").as("sig_a"),
+                  col("y.doc_id").as("b"), col("y.sig").as("sig_b"))
+          .dropDuplicates("a", "b")
           .filter(estOk)
           .select(col("a").as("doc_id")).distinct()
     }
-    val dwd = dBand.as("x").join(capBanded(dBand).as("y"),
+    val dwd = dBandS.as("x").join(capBanded(dBandS).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") > col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      .join(dSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-      .join(dSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("x.doc_id").as("a"), col("x.sig").as("sig_a"),
+              col("y.doc_id").as("b"), col("y.sig").as("sig_b"))
+      .dropDuplicates("a", "b")
       .filter(estOk)
       .select(col("a").as("doc_id")).distinct()
     val flagged = clean
@@ -937,41 +956,45 @@ object PipelineOps {
       .withColumn("is_dwd",
         !col("is_contam") && !col("is_dvb") && coalesce(col("f_dwd"), lit(false)))
       .persist()
-    val ing = deltaOf(d0).groupBy("source").agg(count(lit(1)).as("n_delta"))
-    val z1 = dAudit.filter(col("score") < QualityMin)
-      .groupBy("source").agg(count(lit(1)).as("n1"))
-    val z2 = dAudit.filter(col("score") >= QualityMin && col("lang_pred") === "und")
-      .groupBy("source").agg(count(lit(1)).as("n2"))
-    val z3 = dAudit.filter(col("score") >= QualityMin &&
-        col("lang_pred") =!= "und" && col("n_red") >= PiiQuarantineAt)
-      .groupBy("source").agg(count(lit(1)).as("n3"))
-    val z4 = flagged.filter(col("is_contam"))
-      .groupBy("source").agg(count(lit(1)).as("n4"))
-    val z5 = flagged.filter(col("is_dvb"))
-      .groupBy("source").agg(count(lit(1)).as("n5"))
-    val z6 = flagged.filter(col("is_dwd"))
-      .groupBy("source").agg(count(lit(1)).as("n6"))
-    val adm = flagged
-      .filter(!col("is_contam") && !col("is_dvb") && !col("is_dwd"))
+    // dataset card as ONE conditional aggregate (r17): the per-gate
+    // rollup used to run 8 separate groupBy(source) aggregates (ing +
+    // z1..z6 + adm) stitched by a 7-way left join — measured at ~3 s
+    // of the lane, all plan/shuffle overhead over a |sources|-row
+    // result. The audit relation LEFT-joined to the flag columns
+    // classifies every delta doc into exactly one gate bucket (the
+    // same mutually-exclusive when-chain q216's verdict log uses), so
+    // one groupBy(source) with sum(when(...)) columns produces the
+    // identical card: audit rows == deltaOf(d0) rows (n_delta), the
+    // g1-g3 predicates partition audit exactly as z1..z3 filtered,
+    // and g4-g6/admitted come from the flags (null — never reached
+    // g4 — coalesces to false, exactly the old join semantics).
+    val gateOk = col("score") >= QualityMin && col("lang_pred") =!= "und" &&
+      col("n_red") < PiiQuarantineAt
+    val admitted = gateOk && !coalesce(col("is_contam"), lit(false)) &&
+      !coalesce(col("is_dvb"), lit(false)) && !coalesce(col("is_dwd"), lit(false))
+    val result = dAudit
+      .join(flagged.select("doc_id", "is_contam", "is_dvb", "is_dwd"),
+        Seq("doc_id"), "left")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_admitted"),
-           sum(col("doc_id")).as("admitted_checksum"),
-           sum(size(tokens(col("rtext"))).cast("long")).as("admitted_tok"))
-    val result = ing
-      .join(z1, Seq("source"), "left").join(z2, Seq("source"), "left")
-      .join(z3, Seq("source"), "left").join(z4, Seq("source"), "left")
-      .join(z5, Seq("source"), "left").join(z6, Seq("source"), "left")
-      .join(adm, Seq("source"), "left")
-      .select(col("source"), col("n_delta"),
-        coalesce(col("n1"), lit(0L)).as("n_quality_dropped"),
-        coalesce(col("n2"), lit(0L)).as("n_lang_dropped"),
-        coalesce(col("n3"), lit(0L)).as("n_pii_quarantined"),
-        coalesce(col("n4"), lit(0L)).as("n_contam_dropped"),
-        coalesce(col("n5"), lit(0L)).as("n_dup_vs_base"),
-        coalesce(col("n6"), lit(0L)).as("n_dup_within"),
-        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-        coalesce(col("admitted_checksum"), lit(0L)).as("admitted_checksum"),
-        coalesce(col("admitted_tok"), lit(0L)).as("admitted_tok"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when(col("score") < QualityMin, 1L).otherwise(0L))
+          .as("n_quality_dropped"),
+        sum(when(col("score") >= QualityMin && col("lang_pred") === "und", 1L)
+          .otherwise(0L)).as("n_lang_dropped"),
+        sum(when(col("score") >= QualityMin && col("lang_pred") =!= "und" &&
+          col("n_red") >= PiiQuarantineAt, 1L).otherwise(0L))
+          .as("n_pii_quarantined"),
+        sum(when(coalesce(col("is_contam"), lit(false)), 1L).otherwise(0L))
+          .as("n_contam_dropped"),
+        sum(when(coalesce(col("is_dvb"), lit(false)), 1L).otherwise(0L))
+          .as("n_dup_vs_base"),
+        sum(when(coalesce(col("is_dwd"), lit(false)), 1L).otherwise(0L))
+          .as("n_dup_within"),
+        sum(when(admitted, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(admitted, col("doc_id")).otherwise(0L))
+          .as("admitted_checksum"),
+        sum(when(admitted, size(tokens(col("rtext"))).cast("long"))
+          .otherwise(0L)).as("admitted_tok"))
       .orderBy("source")
     val admittedRows = flagged
       .filter(!col("is_contam") && !col("is_dvb") && !col("is_dwd"))
