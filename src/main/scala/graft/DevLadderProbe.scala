@@ -46,12 +46,13 @@ object DevLadderProbe {
     val idxDir = PipelineOps.persistAdmissionIndex(spark, d)
     val d0 = CoreOps.jsonlDocs(spark, d)
       .select(col("doc_id"), col("meta.source").as("source"), col("text"))
-    val bench = d0.filter(col("doc_id") < PipelineOps.BenchHoldout)
+    val benchGrams: Array[Long] = d0
+      .filter(col("doc_id") < PipelineOps.BenchHoldout)
       .select(tokens(col("text")).as("btoks"))
       .filter(size(col("btoks")) >= PipelineOps.DecontamGram)
       .select(explode(hashedShingles(
         shingles(col("btoks"), PipelineOps.DecontamGram))).as("g"))
-      .distinct().localCheckpoint(true)
+      .distinct().collect().map(_.getLong(0)).sorted
 
     // two id-ordered halves of the delta: half A's clean signatures
     // become half B's prior-arrival state; ONLY half B's chain is
@@ -83,7 +84,7 @@ object DevLadderProbe {
         .persist()
       try {
         val (verdicts, dSigs, dg3k) = graft.streaming.StreamingOps
-          .spiBatchAdmit(spark, audit, bench, prior,
+          .spiBatchAdmit(spark, audit, benchGrams, prior,
             ds => PipelineOps.probeAdmissionIndex(spark, idxDir, ds))
         verdicts.write.mode("overwrite").parquet(s"$outDir/$tag/verdicts")
         dSigs.write.mode("overwrite").parquet(s"$outDir/$tag/sigs")

@@ -892,21 +892,29 @@ object PipelineOps {
         col("n_red") < PiiQuarantineAt)
       .select("doc_id", "source", "text", "rtext")
       .persist()
-    // contamination against the SAME benchmark grams (original text)
-    val bench = d0.filter(col("doc_id") < BenchHoldout)
+    // contamination against the SAME benchmark grams (original text).
+    // r17: the benchmark gram set is metadata-scale by construction
+    // (the BenchHoldout eval slice — bounded at any corpus size), so
+    // it collects once per call and the per-doc check becomes a pure
+    // map-side arrays_overlap against the literal set — replacing the
+    // old explode -> broadcast join -> distinct -> left-join chain
+    // (three jobs and a delta-gram shuffle) with zero extra stages.
+    // Semantics identical: overlap(grams(doc), bench) == "shares at
+    // least one 8-gram"; sub-8-token docs have an empty gram array
+    // and overlap() is false, exactly as they produced no explode
+    // rows before. (A benchmark suite too large to inline — far
+    // beyond any real eval set — would fall back to the broadcast
+    // semi-join form; the set here is a few thousand longs.)
+    val benchGrams: Array[Long] = d0.filter(col("doc_id") < BenchHoldout)
       .select(tokens(col("text")).as("btoks"))
       .filter(size(col("btoks")) >= DecontamGram)
       .select(explode(hashedShingles(shingles(col("btoks"), DecontamGram))).as("g"))
-      .distinct()
-    val dContam = dg3k.select(col("doc_id"), tokens(col("text")).as("ctoks"))
-      .filter(size(col("ctoks")) >= DecontamGram)
-      .select(col("doc_id"),
-        explode(hashedShingles(shingles(col("ctoks"), DecontamGram))).as("g"))
-      .join(broadcast(bench), "g")
-      .select("doc_id").distinct()
+      .distinct().collect().map(_.getLong(0)).sorted
     val clean = dg3k
-      .join(dContam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
-      .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
+      .withColumn("is_contam",
+        arrays_overlap(
+          hashedShingles(shingles(tokens(col("text")), DecontamGram)),
+          lit(benchGrams)))
       .persist()
     val dcln = clean.filter(!col("is_contam"))
     val dSigs = sigsOf(dcln).localCheckpoint(true)

@@ -1544,12 +1544,16 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     // disk probe makes 'the artifact a deployment keeps on disk'
     // literal, and DevAmpScale's 10x-docs decade dropped accordingly)
     val idxDir = PipelineOps.persistAdmissionIndex(s, d)
-    val bench = d0.filter(col("doc_id") < PipelineOps.BenchHoldout)
+    // collected once before the stream starts (metadata-scale: the
+    // bounded BenchHoldout eval slice) — each micro-batch's contam
+    // check is then a map-side arrays_overlap against this literal
+    val benchGrams: Array[Long] = d0
+      .filter(col("doc_id") < PipelineOps.BenchHoldout)
       .select(tokens(col("text")).as("btoks"))
       .filter(size(col("btoks")) >= PipelineOps.DecontamGram)
       .select(explode(hashedShingles(
         shingles(col("btoks"), PipelineOps.DecontamGram))).as("g"))
-      .distinct().localCheckpoint(true)
+      .distinct().collect().map(_.getLong(0)).sorted
     withStreamShufflePartitions(s, 2) {
       val q = s.readStream.schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("source", StringType),
@@ -1618,7 +1622,7 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
                 .parquet(priorIds.map(i => s"$storeDir/batch=$i"): _*)
                 .select("doc_id", "sig")
             val (verdicts, dSigs, dg3k) =
-              spiBatchAdmit(s, audit, bench, prior,
+              spiBatchAdmit(s, audit, benchGrams, prior,
                 ds => PipelineOps.probeAdmissionIndex(s, idxDir, ds))
             verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
             // the stream's state lives in the index: this batch's
@@ -1671,7 +1675,7 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
     * for the caller to unpersist).
     */
   private[graft] def spiBatchAdmit(s: SparkSession, audit: DataFrame,
-      bench: DataFrame, prior: DataFrame,
+      benchGrams: Array[Long], prior: DataFrame,
       dvbOf: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import graft.ops.PipelineOps
     val estJOk = {
@@ -1685,13 +1689,17 @@ FROM dw LEFT JOIN vs USING (w) GROUP BY doc_id ORDER BY doc_id"""
         col("n_red") < PipelineOps.PiiQuarantineAt)
       .select("doc_id", "source", "text", "rtext", "n_tok")
       .persist()
+    // map-side contamination check (r17, the q215 discipline): the
+    // bounded benchmark gram set rides the plan as a literal and each
+    // doc pays one arrays_overlap — no per-batch gram explode,
+    // shuffle-distinct, or join. Same verdict set: empty gram arrays
+    // (sub-8-token docs) overlap nothing, as before.
     val contam = dg3k
-      .select(col("doc_id"), tokens(col("text")).as("ctoks"))
-      .filter(size(col("ctoks")) >= PipelineOps.DecontamGram)
-      .select(col("doc_id"), explode(hashedShingles(
-        shingles(col("ctoks"), PipelineOps.DecontamGram))).as("g"))
-      .join(broadcast(bench), "g")
-      .select("doc_id").distinct()
+      .filter(arrays_overlap(
+        hashedShingles(shingles(tokens(col("text")),
+          PipelineOps.DecontamGram)),
+        lit(benchGrams)))
+      .select("doc_id")
       .withColumn("is_contam", lit(true))
     val dcln = dg3k.join(contam, Seq("doc_id"), "left")
       .filter(col("is_contam").isNull)

@@ -490,17 +490,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("n_tok", size(split(col("rtext"), " ")).cast("long"))
     val bSigs = ops.PipelineOps.sharedBaseIndex(spark, sf)
     val idxDir = ops.PipelineOps.persistAdmissionIndex(spark, sf)
-    val bench = Seq(123456789L).toDF("g")
+    val benchGrams = Array(123456789L)
     val prior = bSigs.limit(2) // stand-in for the accumulated index
     val (verdicts, _, dg3k) = streaming.StreamingOps.spiBatchAdmit(
-      spark, audit, bench, prior,
+      spark, audit, benchGrams, prior,
       ds => ops.PipelineOps.probeAdmissionIndex(spark, idxDir, ds))
     val plan = verdicts.queryExecution.executedPlan.toString
     dg3k.unpersist(false)
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"contamination attach lost its broadcast:\n$plan")
+    // r17: the contamination check is a map-side arrays_overlap
+    // against the literal benchmark gram set — no gram explode, no
+    // join for it anywhere in the per-batch plan
+    assert(plan.contains("arrays_overlap"),
+      s"contamination check is no longer the map-side overlap:\n$plan")
     assert(plan.contains("Join"), s"expected the banded admission joins:\n$plan")
     // the dup-vs-base stage rides the q217 disk index: the store scan
     // must prune on pb inside THIS per-batch plan too
