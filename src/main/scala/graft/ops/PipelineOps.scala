@@ -911,10 +911,14 @@ object PipelineOps {
       .select(explode(hashedShingles(shingles(col("btoks"), DecontamGram))).as("g"))
       .distinct().collect().map(_.getLong(0)).sorted
     val clean = dg3k
+      // coalesce: arrays_overlap is null-propagating, and the old
+      // join form mapped a (hypothetical) null text to not-contam —
+      // keep that mapping explicit rather than letting a null ride
+      // the downstream flag algebra
       .withColumn("is_contam",
-        arrays_overlap(
+        coalesce(arrays_overlap(
           hashedShingles(shingles(tokens(col("text")), DecontamGram)),
-          lit(benchGrams)))
+          lit(benchGrams)), lit(false)))
       .persist()
     val dcln = clean.filter(!col("is_contam"))
     val dSigs = sigsOf(dcln).localCheckpoint(true)
